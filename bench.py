@@ -1,0 +1,82 @@
+"""Benchmark runner — the driver's perf feedback loop.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value", "unit": "sec", "queries": {...}, "sf"}.
+
+Each query is forced end-to-end with a noop sink (full execution, no
+driver collect). The first query's time includes JVM/codegen warmup;
+a tiny warmup query runs first to keep per-query numbers honest.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from neo_olap_spark.registry import queries
+from neo_olap_spark.session import get_spark
+
+HEADLINE = [
+    "q_scan_lineitem",
+    "q_agg_groupby",
+    "q_agg_distinct",
+    "q_join_inner",
+    "q_join_outer",
+    "q_two_hop",
+    "q_window_rank",
+    "q_window_running_sum",
+    "q_degree",
+    "q_topn",
+    "q_dedup_exact",
+    "q_dedup_near",
+    "q_sim_search",
+    "q_text_tokens",
+    "q_stream_tumbling",
+    "q_shortest_path_len",
+    "q_random_walk_counts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("neo-olap-bench", cpus=cpus)
+    qs = queries()
+
+    # warmup: touch the JVM, codegen, and parquet footer caches
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    results: dict[str, float] = {}
+    for key in HEADLINE:
+        if key not in qs:
+            continue
+        t0 = time.perf_counter()
+        df = qs[key](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        results[key] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(results.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

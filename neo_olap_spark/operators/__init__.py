@@ -1,0 +1,3 @@
+"""Operator modules. Importing this package registers every query."""
+
+from neo_olap_spark.operators import relational, scalars  # noqa: F401

@@ -1,0 +1,534 @@
+"""Relational operator surface (SURVEY.md §2.3), oracle-checked.
+
+Every query here is a declarative DataFrame plan — Catalyst handles
+predicate pushdown, column pruning, join selection, and partial
+aggregation. Design notes per query call out the 100 TB behavior
+(broadcast vs shuffle, pushdown, top-K without global sort).
+
+Conventions shared with the DuckDB oracles:
+- computed integer columns are cast to BIGINT on both sides,
+- computed doubles are rounded (sums to 2 dp, avgs to 4 dp) because
+  floating-point addition order differs across engines,
+- timestamps are never returned raw — epoch seconds (BIGINT) or
+  ISO date strings instead (engine-neutral),
+- any LIMIT has a total-order tie-break so results are deterministic.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from neo_olap_spark.graph import ORACLE_SYM_EDGES, degrees, edges
+from neo_olap_spark.registry import query
+from neo_olap_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# Scans / sources / sinks
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_scan_lineitem",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+           l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+           CAST(epoch(l_shipdate) AS BIGINT) AS l_shipdate_epoch
+    FROM lineitem
+    """,
+)
+def q_scan_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full parquet scan (reference analog: store scan Preloader.java:58-65).
+
+    Timestamp is projected to epoch seconds so the comparison is
+    engine-neutral; everything else is a raw columnar read.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    cols = [F.col(c) for c in li.columns if c != "l_shipdate"]
+    return li.select(
+        *cols, F.col("l_shipdate").cast("timestamp").cast("long").alias("l_shipdate_epoch")
+    )
+
+
+@query(
+    "q_sink_roundtrip",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem WHERE l_orderkey < 1000
+    """,
+)
+def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet sink + source roundtrip (ArrayStore.java:27-79 analog).
+
+    Writes a filtered slice to parquet, reads it back, aggregates.
+    Parquet replaces the reference's length-prefixed binary int files:
+    columnar, compressed, splittable across executors.
+    """
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 1000)
+    out = tempfile.mkdtemp(prefix="neo_olap_roundtrip_") + "/li"
+    li.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("l_orderkey").alias("sum_key"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection / filter
+# ---------------------------------------------------------------------------
+
+
+@query("q_project", oracle="SELECT l_orderkey, l_extendedprice FROM lineitem")
+def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column projection — pruned at the parquet scan (ReadSchema shows
+    2 of 11 columns). Reference analog: light-record pre-projection
+    (RelationshipPreloader.java:18)."""
+    return load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+
+
+@query(
+    "q_filter_range",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey >= 100 AND o_orderkey < 5000
+    """,
+)
+def q_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range predicate on a key (OlapRunner.java:41-43). Pushed to the
+    parquet scan as min/max row-group skipping at scale."""
+    o = load(spark, sf_dir, "orders")
+    return o.where((F.col("o_orderkey") >= 100) & (F.col("o_orderkey") < 5000)).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@query(
+    "q_filter_disjunctive",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+    WHERE o_custkey < 50 OR o_orderpriority = '1-URGENT'
+    """,
+)
+def q_filter_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive predicate (RelationshipPreloader.java:19 analog:
+    keep a row if either endpoint matches)."""
+    o = load(spark, sf_dir, "orders")
+    return o.where((F.col("o_custkey") < 50) | (F.col("o_orderpriority") == "1-URGENT")).select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_join_inner",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join. The dimension side (customer) is broadcast —
+    at 100 TB the fact side never shuffles for dim joins."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), c.c_custkey == o.o_custkey, "inner")
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "q_join_outer",
+    oracle="""
+    SELECT c_custkey, COUNT(o_orderkey) AS order_cnt,
+           ROUND(COALESCE(SUM(o_totalprice), 0.0), 2) AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with no orders, then a
+    hash aggregate. COUNT(col) skips the null-extended rows."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("order_cnt"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join: customers that placed no orders (NOT EXISTS)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "q_semi_join_neighbors",
+    oracle=ORACLE_SYM_EDGES
+    + """
+    SELECT src, dst FROM sym
+    WHERE dst IN (SELECT c_custkey FROM customer WHERE c_custkey < 100)
+    """,
+)
+def q_semi_join_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered neighbor expansion (OlapRunner.java:75-85): keep edges
+    whose far endpoint is in a node set — a left-semi join, so the
+    probe side never widens."""
+    from neo_olap_spark.graph import symmetrize
+
+    sym = symmetrize(edges(spark, sf_dir))
+    in_range = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 100)
+        .select(F.col("c_custkey").alias("node_id"))
+    )
+    return sym.join(F.broadcast(in_range), sym.dst == in_range.node_id, "left_semi")
+
+
+@query(
+    "q_join_range",
+    oracle="""
+    SELECT c_custkey, s_suppkey, c_acctbal, s_acctbal
+    FROM customer JOIN supplier
+      ON c_nationkey = s_nationkey AND c_acctbal < s_acctbal
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: equi component (nationkey) + range predicate.
+    Spark plans the equi part as the join key and applies the range
+    as a post-join filter; supplier is broadcast."""
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    return (
+        c.join(
+            F.broadcast(s),
+            (c.c_nationkey == s.s_nationkey) & (c.c_acctbal < s.s_acctbal),
+        )
+        .select("c_custkey", "s_suppkey", "c_acctbal", "s_acctbal")
+    )
+
+
+@query(
+    "q_two_hop",
+    oracle="""
+    WITH e1 AS (SELECT o_custkey AS src, o_orderkey AS mid FROM orders),
+    e2 AS (SELECT DISTINCT l_orderkey AS mid, l_partkey AS far FROM lineitem)
+    SELECT e1.src AS node_id, CAST(COUNT(DISTINCT e2.far) AS BIGINT) AS n_two_hop
+    FROM e1 JOIN e2 ON e1.mid = e2.mid GROUP BY e1.src
+    """,
+)
+def q_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop neighborhood (graph hop = edges self-join): distinct
+    parts reachable from each customer through its orders."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("src"), F.col("o_orderkey").alias("mid")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("mid"), F.col("l_partkey").alias("far"))
+        .distinct()
+    )
+    return (
+        o.join(li, "mid")
+        .groupBy(F.col("src").alias("node_id"))
+        .agg(F.countDistinct("far").alias("n_two_hop"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_agg_sum",
+    oracle="""
+    SELECT CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys, COUNT(*) AS n_rows
+    FROM orders
+    """,
+)
+def q_agg_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar aggregation across all partitions (printNumbers,
+    Runner.java:184-191): partial per-partition sums, one exchange."""
+    return load(spark, sf_dir, "orders").agg(
+        F.sum("o_orderkey").alias("sum_keys"), F.count("*").alias("n_rows")
+    )
+
+
+@query(
+    "q_agg_groupby",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped hash aggregate: map-side partial aggregation
+    means the shuffle carries only (group, partial) rows — the exact
+    scale-out replacement for the reference's racy int[] accumulation
+    (SURVEY.md O4)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count-distinct (expand + two-phase agg under the hood)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+        )
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS cnt
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "q_degree",
+    oracle=ORACLE_SYM_EDGES
+    + """
+    SELECT src AS node_id, COUNT(*) AS degree FROM sym GROUP BY src
+    """,
+)
+def q_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected degree per node — the reference's edge-loop visit
+    counting made exact (RandomWalkingRunner.java:21-23)."""
+    return degrees(edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_window_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS BIGINT) AS rn,
+           CAST(RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS BIGINT) AS price_rank,
+           CAST(DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS BIGINT) AS prio_rank
+    FROM orders
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking windows. row_number orders by the unique key so ties
+    can't make the result nondeterministic."""
+    o = load(spark, sf_dir, "orders")
+    by_key = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    by_price = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    by_prio = W.partitionBy("o_custkey").orderBy("o_orderpriority")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(by_key).cast("long").alias("rn"),
+        F.rank().over(by_price).cast("long").alias("price_rank"),
+        F.dense_rank().over(by_prio).cast("long").alias("prio_rank"),
+    )
+
+
+@query(
+    "q_window_lag",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_key,
+           LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_key
+    FROM orders
+    """,
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics over a deterministic per-partition order."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_key"),
+        F.lead("o_orderkey").over(w).alias("next_key"),
+    )
+
+
+@query(
+    "q_window_running_sum",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(SUM(l_extendedprice) OVER (
+             PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_price
+    FROM lineitem
+    """,
+)
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame aggregate: running sum within each order. (l_orderkey,
+    l_linenumber) is not unique in the generated data, so
+    l_extendedprice joins the ORDER BY — any remaining ties contribute
+    equal values, keeping the running sums order-independent."""
+    w = (
+        W.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_extendedprice")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_extendedprice").over(w), 2).alias("running_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / top-K
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sort",
+    oracle="SELECT c_custkey, c_acctbal, c_mktsegment FROM customer ORDER BY c_acctbal DESC, c_custkey",
+)
+def q_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort (range-partitioned exchange at scale). Result-set
+    equality is order-insensitive; the plan is the point
+    (TopNSelector.java:45-50 sorted its output the same way)."""
+    return (
+        load(spark, sf_dir, "customer")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+    )
+
+
+@query(
+    "q_topn",
+    oracle=ORACLE_SYM_EDGES
+    + """
+    , deg AS (SELECT src AS node_id, COUNT(*) AS degree FROM sym GROUP BY src)
+    SELECT node_id, degree FROM deg ORDER BY degree DESC, node_id LIMIT 10
+    """,
+)
+def q_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 nodes by degree (TopNSelector.java:23-52). orderBy+limit
+    plans as TakeOrderedAndProject — per-partition heaps + a tiny
+    driver merge, never a full sort; node_id breaks ties
+    deterministically."""
+    deg = degrees(edges(spark, sf_dir))
+    return deg.orderBy(F.col("degree").desc(), F.col("node_id")).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_union",
+    oracle="""
+    SELECT c_custkey AS id, 'customer' AS side FROM customer
+    UNION ALL
+    SELECT 1000000 + o_orderkey AS id, 'order' AS side FROM orders
+    """,
+)
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL — no shuffle, just concatenated partitions."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.lit("customer").alias("side")
+    )
+    o = load(spark, sf_dir, "orders").select(
+        (F.lit(1_000_000) + F.col("o_orderkey")).alias("id"), F.lit("order").alias("side")
+    )
+    return c.unionAll(o)
+
+
+@query(
+    "q_set_ops",
+    oracle="""
+    SELECT id, 'both' AS tag FROM
+      (SELECT c_custkey AS id FROM customer INTERSECT SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT id, 'customer_only' AS tag FROM
+      (SELECT c_custkey AS id FROM customer EXCEPT SELECT o_custkey FROM orders)
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (distinct semantics, like the SQL operators)."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("id"))
+    both = c.intersect(o).withColumn("tag", F.lit("both"))
+    only_c = c.exceptAll(o).distinct().withColumn("tag", F.lit("customer_only"))
+    return both.unionAll(only_c)
+
+
+# ---------------------------------------------------------------------------
+# Sampling (rows-only: nondeterministic across engines by nature)
+# ---------------------------------------------------------------------------
+
+
+@query("q_sample")
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform Bernoulli sample with a fixed seed (OlapRunner.java:60-69
+    rejection sampling analog — Spark's sample is per-partition PRNG,
+    no driver round-trips). Rows-only check."""
+    return load(spark, sf_dir, "orders").sample(fraction=0.1, seed=42)

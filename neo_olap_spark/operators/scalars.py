@@ -1,0 +1,195 @@
+"""Scalar function families (SURVEY.md §2.3), one oracle query each.
+
+All expressions are built-in pyspark.sql.functions — JVM-side,
+whole-stage-codegen'd; no Python in the hot path (UDF policy §7.4).
+Outputs are engine-neutral: ints as BIGINT, computed doubles rounded,
+dates as ISO strings / epoch seconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from neo_olap_spark.registry import query
+from neo_olap_spark.tables import load
+
+
+@query(
+    "q_scalar_string",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name) AS uname,
+           SUBSTRING(c_name, 1, 8) AS prefix,
+           CONCAT(c_mktsegment, ':', c_name) AS seg_name,
+           TRIM(c_name) AS trimmed,
+           (c_name LIKE '%1%') AS has_one,
+           COALESCE(regexp_extract(c_name, '([0-9]+)', 1), '') AS digits,
+           CAST(LENGTH(c_name) AS BIGINT) AS name_len
+    FROM customer
+    """,
+)
+def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: upper/substring/concat/trim/like/regexp/length."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.concat_ws(":", "c_mktsegment", "c_name").alias("seg_name"),
+        F.trim("c_name").alias("trimmed"),
+        F.col("c_name").like("%1%").alias("has_one"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("digits"),
+        F.length("c_name").cast("long").alias("name_len"),
+    )
+
+
+@query(
+    "q_scalar_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mo,
+           CAST(day(o_orderdate) AS BIGINT) AS dom,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+           strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus30,
+           CAST(epoch(o_orderdate) AS BIGINT) AS ts_epoch
+    FROM orders
+    """,
+)
+def q_scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: year/month/day, datediff, date_add, epoch."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")).cast("long").alias("days_since"),
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").alias(
+            "plus30"
+        ),
+        # parquet timestamps arrive as TIMESTAMP_NTZ; session TZ is UTC so
+        # NTZ -> timestamp -> long yields the same epoch as DuckDB's epoch()
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("ts_epoch"),
+    )
+
+
+@query(
+    "q_scalar_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(SQRT(l_extendedprice), 4) AS root_price,
+           ROUND(ABS(l_discount - 0.05), 4) AS disc_dev,
+           ROUND(POWER(l_quantity, 2), 2) AS qty_sq,
+           CAST(((l_orderkey % 7) + 7) % 7 AS BIGINT) AS key_mod,
+           ROUND(l_extendedprice, 1) AS price_r1
+    FROM lineitem
+    """,
+)
+def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family: sqrt/abs/pow/pmod/round. Results rounded because
+    libm implementations may differ in the last ulp across engines."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_extendedprice"), 4).alias("root_price"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
+        F.round(F.pow("l_quantity", 2), 2).alias("qty_sq"),
+        F.pmod("l_orderkey", F.lit(7)).cast("long").alias("key_mod"),
+        F.round("l_extendedprice", 1).alias("price_r1"),
+    )
+
+
+@query(
+    "q_scalar_array",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           embedding[1] AS e1,
+           ROUND(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 4) AS vsum,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos
+    FROM embeddings
+    """,
+)
+def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family: size, element_at, aggregate (fold), filter —
+    all higher-order built-ins over ArrayType(FloatType)."""
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.element_at("embedding", 1).alias("e1"),
+        F.round(
+            F.aggregate(
+                "embedding", F.lit(0.0).cast("double"), lambda acc, x: acc + x.cast("double")
+            ),
+            4,
+        ).alias("vsum"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_pos"),
+    )
+
+
+@query(
+    "q_scalar_map",
+    oracle="""
+    SELECT event_id,
+           array_to_string(json_keys(props), ',') AS keys_csv,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+)
+def q_scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family: parse props into MapType, then map_keys/element_at."""
+    ev = load(spark, sf_dir, "events")
+    m = F.from_json("props", T.MapType(T.StringType(), T.LongType()))
+    return ev.select(
+        "event_id",
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+        F.element_at(m, F.lit("k")).alias("k_val"),
+    )
+
+
+@query(
+    "q_scalar_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+    FROM events
+    """,
+)
+def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family: get_json_object path extraction."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_num"),
+    )
+
+
+@query(
+    "q_scalar_cond",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 200000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END AS bucket,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label
+    FROM orders
+    """,
+)
+def q_scalar_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional family: when/otherwise, coalesce, nullif."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+        .alias("bucket"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias("status_label"),
+    )

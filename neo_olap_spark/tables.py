@@ -1,0 +1,53 @@
+"""Table loaders for the driver-generated star schema (TESTDATA.md).
+
+All reads go through ``spark.read.parquet`` so Catalyst gets column
+pruning + predicate pushdown for free — the Spark-native equivalent of
+the reference's light-record pre-projection before full materialization
+(RelationshipPreloader.java:18-21).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one star-schema table from a scale-factor directory."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts is parquet TIMESTAMP(NANOS) read as long nanos
+        # (spark.sql.legacy.parquet.nanosAsLong); convert to a proper
+        # timestamp (micros precision, session TZ = UTC).
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so SQL-path queries work."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
