@@ -1,0 +1,319 @@
+"""Graph analytics — the reference's heart, re-expressed Spark-first.
+
+The reference runs two whole-graph analytics on an embedded Neo4j from
+many threads (SURVEY.md §2.1 R1/R2). Here they are iterative DataFrame
+programs: a driver-side Python loop builds per-step plans, Catalyst
+optimizes each, and ``localCheckpoint()`` truncates lineage every few
+steps (the Spark analog of the reference's round checkpointing,
+Runner.java:67-88). All randomness is ``xxhash64(…, seed)`` on stable
+keys, so runs are deterministic and retry-stable (SURVEY.md §7.3).
+
+Scale notes: each BFS/walk step is one shuffle keyed on node/walker id;
+the edge list is persisted once and reused; visited/frontier sets stay
+distributed (no driver collect besides scalar counts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from neo_olap_spark.graph import edges, symmetrize
+from neo_olap_spark.registry import query
+from neo_olap_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# BFS shortest-path distances (deterministic core of R2)
+# ---------------------------------------------------------------------------
+
+
+def bfs_distances(
+    sym_edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int,
+    count_paths: bool = False,
+) -> DataFrame:
+    """Multi-source level-synchronous BFS.
+
+    ``sources``: (tag, node) — one BFS per tag, all run simultaneously
+    (one shuffle per level covers every tag). Returns
+    (tag, node, dist[, npaths]); ``npaths`` is the number of distinct
+    shortest paths from the tag's source to node (Brandes-style
+    counting — sum of parent path counts per level).
+
+    Spark mapping of PathFinderNodeCountingRunner.java:35-47: the
+    per-level expansion is frontier ⋈ edges; the "visited" set is a
+    left-anti join instead of Neo4j's traversal state.
+    """
+    frontier = sources.select(
+        "tag", "node", F.lit(0).alias("dist"), F.lit(1).cast("long").alias("npaths")
+    ).localCheckpoint()
+    visited = frontier
+
+    for depth in range(1, max_depth + 1):
+        expanded = (
+            frontier.join(sym_edges, frontier.node == sym_edges.src)
+            .groupBy("tag", F.col("dst").alias("node"))
+            .agg(F.sum("npaths").alias("npaths"))
+            .withColumn("dist", F.lit(depth))
+        )
+        seen = visited.select(F.col("tag").alias("vtag"), F.col("node").alias("vnode"))
+        frontier = expanded.join(
+            seen,
+            (expanded.tag == seen.vtag) & (expanded.node == seen.vnode),
+            "left_anti",
+        ).select("tag", "node", "dist", "npaths")
+        # localCheckpoint: cut lineage so plans don't grow per level
+        frontier = frontier.localCheckpoint()
+        if frontier.isEmpty():
+            break
+        visited = visited.unionByName(frontier).localCheckpoint()
+
+    if count_paths:
+        return visited
+    return visited.select("tag", "node", "dist")
+
+
+@query(
+    "q_shortest_path_len",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT o_custkey AS src, 1000000 + o_orderkey AS dst FROM orders
+      UNION ALL
+      SELECT 1000000 + l_orderkey AS src, 2000000 + l_partkey AS dst
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    ),
+    sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+    srcs AS (SELECT c_custkey AS src FROM customer WHERE c_custkey < 3),
+    bfs AS (
+      SELECT src AS tag, src AS node, 0 AS dist FROM srcs
+      UNION
+      SELECT bfs.tag, sym.dst AS node, bfs.dist + 1 AS dist
+      FROM bfs JOIN sym ON bfs.node = sym.src
+      WHERE bfs.dist < 4
+    )
+    SELECT tag AS src_id, node AS node_id, CAST(MIN(dist) AS BIGINT) AS dist
+    FROM bfs GROUP BY tag, node
+    """,
+)
+def q_shortest_path_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest-path distance from 3 source customers to every node
+    within 4 hops (R2's deterministic core; oracle = DuckDB recursive
+    CTE). Level-synchronous BFS: one shuffle per level."""
+    sym = symmetrize(edges(spark, sf_dir)).persist()
+    sources = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 3)
+        .select(F.col("c_custkey").alias("tag"), F.col("c_custkey").alias("node"))
+    )
+    out = bfs_distances(sym, sources, max_depth=4).select(
+        F.col("tag").alias("src_id"),
+        F.col("node").alias("node_id"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Random-walk visit counting (R1)
+# ---------------------------------------------------------------------------
+
+
+def all_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every node id of the derived graph (customers, orders, parts)."""
+    from neo_olap_spark.graph import ORDER_OFFSET, PART_OFFSET
+
+    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("node"))
+    o = load(spark, sf_dir, "orders").select(
+        (F.lit(ORDER_OFFSET) + F.col("o_orderkey")).alias("node")
+    )
+    p = load(spark, sf_dir, "part").select((F.lit(PART_OFFSET) + F.col("p_partkey")).alias("node"))
+    return c.unionAll(o).unionAll(p)
+
+
+def random_walk_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    n_walkers: int = 256,
+    n_steps: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Degree-biased random-walk visit counting (RandomWalkingRunner
+    .java:16-35), Spark-first.
+
+    The reference's wall-clock budget becomes a fixed step count; its
+    racy shared int[] increments become an exact groupBy().count()
+    over the visit log (SURVEY.md O4/O5). Per step, every walker
+    picks one uniform neighbor via a deterministic hash ordering
+    (xxhash64(walker, step, dst, seed)); a walker whose node has no
+    neighbor teleports to a hash-chosen node (RandomWalkingRunner
+    .java:31). Deviation from the reference, documented per SURVEY.md
+    §7.3: neighbors are sampled uniformly, not by the reference's
+    geometric first-accepted-edge order scan.
+
+    Scale: state is one row per walker; each step is a join keyed on
+    the walker's node + a per-walker top-1 (no global sort). The
+    visit log grows n_walkers × n_steps rows — negligible vs data.
+    """
+    sym = symmetrize(edges(spark, sf_dir)).persist()
+
+    # Dense index over nodes for teleport targeting (the Spark analog
+    # of rejection-sampling node IDs, OlapRunner.java:60-69 — here we
+    # index once and hash-address, no retries needed).
+    nodes = (
+        all_nodes(spark, sf_dir)
+        .distinct()
+        .withColumn("idx", F.row_number().over(W.orderBy("node")) - 1)
+        .persist()
+    )
+    n_nodes = nodes.count()
+
+    # Walker starts: the n_walkers nodes with the lowest start-hash.
+    walkers = (
+        nodes.withColumn("h", F.xxhash64(F.col("node"), F.lit(seed)))
+        .orderBy("h")
+        .limit(n_walkers)
+        .select(
+            (F.row_number().over(W.orderBy("h")) - 1).alias("walker_id"),
+            F.col("node"),
+        )
+        .localCheckpoint()
+    )
+
+    visit_logs: list[DataFrame] = [walkers.select("node")]
+    frontier = walkers
+
+    for step in range(1, n_steps + 1):
+        cand = frontier.join(sym, frontier.node == sym.src, "left")
+        pick_w = W.partitionBy("walker_id").orderBy(
+            F.xxhash64(F.col("walker_id"), F.lit(step), F.col("dst"), F.lit(seed))
+        )
+        picked = (
+            cand.withColumn("rn", F.row_number().over(pick_w))
+            .where(F.col("rn") == 1)
+            .select("walker_id", F.col("dst").alias("next_node"))
+        )
+        # dst NULL => dead end => teleport to hash((walker, step)) % n_nodes
+        tele_idx = F.pmod(
+            F.xxhash64(F.col("walker_id"), F.lit(step), F.lit(seed)), F.lit(n_nodes)
+        )
+        with_tele = (
+            picked.withColumn("tele_idx", tele_idx)
+            .join(
+                F.broadcast(nodes.select(F.col("idx"), F.col("node").alias("tele_node"))),
+                F.col("tele_idx") == F.col("idx"),
+                "left",
+            )
+            .select(
+                "walker_id",
+                F.coalesce(F.col("next_node"), F.col("tele_node")).alias("node"),
+            )
+        )
+        frontier = with_tele.localCheckpoint()
+        visit_logs.append(frontier.select("node"))
+
+    visits = visit_logs[0]
+    for v in visit_logs[1:]:
+        visits = visits.unionAll(v)
+    return visits.groupBy(F.col("node").alias("node_id")).agg(F.count("*").alias("visits"))
+
+
+@query("q_random_walk_counts")
+def q_random_walk_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1: random-walk visit counts (rows-only; invariants tested in
+    tests/test_graph_algos.py: counts sum to walkers×(steps+1), seed
+    determinism)."""
+    return random_walk_counts(spark, sf_dir, n_walkers=256, n_steps=16, seed=42)
+
+
+# ---------------------------------------------------------------------------
+# Sampled betweenness via all-shortest-paths interior counting (R2)
+# ---------------------------------------------------------------------------
+
+
+def betweenness_sample(
+    spark: SparkSession,
+    sf_dir: str,
+    n_pairs: int = 6,
+    max_depth: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Sampled all-shortest-paths interior-node counting
+    (PathFinderNodeCountingRunner.java:35-47 + OlapRunner.java:49-58).
+
+    Instead of materializing every shortest path (exponential), we run
+    forward BFS from a and backward BFS from b with Brandes path
+    counting, then select nodes with dist_a(v) + dist_b(v) = dist(a,b);
+    the number of shortest a→b paths through v is
+    npaths_a(v) · npaths_b(v) — exactly the reference's per-path
+    interior increment, computed by joins (SURVEY.md §2.1 R2).
+    Endpoints are excluded (OlapRunner.java:52 skips first/last).
+    """
+    sym = symmetrize(edges(spark, sf_dir)).persist()
+    nodes = all_nodes(spark, sf_dir).distinct()
+
+    # Deterministic pair sampling: lowest hash ranks, a from one half,
+    # b from the other (hash-disjoint salts).
+    a_nodes = (
+        nodes.withColumn("h", F.xxhash64("node", F.lit(seed)))
+        .orderBy("h")
+        .limit(n_pairs)
+        .select((F.row_number().over(W.orderBy("h")) - 1).alias("pair_id"), F.col("node"))
+    )
+    b_nodes = (
+        nodes.withColumn("h", F.xxhash64("node", F.lit(seed + 1)))
+        .orderBy("h")
+        .limit(n_pairs)
+        .select((F.row_number().over(W.orderBy("h")) - 1).alias("pair_id"), F.col("node"))
+    )
+    pairs = (
+        a_nodes.alias("a")
+        .join(b_nodes.alias("b"), "pair_id")
+        .select("pair_id", F.col("a.node").alias("a"), F.col("b.node").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .localCheckpoint()
+    )
+
+    fwd = bfs_distances(
+        sym,
+        pairs.select(F.col("pair_id").alias("tag"), F.col("a").alias("node")),
+        max_depth,
+        count_paths=True,
+    )
+    bwd = bfs_distances(
+        sym,
+        pairs.select(F.col("pair_id").alias("tag"), F.col("b").alias("node")),
+        max_depth,
+        count_paths=True,
+    )
+
+    # dist(a,b) per pair = forward distance at b (if reached within depth)
+    pb_end = pairs.select(F.col("pair_id").alias("ptag"), F.col("b").alias("pb"))
+    d_ab = (
+        fwd.join(pb_end, (fwd.node == pb_end.pb) & (fwd.tag == pb_end.ptag))
+        .select(F.col("tag"), F.col("dist").alias("d_ab"))
+    )
+
+    f = fwd.select(F.col("tag"), F.col("node"), F.col("dist").alias("da"), F.col("npaths").alias("pa"))
+    g = bwd.select(F.col("tag").alias("tag2"), F.col("node").alias("node2"),
+                   F.col("dist").alias("db"), F.col("npaths").alias("pb"))
+    on_path = (
+        f.join(g, (f.tag == g.tag2) & (f.node == g.node2))
+        .join(d_ab, "tag")
+        .where(F.col("da") + F.col("db") == F.col("d_ab"))
+        .join(pairs.select(F.col("pair_id").alias("tag"), "a", "b"), "tag")
+        .where((F.col("node") != F.col("a")) & (F.col("node") != F.col("b")))
+        .select("node", (F.col("pa") * F.col("pb")).alias("path_count"))
+    )
+    return on_path.groupBy(F.col("node").alias("node_id")).agg(
+        F.sum("path_count").alias("cnt")
+    )
+
+
+@query("q_betweenness_sample")
+def q_betweenness_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2: sampled betweenness interior-node counts (rows-only;
+    invariants — path-graph middle node maximal, determinism — in
+    tests/test_graph_algos.py)."""
+    return betweenness_sample(spark, sf_dir, n_pairs=6, max_depth=5, seed=42)
