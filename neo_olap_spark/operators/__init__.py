@@ -1,3 +1,8 @@
 """Operator modules. Importing this package registers every query."""
 
-from neo_olap_spark.operators import graph_algos, relational, scalars  # noqa: F401
+from neo_olap_spark.operators import (  # noqa: F401
+    graph_algos,
+    relational,
+    scalars,
+    streaming,
+)

@@ -1,0 +1,193 @@
+"""Streaming operators over the ``events`` table (SURVEY.md §2.3).
+
+Every query is built by a *mode-agnostic expression builder* that takes
+an events DataFrame — static (batch, DuckDB-oracle-checkable) or a
+Structured Streaming source — and returns the same logical plan
+(SURVEY.md §7.3: one builder, two modes, so the oracle checks the
+exact expressions the stream runs). The streaming variants add
+watermarks and run under micro-batch triggers; tests drive them with a
+memory sink + processAllAvailable.
+
+Reference provenance: the LMAX Disruptor dependency (pom.xml:55-59)
+signals stream-processing intent that the reference never wired up —
+Structured Streaming is the Spark-native realization (SURVEY.md §2.2).
+
+Scale notes: windowed aggregations shuffle on (window, key) with
+partial aggregation map-side; state store size is bounded by the
+watermark horizon, not stream length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neo_olap_spark.registry import query
+from neo_olap_spark.tables import load
+
+# epoch seconds of a window-start column (timestamps never leave raw)
+def _epoch(col: str) -> F.Column:
+    return F.col(col).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Mode-agnostic builders
+# ---------------------------------------------------------------------------
+
+
+def build_tumbling(events: DataFrame) -> DataFrame:
+    """1-hour tumbling window aggregate per event_type."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def build_sliding(events: DataFrame) -> DataFrame:
+    """1-hour window sliding every 15 minutes (each event in 4 windows)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").cast("long").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def build_session(events: DataFrame) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap."""
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def build_dedup(events: DataFrame) -> DataFrame:
+    """Distinct (user_id, event_type) pairs — the deterministic core of
+    stateful dedup; the streaming variant bounds state with a watermark."""
+    return events.select("user_id", "event_type").dropDuplicates()
+
+
+# ---------------------------------------------------------------------------
+# Batch-mode registered queries (oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+           event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window / type (batch twin of the streaming agg)."""
+    return build_tumbling(load(spark, sf_dir, "events"))
+
+
+@query(
+    "q_stream_sliding",
+    oracle="""
+    WITH offs AS (SELECT * FROM (VALUES (0), (900), (1800), (2700)) AS t(off))
+    SELECT CAST(CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - off AS BIGINT) AS window_start,
+           event_type, COUNT(*) AS n_events
+    FROM events CROSS JOIN offs
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/15m window / type. Oracle expands each event into its
+    4 epoch-aligned windows explicitly."""
+    return build_sliding(load(spark, sf_dir, "events"))
+
+
+@query(
+    "q_stream_session",
+    oracle="""
+    WITH lagd AS (
+      SELECT user_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      FROM lagd
+    ),
+    sess AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows, 30m gap. Oracle = lag/gap/cumsum sessionization;
+    a gap of exactly 30m starts a new session (Spark's session_window
+    end bound is exclusive)."""
+    return build_session(load(spark, sf_dir, "events"))
+
+
+@query("q_stream_dedup", oracle="SELECT DISTINCT user_id, event_type FROM events")
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful dedup, batch twin (dropDuplicates)."""
+    return build_dedup(load(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming sources & runners (exercised in tests/test_streaming.py)
+# ---------------------------------------------------------------------------
+
+
+def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Structured Streaming source over a directory of events parquet.
+
+    Mirrors tables.load's nanos handling: ts arrives as long nanos
+    (spark.sql.legacy.parquet.nanosAsLong) and is converted to a
+    proper timestamp before any windowing.
+    """
+    static = spark.read.parquet(events_dir)
+    stream = spark.readStream.schema(static.schema).parquet(events_dir)
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_stream_once(
+    df: DataFrame, name: str, output_mode: str = "complete"
+) -> None:
+    """Drive a streaming DataFrame to completion into a memory sink."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def streaming_tumbling_with_watermark(spark: SparkSession, events_dir: str) -> DataFrame:
+    """The real streaming path: watermark + tumbling window. Late rows
+    beyond 10 minutes are dropped; state is bounded by the watermark."""
+    ev = stream_events(spark, events_dir).withWatermark("ts", "10 minutes")
+    return build_tumbling(ev)
+
+
+def streaming_dedup_with_watermark(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Stateful streaming dedup on event_id within the watermark horizon."""
+    ev = stream_events(spark, events_dir).withWatermark("ts", "10 minutes")
+    return ev.dropDuplicates(["event_id"]).select("event_id", "user_id", "event_type")

@@ -1,0 +1,56 @@
+"""Structured Streaming variants: the same builders that pass the batch
+oracle must produce identical results when driven as a stream."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo_olap_spark.operators.streaming import (
+    build_tumbling,
+    run_stream_once,
+    stream_events,
+    streaming_dedup_with_watermark,
+    streaming_tumbling_with_watermark,
+)
+from neo_olap_spark.tables import load
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir):
+    # readStream wants a directory; re-write the events table into one
+    d = tempfile.mkdtemp(prefix="neo_olap_stream_")
+    spark.read.parquet(f"{sf_dir}/events.parquet").write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_stream_tumbling_matches_batch(spark, sf_dir, events_dir):
+    batch = build_tumbling(load(spark, sf_dir, "events"))
+    stream = build_tumbling(stream_events(spark, events_dir))
+    run_stream_once(stream, "t_tumbling", output_mode="complete")
+    assert _rows(spark.sql("SELECT * FROM t_tumbling")) == _rows(batch)
+
+
+def test_stream_tumbling_watermark_runs(spark, events_dir):
+    # append mode + watermark: emits only finalized windows; with a
+    # single micro-batch nothing may finalize — the contract here is
+    # that the plan is streamable and runs clean.
+    df = streaming_tumbling_with_watermark(spark, events_dir)
+    run_stream_once(df, "t_wm", output_mode="append")
+    assert spark.sql("SELECT * FROM t_wm").count() >= 0
+
+
+def test_stream_dedup_matches_batch(spark, sf_dir, events_dir):
+    df = streaming_dedup_with_watermark(spark, events_dir)
+    run_stream_once(df, "t_dedup", output_mode="append")
+    got = spark.sql("SELECT count(DISTINCT event_id) AS n, count(*) AS total FROM t_dedup").first()
+    want = load(spark, sf_dir, "events").select(F.countDistinct("event_id")).first()[0]
+    assert got.n == got.total == want
