@@ -1,0 +1,50 @@
+"""Reusable column-expression kernels (all built-in functions, JVM-side).
+
+UDF policy (SURVEY.md §7.4): built-ins first — these kernels are pure
+Catalyst expressions, so they get whole-stage codegen and run at scale
+with zero Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two ArrayType(Float/Double) columns, accumulated
+    in double with left-to-right fold (matches DuckDB's sequential
+    accumulation, so oracle comparisons agree to the last bits)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokenization (trim first so no empty edge tokens)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def shingles(tokens: Column, k: int = 3) -> Column:
+    """Distinct k-gram word shingles of a token array (1-indexed
+    element_at, matching DuckDB list indexing in the oracles)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (k - 1), F.lit(0)))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens, (i + j).cast("int")) for j in range(k)]
+        ),
+    )
+    return F.array_distinct(gram)

@@ -2,6 +2,10 @@
 
 from neo_olap_spark.operators import (  # noqa: F401
     graph_algos,
+    llm_dedup,
+    llm_similarity,
+    llm_text,
+    multimodal,
     relational,
     scalars,
     streaming,

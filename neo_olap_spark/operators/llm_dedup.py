@@ -1,0 +1,276 @@
+"""Deduplication operators over ``documents`` (north star surface).
+
+Five dedup strategies, each the Spark-native shape of a standard
+training-data-pipeline technique:
+
+- exact:       hash groupBy on full text (one shuffle on the hash key)
+- n-gram:      exact shingle-Jaccard pairs via inverted-index join
+               (oracle-checked — the ground truth the approximate
+               methods are judged against)
+- MinHash LSH: shingle -> 16 minhashes -> 4 bands -> bucket self-join
+               (candidate generation touches only colliding buckets;
+               at 100 TB this is the difference between O(n²) and
+               O(n·collisions))
+- SimHash:     64-bit sign-of-weighted-sum signature + banded hamming
+- embedding:   cosine near-dup within label blocks
+
+All hashing is xxhash64 (built-in, deterministic, seedable) — no
+Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neo_olap_spark.functions import cosine, shingles, ws_tokens
+from neo_olap_spark.registry import query
+from neo_olap_spark.tables import load
+
+N_MINHASH = 16
+N_BANDS = 4  # 4 rows per band
+JACCARD_THRESHOLD = 0.2
+COSINE_THRESHOLD = 0.4
+SIMHASH_MAX_HAMMING = 8
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT text, CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content, keep the smallest doc_id.
+    Deterministic replacement for dropDuplicates (which keeps an
+    arbitrary row). One shuffle keyed on the text hash."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    )
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", shingles(ws_tokens(F.col("text"))).alias("sh"))
+
+
+def exact_jaccard_pairs(sh_df: DataFrame, threshold: float) -> DataFrame:
+    """Ground-truth shingle-Jaccard pairs via inverted-index join:
+    explode shingles, self-join on the shingle, count intersections,
+    compute |A∩B| / (|A|+|B|-|A∩B|). Only pairs sharing ≥1 shingle are
+    ever materialized — the relational form of an inverted index."""
+    ex = sh_df.select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s")
+    )
+    a = ex.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "s")
+    b = ex.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "s")
+    inter = (
+        a.join(b, "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"), F.first("na").alias("na"), F.first("nb").alias("nb"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return inter.where(jac >= threshold).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    )
+
+
+@query(
+    "q_dedup_ngram",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+      FROM toks
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter,
+             ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(inter * 1.0 / (na + nb - inter), 4) AS jaccard
+    FROM pairs WHERE inter * 1.0 / (na + nb - inter) >= {JACCARD_THRESHOLD}
+    """,
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram shingle Jaccard near-dup pairs (threshold
+    {JACCARD_THRESHOLD}) — the oracle-checked ground truth."""
+    return exact_jaccard_pairs(_shingled(spark, sf_dir), JACCARD_THRESHOLD)
+
+
+def minhash_lsh_pairs(
+    sh_df: DataFrame,
+    threshold: float,
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash + LSH banding, then exact-Jaccard verification of the
+    candidates (so the output has no false positives; recall is the
+    LSH trade-off).
+
+    shingle → n_hashes minhashes (one groupBy with n min() aggs) →
+    band signatures (xxhash64 of each band's minhash slice) → self-join
+    on (band, signature) = the bucket join → verify.
+    """
+    ex = sh_df.select("doc_id", "sh", F.explode("sh").alias("s"))
+    mins = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("s"), F.lit(seed + i))).alias(f"m{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    rows_per_band = n_hashes // n_bands
+    bands = mins.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"m{bi * rows_per_band + j}") for j in range(rows_per_band)]
+                        ).alias("sig"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "sig"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    # verify candidates with exact Jaccard (array intersection — no
+    # second explode needed, candidate set is small)
+    sh_a = sh_df.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh_df.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+@query("q_dedup_near")
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (rows-only; recall vs the exact
+    q_dedup_ngram ground truth is asserted in tests/test_llm_ops.py)."""
+    return minhash_lsh_pairs(_shingled(spark, sf_dir), JACCARD_THRESHOLD)
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str, seed: int = 42) -> DataFrame:
+    """64-bit SimHash per document: per token, xxhash64 gives 64 bits;
+    each bit votes ±1; the signature is the sign vector packed into a
+    bigint. One explode + one groupBy with 64 conditional sums — all
+    built-in expressions."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("tok"))
+    h = F.xxhash64(F.col("tok"), F.lit(seed))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(64)
+        ]
+    )
+    sig = None
+    for j in range(64):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, j)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return votes.select("doc_id", sig.alias("simhash"))
+
+
+@query("q_dedup_simhash")
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: block on 16-bit signature chunks (a pair
+    within hamming ≤ {SIMHASH_MAX_HAMMING} of 64 bits must agree on at
+    least one of 4 chunks when hamming < 4 per pigeonhole at chunk
+    granularity), verify with bit_count(xor). Rows-only."""
+    sigs = simhash_signatures(spark, sf_dir)
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cv"),
+    ).select("doc_id", "simhash", "cv.chunk", "cv.val")
+    cand = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), ["chunk", "val"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("sig_a"),
+            F.col("y.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+    )
+
+
+@query(
+    "q_dedup_embed",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= {COSINE_THRESHOLD}
+    """,
+)
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within label blocks (blocking
+    keeps the pair space linear-ish; at scale the block key would be a
+    coarse quantization of the vector). Oracle-checked against
+    DuckDB's list_cosine_similarity in double precision."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("label"), F.col("embedding").alias("eb"))
+    sim = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, "label")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim_raw", sim)
+        .where(F.col("cos_sim_raw") >= COSINE_THRESHOLD)
+        .select("id_a", "id_b", F.round("cos_sim_raw", 4).alias("cos_sim"))
+    )

@@ -1,0 +1,172 @@
+"""Text-analysis operators over ``documents`` (north star, BASELINE.json;
+the reference's unused S-Space dependency signaled exactly this intent,
+pom.xml:18-22 / SURVEY.md §2.2).
+
+All oracle-checked; every expression is a built-in (no UDFs): at 100 TB
+these run inside whole-stage codegen over the parquet scan with no
+shuffle at all (pure per-row projections).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neo_olap_spark.functions import ws_tokens
+from neo_olap_spark.registry import query
+from neo_olap_spark.tables import load
+
+# language-marker stopword sets (tiny, deterministic, shared with oracles)
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "is", "and"),
+    "es": ("el", "la", "de", "los", "que"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "les", "et", "des", "est"),
+}
+EN_STOPWORDS = ("the", "a", "of", "is", "and", "to", "in")
+
+# BPE-ish pre-tokenizer: word pieces, digit runs, single punctuation
+BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+@query(
+    "q_text_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS n_distinct,
+           CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT) AS n_bpe
+    FROM documents
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, and a
+    BPE-ish regex pre-tokenization count."""
+    d = load(spark, sf_dir, "documents")
+    toks = ws_tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)).cast("long").alias("n_bpe"),
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, n_chars, regexp_split_to_array(trim(text), '\\s+') AS toks,
+             regexp_replace(text, '\\s', '', 'g') AS squeezed
+      FROM documents
+    )
+    SELECT doc_id, n_chars,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           ROUND(len(list_filter(toks, x -> list_contains({_sql_list(EN_STOPWORDS)}, x)))
+                 * 1.0 / len(toks), 4) AS stopword_ratio,
+           ROUND(length(squeezed) * 1.0 / len(toks), 4) AS avg_token_len
+    FROM t
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio + average token length —
+    the standard cheap pre-filters of a training-data pipeline."""
+    d = load(spark, sf_dir, "documents")
+    toks = ws_tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n = F.size(toks)
+    return d.select(
+        "doc_id",
+        "n_chars",
+        n.cast("long").alias("n_tokens"),
+        F.round(
+            F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))) / n, 4
+        ).alias("stopword_ratio"),
+        F.round(
+            F.length(F.regexp_replace("text", r"\s", "")) / n, 4
+        ).alias("avg_token_len"),
+    )
+
+
+def _langid_oracle() -> str:
+    score = {
+        lang: f"len(list_filter(toks, x -> list_contains({_sql_list(ws)}, x)))"
+        for lang, ws in LANG_MARKERS.items()
+    }
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang AS true_lang,
+             regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, true_lang,
+             {score['en']} AS s_en, {score['es']} AS s_es,
+             {score['de']} AS s_de, {score['fr']} AS s_fr
+      FROM t
+    )
+    SELECT doc_id, true_lang,
+           CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+                WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+                WHEN s_fr > 0 THEN 'fr'
+                ELSE 'unknown' END AS pred_lang
+    FROM s
+    """
+
+
+@query("q_text_langid", oracle=_langid_oracle())
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-heuristic language ID: count language-marker stopwords,
+    argmax with a fixed priority tie-break (en > es > de > fr)."""
+    d = load(spark, sf_dir, "documents")
+    toks = ws_tokens(F.col("text"))
+    def marker_count(ws: tuple[str, ...]):
+        arr = F.array(*[F.lit(w) for w in ws])
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    scores = {lang: marker_count(ws) for lang, ws in LANG_MARKERS.items()}
+    s = d.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        scores["en"].alias("s_en"),
+        scores["es"].alias("s_es"),
+        scores["de"].alias("s_de"),
+        scores["fr"].alias("s_fr"),
+    )
+    pred = (
+        F.when(
+            (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") > 0),
+            "en",
+        )
+        .when((F.col("s_es") >= F.col("s_de")) & (F.col("s_es") >= F.col("s_fr")) & (F.col("s_es") > 0), "es")
+        .when((F.col("s_de") >= F.col("s_fr")) & (F.col("s_de") > 0), "de")
+        .when(F.col("s_fr") > 0, "fr")
+        .otherwise("unknown")
+    )
+    return s.select("doc_id", "true_lang", pred.alias("pred_lang"))
+
+
+@query(
+    "q_text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over whitespace-normalized,
+    lowercased text (content-defined identity for dedup joins)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("fp"),
+    )

@@ -1,0 +1,109 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+The Spark-side plumbing is real (BinaryType columns, content hashing,
+Arrow-batched mapInPandas decode with an explicit output schema); the
+actual image/audio decode is STUBBED behind a deterministic fake
+because the codec libraries are not in this container — the stub is
+clearly marked and swaps out for a real decoder without touching the
+plan shape.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neo_olap_spark.registry import query
+from neo_olap_spark.tables import load
+
+
+def multimodal_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive a multimodal table: documents' text bytes stand in for an
+    opaque media payload, with typed metadata columns alongside."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.col("source").alias("origin"),
+            F.col("lang").alias("lang"),
+            F.col("n_chars").alias("n_chars"),
+        ).alias("meta"),
+    )
+
+
+@query(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_sha,
+           source AS origin
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload metadata: byte length + content hash (the
+    content-addressed identity used for exact media dedup)."""
+    m = multimodal_table(spark, sf_dir)
+    return m.select(
+        "doc_id",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.sha2("payload", 256).alias("content_sha"),
+        F.col("meta.origin").alias("origin"),
+    )
+
+
+DECODE_SCHEMA = (
+    "doc_id long, n_bytes long, width long, height long, n_frames long, codec string"
+)
+
+REAL_DECODERS_AVAILABLE = False  # no PIL/ffmpeg in this container
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched decode kernel (mapInPandas).
+
+    STUB: derives deterministic fake dimensions from the payload bytes.
+    A real deployment replaces the body of ``fake_decode`` with
+    PIL/ffmpeg calls; the batch shape, schema, and partitioning are
+    exactly what the real decoder needs.
+    """
+
+    def fake_decode(payload: bytes) -> tuple[int, int, int, str]:
+        if REAL_DECODERS_AVAILABLE:  # pragma: no cover
+            raise NotImplementedError("plug real codec here")
+        # deterministic fake: dimensions from content, not randomness
+        n = len(payload)
+        w = 64 + (payload[0] % 64) if n else 0
+        h = 64 + (payload[-1] % 64) if n else 0
+        return w, h, 1 + n % 4, "fake/v1"
+
+    for pdf in batches:
+        decoded = [fake_decode(p) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "n_bytes": [len(p) for p in pdf["payload"]],
+                "width": [d[0] for d in decoded],
+                "height": [d[1] for d in decoded],
+                "n_frames": [d[2] for d in decoded],
+                "codec": [d[3] for d in decoded],
+            }
+        )
+
+
+def decode_multimodal(m: DataFrame) -> DataFrame:
+    """Run the (stubbed) decoder over payloads with mapInPandas —
+    Arrow batches in, Arrow batches out, no per-row Python overhead."""
+    return m.select("doc_id", "payload").mapInPandas(_decode_batches, DECODE_SCHEMA)
+
+
+@query("q_multimodal_decode")
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract stub over binary payloads (rows-only:
+    the fake decode is deterministic, but not SQL-expressible)."""
+    return decode_multimodal(multimodal_table(spark, sf_dir))

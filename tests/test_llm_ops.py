@@ -1,0 +1,60 @@
+"""LLM-pipeline operator invariants beyond the oracle checks:
+the approximate methods are judged against their exact ground truths."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from neo_olap_spark.operators.llm_dedup import (
+    JACCARD_THRESHOLD,
+    exact_jaccard_pairs,
+    minhash_lsh_pairs,
+    _shingled,
+    simhash_signatures,
+)
+from neo_olap_spark.operators.llm_similarity import brute_force_topk, ivf_topk
+from neo_olap_spark.operators.multimodal import decode_multimodal, multimodal_table
+from neo_olap_spark.tables import load
+
+
+def test_minhash_no_false_positives_and_decent_recall(spark, sf_dir):
+    sh = _shingled(spark, sf_dir).persist()
+    exact = {(r.doc_a, r.doc_b) for r in exact_jaccard_pairs(sh, JACCARD_THRESHOLD).collect()}
+    lsh = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(sh, JACCARD_THRESHOLD).collect()}
+    # verification step guarantees no false positives
+    assert lsh <= exact
+    # high-similarity pairs must be found (recall on the planted dups)
+    high = {
+        (r.doc_a, r.doc_b)
+        for r in exact_jaccard_pairs(sh, 0.7).collect()
+    }
+    if high:
+        assert len(lsh & high) / len(high) >= 0.8
+
+
+def test_simhash_deterministic_and_self_similar(spark, sf_dir):
+    s1 = dict(simhash_signatures(spark, sf_dir).collect())
+    s2 = dict(simhash_signatures(spark, sf_dir).collect())
+    assert s1 == s2
+    assert len(s1) == load(spark, sf_dir, "documents").count()
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.vec_id) for r in brute_force_topk(e, q, 10).collect()}
+    approx = {(r.query_id, r.vec_id) for r in ivf_topk(e, q, 10).collect()}
+    # ANN with 4/16 probes should still find a reasonable share of true top-10
+    assert len(approx & exact) / len(exact) >= 0.3
+
+
+def test_multimodal_decode_shape(spark, sf_dir):
+    m = multimodal_table(spark, sf_dir)
+    out = decode_multimodal(m)
+    rows = out.collect()
+    assert len(rows) == m.count()
+    r = rows[0]
+    assert r.n_bytes > 0 and 64 <= r.width < 128 and r.codec == "fake/v1"
+    # deterministic: same payload -> same fake dimensions
+    again = {x.doc_id: (x.width, x.height) for x in decode_multimodal(m).collect()}
+    assert all(again[x.doc_id] == (x.width, x.height) for x in rows)
