@@ -2,10 +2,12 @@
 
 from neo_olap_spark.operators import (  # noqa: F401
     graph_algos,
+    io_sources,
     llm_dedup,
     llm_similarity,
     llm_text,
     multimodal,
+    udfs,
     relational,
     scalars,
     streaming,

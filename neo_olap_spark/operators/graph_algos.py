@@ -132,6 +132,70 @@ def all_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.unionAll(o).unionAll(p)
 
 
+def _walk_setup(
+    spark: SparkSession, sf_dir: str, n_walkers: int, seed: int
+) -> tuple[DataFrame, DataFrame, int, DataFrame]:
+    """Shared setup: symmetrized edges, dense node index (the teleport
+    address space), and the seeded walker start positions."""
+    sym = symmetrize(edges(spark, sf_dir)).persist()
+    nodes = (
+        all_nodes(spark, sf_dir)
+        .distinct()
+        .withColumn("idx", F.row_number().over(W.orderBy("node")) - 1)
+        .persist()
+    )
+    n_nodes = nodes.count()
+    walkers = (
+        nodes.withColumn("h", F.xxhash64(F.col("node"), F.lit(seed)))
+        .orderBy("h")
+        .limit(n_walkers)
+        .select(
+            (F.row_number().over(W.orderBy("h")) - 1).alias("walker_id"),
+            F.col("node"),
+        )
+        .localCheckpoint()
+    )
+    return sym, nodes, n_nodes, walkers
+
+
+def _advance_walkers(
+    frontier: DataFrame,
+    sym: DataFrame,
+    nodes: DataFrame,
+    n_nodes: int,
+    step: int,
+    seed: int,
+) -> DataFrame:
+    """One walk step for every walker: uniform neighbor pick via
+    deterministic hash ordering; dead ends teleport to a hash-chosen
+    node (RandomWalkingRunner.java:24,31). Depends only on
+    (walker_id, step, seed), so any resumption replays identically."""
+    cand = frontier.join(sym, frontier.node == sym.src, "left")
+    pick_w = W.partitionBy("walker_id").orderBy(
+        F.xxhash64(F.col("walker_id"), F.lit(step), F.col("dst"), F.lit(seed))
+    )
+    picked = (
+        cand.withColumn("rn", F.row_number().over(pick_w))
+        .where(F.col("rn") == 1)
+        .select("walker_id", F.col("dst").alias("next_node"))
+    )
+    tele_idx = F.pmod(
+        F.xxhash64(F.col("walker_id"), F.lit(step), F.lit(seed)), F.lit(n_nodes)
+    )
+    return (
+        picked.withColumn("tele_idx", tele_idx)
+        .join(
+            F.broadcast(nodes.select(F.col("idx"), F.col("node").alias("tele_node"))),
+            F.col("tele_idx") == F.col("idx"),
+            "left",
+        )
+        .select(
+            "walker_id",
+            F.coalesce(F.col("next_node"), F.col("tele_node")).alias("node"),
+        )
+    )
+
+
 def random_walk_counts(
     spark: SparkSession,
     sf_dir: str,
@@ -156,67 +220,88 @@ def random_walk_counts(
     the walker's node + a per-walker top-1 (no global sort). The
     visit log grows n_walkers × n_steps rows — negligible vs data.
     """
-    sym = symmetrize(edges(spark, sf_dir)).persist()
-
-    # Dense index over nodes for teleport targeting (the Spark analog
-    # of rejection-sampling node IDs, OlapRunner.java:60-69 — here we
-    # index once and hash-address, no retries needed).
-    nodes = (
-        all_nodes(spark, sf_dir)
-        .distinct()
-        .withColumn("idx", F.row_number().over(W.orderBy("node")) - 1)
-        .persist()
-    )
-    n_nodes = nodes.count()
-
-    # Walker starts: the n_walkers nodes with the lowest start-hash.
-    walkers = (
-        nodes.withColumn("h", F.xxhash64(F.col("node"), F.lit(seed)))
-        .orderBy("h")
-        .limit(n_walkers)
-        .select(
-            (F.row_number().over(W.orderBy("h")) - 1).alias("walker_id"),
-            F.col("node"),
-        )
-        .localCheckpoint()
-    )
+    sym, nodes, n_nodes, walkers = _walk_setup(spark, sf_dir, n_walkers, seed)
 
     visit_logs: list[DataFrame] = [walkers.select("node")]
     frontier = walkers
-
     for step in range(1, n_steps + 1):
-        cand = frontier.join(sym, frontier.node == sym.src, "left")
-        pick_w = W.partitionBy("walker_id").orderBy(
-            F.xxhash64(F.col("walker_id"), F.lit(step), F.col("dst"), F.lit(seed))
-        )
-        picked = (
-            cand.withColumn("rn", F.row_number().over(pick_w))
-            .where(F.col("rn") == 1)
-            .select("walker_id", F.col("dst").alias("next_node"))
-        )
-        # dst NULL => dead end => teleport to hash((walker, step)) % n_nodes
-        tele_idx = F.pmod(
-            F.xxhash64(F.col("walker_id"), F.lit(step), F.lit(seed)), F.lit(n_nodes)
-        )
-        with_tele = (
-            picked.withColumn("tele_idx", tele_idx)
-            .join(
-                F.broadcast(nodes.select(F.col("idx"), F.col("node").alias("tele_node"))),
-                F.col("tele_idx") == F.col("idx"),
-                "left",
-            )
-            .select(
-                "walker_id",
-                F.coalesce(F.col("next_node"), F.col("tele_node")).alias("node"),
-            )
-        )
-        frontier = with_tele.localCheckpoint()
+        frontier = _advance_walkers(frontier, sym, nodes, n_nodes, step, seed).localCheckpoint()
         visit_logs.append(frontier.select("node"))
 
     visits = visit_logs[0]
     for v in visit_logs[1:]:
         visits = visits.unionAll(v)
     return visits.groupBy(F.col("node").alias("node_id")).agg(F.count("*").alias("visits"))
+
+
+def resumable_random_walk_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    ckpt_dir: str,
+    n_walkers: int = 256,
+    n_steps: int = 16,
+    steps_per_round: int = 4,
+    seed: int = 42,
+    max_rounds: int | None = None,
+) -> DataFrame:
+    """Round-checkpointed walk (Runner.java:107-129 round loop + R10).
+
+    Every ``steps_per_round`` steps the walker frontier and the partial
+    visit counts snapshot to parquet under ``round=<step>`` and the
+    previous round is deleted; a fresh call with the same ckpt_dir
+    resumes from the latest snapshot (loop state parsed from the
+    directory name, as the reference parses its filename). Because the
+    step kernel is hash-deterministic, interrupted-and-resumed runs are
+    bit-identical to uninterrupted ones (asserted in tests).
+
+    ``max_rounds`` bounds the rounds this call executes (simulating the
+    reference's wall-clock cutoff, Runner.java:126); None = run to
+    completion. Returns the final (node_id, visits) counts.
+    """
+    from neo_olap_spark.checkpoints import latest_round, read_round, write_round
+
+    sym, nodes, n_nodes, walkers = _walk_setup(spark, sf_dir, n_walkers, seed)
+
+    last = latest_round(ckpt_dir)
+    if last is None:
+        frontier = walkers
+        counts = walkers.groupBy(F.col("node").alias("node_id")).agg(
+            F.count("*").alias("visits")
+        )
+        start_step = 0
+    else:
+        frontier = read_round(spark, ckpt_dir, last, "frontier")
+        counts = read_round(spark, ckpt_dir, last, "counts")
+        start_step = last
+
+    rounds_done = 0
+    while start_step < n_steps and (max_rounds is None or rounds_done < max_rounds):
+        end = min(start_step + steps_per_round, n_steps)
+        visit_logs = []
+        for step in range(start_step + 1, end + 1):
+            frontier = _advance_walkers(
+                frontier, sym, nodes, n_nodes, step, seed
+            ).localCheckpoint()
+            visit_logs.append(frontier.select("node"))
+        delta = visit_logs[0]
+        for v in visit_logs[1:]:
+            delta = delta.unionAll(v)
+        counts = (
+            counts.unionByName(
+                delta.groupBy(F.col("node").alias("node_id")).agg(
+                    F.count("*").alias("visits")
+                )
+            )
+            .groupBy("node_id")
+            .agg(F.sum("visits").alias("visits"))
+        )
+        write_round({"frontier": frontier, "counts": counts}, ckpt_dir, end)
+        # continue from the snapshot: truncated lineage, exact state
+        frontier = read_round(spark, ckpt_dir, end, "frontier")
+        counts = read_round(spark, ckpt_dir, end, "counts")
+        start_step = end
+        rounds_done += 1
+    return counts
 
 
 @query("q_random_walk_counts")

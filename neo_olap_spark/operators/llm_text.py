@@ -155,6 +155,49 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_text_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dfc AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token, tf.tf,
+           ROUND(tf.tf * (ln((n.n_docs + 1.0) / (dfc.df + 1.0)) + 1.0), 4) AS tfidf
+    FROM tf JOIN dfc USING (token) CROSS JOIN n
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (doc, token) with smoothed idf — the Spark-ML
+    CountVectorizer/IDF pipeline expressed as two hash aggregates plus a
+    join, all codegen'd built-ins (the reference's unused S-Space dep
+    signaled exactly this text-to-weight intent, pom.xml:18-22).
+
+    Scale: tf aggregates map-side before the (doc_id, token) shuffle;
+    the document-frequency table is orders of magnitude smaller than
+    the corpus and broadcast to the tf side."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfc = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    return (
+        tf.join(F.broadcast(dfc), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(
+                F.col("tf") * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0), 4
+            ).alias("tfidf"),
+        )
+    )
+
+
+@query(
     "q_text_fingerprint",
     oracle="""
     SELECT doc_id,

@@ -191,3 +191,89 @@ def streaming_dedup_with_watermark(spark: SparkSession, events_dir: str) -> Data
     """Stateful streaming dedup on event_id within the watermark horizon."""
     ev = stream_events(spark, events_dir).withWatermark("ts", "10 minutes")
     return ev.dropDuplicates(["event_id"]).select("event_id", "user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: applyInPandasWithState
+# ---------------------------------------------------------------------------
+
+STATEFUL_OUTPUT_SCHEMA = "user_id long, n_events long, sum_value double"
+STATEFUL_STATE_SCHEMA = "n long, s double"
+
+
+def _user_stats_fn(key, pdfs, state):
+    """Per-user running (count, sum) held in Spark's state store across
+    micro-batches; emits the cumulative row each batch (update mode).
+    Arrow-batched: each micro-batch's rows for this key arrive as
+    pandas DataFrames, accumulated with vectorized ops."""
+    import pandas as pd  # executor-side import
+
+    n, s = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+    state.update((n, s))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [s]})
+
+
+def streaming_user_stats(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Custom stateful aggregation the built-in operators can't express
+    (arbitrary per-key state machine): running per-user event count and
+    value sum via applyInPandasWithState. State is one (long, double)
+    pair per user — bounded by key cardinality, not stream length."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = stream_events(spark, events_dir)
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _user_stats_fn,
+        outputStructType=STATEFUL_OUTPUT_SCHEMA,
+        stateStructType=STATEFUL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_SINK_COUNTER = [0]
+
+
+def _fresh_sink_name(prefix: str) -> str:
+    _SINK_COUNTER[0] += 1
+    return f"{prefix}_{_SINK_COUNTER[0]}"
+
+
+@query(
+    "q_stream_stateful",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives the REAL applyInPandasWithState operator (not a batch
+    twin): events replay through a file stream into a memory sink in
+    update mode; the final cumulative emission per user must equal the
+    batch group-by — which is exactly the oracle."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.window import Window as W
+
+    events_dir = tempfile.mkdtemp(prefix="neo_olap_stateful_")
+    try:
+        spark.read.parquet(f"{sf_dir}/events.parquet").write.mode("overwrite").parquet(
+            events_dir
+        )
+        name = _fresh_sink_name("t_stateful")
+        run_stream_once(streaming_user_stats(spark, events_dir), name, output_mode="update")
+        mem = spark.table(name)
+        # last (= maximal) cumulative emission per user is the final state
+        w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+        final = (
+            mem.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "n_events", F.round("sum_value", 2).alias("sum_value"))
+        )
+        # materialize before the source dir is deleted
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(events_dir, ignore_errors=True)

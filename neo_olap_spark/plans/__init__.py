@@ -1,0 +1,62 @@
+"""Physical-plan introspection and scale assertions.
+
+"Correct but mis-planned" is a failure mode at 100 TB: a scan that
+reads all columns, a dim join that shuffles instead of broadcasting, a
+top-K that global-sorts. These helpers make the intended physical plan
+*testable* (tests/test_plans.py) so a regression in plan shape fails CI
+the same way a wrong result does — the engine-side enforcement of
+SURVEY.md §4's "what Catalyst gives us for free" table.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import DataFrame
+
+
+def plan_str(df: DataFrame, mode: str = "formatted") -> str:
+    """The physical plan as text (what .explain() prints)."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def assert_pushed_filter(df: DataFrame, fragment: str) -> None:
+    """The parquet scan must carry a pushed filter mentioning
+    ``fragment`` (predicate reached the reader: row-group skipping)."""
+    p = plan_str(df)
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert pushed and any(fragment in ln for ln in pushed), (
+        f"no pushed filter containing {fragment!r}:\n{p}"
+    )
+
+
+def assert_read_schema_only(df: DataFrame, table_fragment: str, columns: set[str]) -> None:
+    """The scan of the table whose path contains ``table_fragment`` must
+    read exactly ``columns`` (column pruning reached the reader)."""
+    p = plan_str(df)
+    lines = p.splitlines()
+    for i, ln in enumerate(lines):
+        if "Location" in ln and table_fragment in ln:
+            schema_lines = [x for x in lines[i - 3 : i + 3] if "ReadSchema" in x]
+            assert schema_lines, f"no ReadSchema near {table_fragment}:\n{p}"
+            schema = schema_lines[0].split("struct<", 1)[-1]
+            read_cols = {c.split(":")[0].strip() for c in schema.rstrip(">").split(",") if c}
+            assert read_cols == columns, f"read {read_cols}, want {columns}\n{p}"
+            return
+    raise AssertionError(f"no scan of {table_fragment} found:\n{p}")
+
+
+def assert_in_plan(df: DataFrame, *operators: str) -> None:
+    p = plan_str(df)
+    for op in operators:
+        assert op in p, f"expected {op} in plan:\n{p}"
+
+
+def assert_not_in_plan(df: DataFrame, *operators: str) -> None:
+    p = plan_str(df)
+    for op in operators:
+        assert op not in p, f"did not expect {op} in plan:\n{p}"

@@ -1,0 +1,64 @@
+"""Checkpoint/resume equivalence (SURVEY.md §5.2, AnalysisRoundTest port).
+
+The reference asserts its round loop resumes exactly from a checkpoint
+file (AnalysisRoundTest.java:18-54). Spark analog: an interrupted
+resumable walk, resumed in a fresh call, must produce bit-identical
+counts to an uninterrupted run AND to the non-checkpointed walk.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from neo_olap_spark.checkpoints import latest_round
+from neo_olap_spark.operators.graph_algos import (
+    random_walk_counts,
+    resumable_random_walk_counts,
+)
+
+ARGS = dict(n_walkers=32, n_steps=8, seed=13)
+
+
+@pytest.fixture()
+def ckpt_dir():
+    d = tempfile.mkdtemp(prefix="neo_olap_ckpt_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_resume_equivalence(spark, sf_dir, ckpt_dir):
+    plain = _rows(random_walk_counts(spark, sf_dir, **ARGS))
+
+    # interrupted: one round (4 of 8 steps), then a fresh call resumes
+    partial = resumable_random_walk_counts(
+        spark, sf_dir, ckpt_dir, steps_per_round=4, max_rounds=1, **ARGS
+    )
+    # materialize before resuming: the resumed run deletes round=4 files
+    partial_total = sum(v for _, v in _rows(partial))
+    assert latest_round(ckpt_dir) == 4  # loop state encoded in dir name
+    resumed = resumable_random_walk_counts(
+        spark, sf_dir, ckpt_dir, steps_per_round=4, **ARGS
+    )
+
+    assert latest_round(ckpt_dir) == 8
+    assert _rows(resumed) == plain
+    # partial counts cover 4 steps + start: walkers * 5 total visits
+    assert partial_total == ARGS["n_walkers"] * 5
+
+
+def test_delete_previous_retention(spark, sf_dir, ckpt_dir):
+    resumable_random_walk_counts(
+        spark, sf_dir, ckpt_dir, steps_per_round=2, **ARGS
+    )
+    # only the final round's snapshot remains (Runner.java:67-71)
+    import pathlib
+
+    rounds = [p.name for p in pathlib.Path(ckpt_dir).iterdir() if p.name.startswith("round=")]
+    assert rounds == ["round=8"]

@@ -1,0 +1,87 @@
+"""Physical-plan shape assertions (SURVEY.md §4).
+
+Correctness tests prove the answer is right at sf0.01; these prove the
+PLAN is right at 100 TB: filters reach the parquet reader, projections
+prune the scan, dim joins broadcast, top-K never global-sorts. A plan
+regression fails here even while results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from neo_olap_spark.plans import (
+    assert_in_plan,
+    assert_not_in_plan,
+    assert_pushed_filter,
+    assert_read_schema_only,
+    plan_str,
+)
+from neo_olap_spark.registry import REGISTRY, queries
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    qs = queries()
+    return lambda key: qs[key](spark, sf_dir)
+
+
+def test_filter_range_pushdown(q):
+    # range predicate must reach the reader as row-group-skippable filters
+    df = q("q_filter_range")
+    assert_pushed_filter(df, "GreaterThanOrEqual(o_orderkey,100)")
+    assert_pushed_filter(df, "LessThan(o_orderkey,5000)")
+
+
+def test_filter_disjunctive_pushdown(q):
+    df = q("q_filter_disjunctive")
+    assert_pushed_filter(df, "Or(LessThan(o_custkey,50)")
+
+
+def test_project_prunes_scan(q):
+    # 2 of 11 lineitem columns: the scan must read exactly those
+    df = q("q_project")
+    assert_read_schema_only(df, "lineitem", {"l_orderkey", "l_extendedprice"})
+
+
+def test_join_inner_broadcasts_dim(q):
+    # customer is the dim side: broadcast hash join, no shuffle of orders
+    df = q("q_join_inner")
+    assert_in_plan(df, "BroadcastHashJoin")
+    assert_not_in_plan(df, "SortMergeJoin")
+
+
+def test_topn_no_global_sort(q):
+    # orderBy().limit() must plan as TakeOrderedAndProject (streaming
+    # top-K, TopNSelector.java:23-52 analog), never a full sort
+    df = q("q_topn")
+    assert_in_plan(df, "TakeOrderedAndProject")
+    assert_not_in_plan(df, "Exchange rangepartitioning")
+
+
+def test_agg_has_partial_aggregation(q):
+    # map-side combine: two HashAggregate levels around one exchange
+    p = plan_str(q("q_agg_groupby"))
+    assert p.count("HashAggregate") >= 2
+    assert "partial_sum" in p or "partial" in p
+
+
+def test_semi_join_stays_semi(q):
+    df = q("q_semi_join_neighbors")
+    assert_in_plan(df, "LeftSemi")
+
+
+def test_udf_is_arrow_vectorized(q):
+    # the sanctioned UDF shape: ArrowEvalPython, never BatchEvalPython
+    df = q("q_udf_pandas")
+    assert_in_plan(df, "ArrowEvalPython")
+    assert_not_in_plan(df, "BatchEvalPython")
+    # and the filter still pushes through it to the scan
+    assert_pushed_filter(df, "LessThan(l_orderkey,2000)")
+
+
+def test_every_oracle_query_analyzes(q):
+    # every registered key at least builds a resolvable plan
+    for key in REGISTRY:
+        df = q(key)
+        assert df.schema is not None
