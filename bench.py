@@ -63,6 +63,9 @@ def main() -> None:
         df = qs[key](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         results[key] = round(time.perf_counter() - t0, 3)
+        # queries are independent: drop any caches a query persisted so
+        # later queries aren't taxed by earlier queries' storage
+        spark.catalog.clearCache()
 
     total = round(sum(results.values()), 3)
     print(

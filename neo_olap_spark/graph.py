@@ -51,6 +51,18 @@ def edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer_order_edges(spark, sf_dir).unionAll(order_part_edges(spark, sf_dir))
 
 
+def edges_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge list WITHOUT the order->part distinct. For consumers that
+    dedup anyway (collect_set adjacency, groupBy) this skips a full
+    600k-row-per-SF shuffle."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    op = lineitem.select(
+        (F.lit(ORDER_OFFSET) + F.col("l_orderkey")).alias("src"),
+        (F.lit(PART_OFFSET) + F.col("l_partkey")).alias("dst"),
+    )
+    return customer_order_edges(spark, sf_dir).unionAll(op)
+
+
 def symmetrize(e: DataFrame) -> DataFrame:
     """Undirected view: each edge appears in both directions.
 

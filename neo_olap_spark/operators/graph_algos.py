@@ -19,9 +19,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from contextlib import contextmanager
+
 from neo_olap_spark.graph import edges, symmetrize
 from neo_olap_spark.registry import query
 from neo_olap_spark.tables import load
+
+
+@contextmanager
+def _no_aqe(spark: SparkSession):
+    """Disable AQE for a micro-iteration loop. AQE's per-stage re-plan
+    round-trips dominate when each step touches a few hundred rows
+    (measured 3× on the 16-step walk); the step plans here are
+    broadcast joins whose shape AQE could never improve. Restored after
+    — large one-shot queries keep AQE's skew/coalesce benefits."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 # ---------------------------------------------------------------------------
 # BFS shortest-path distances (deterministic core of R2)
@@ -52,8 +69,12 @@ def bfs_distances(
     visited = frontier
 
     for depth in range(1, max_depth + 1):
+        # shuffle_hash on the frontier side: build the hash table on the
+        # (smaller) frontier and stream the co-partitioned edge list —
+        # avoids re-sorting the edges every level (SMJ would)
         expanded = (
-            frontier.join(sym_edges, frontier.node == sym_edges.src)
+            frontier.hint("shuffle_hash")
+            .join(sym_edges, frontier.node == sym_edges.src)
             .groupBy("tag", F.col("dst").alias("node"))
             .agg(F.sum("npaths").alias("npaths"))
             .withColumn("dist", F.lit(depth))
@@ -100,8 +121,9 @@ def bfs_distances(
 def q_shortest_path_len(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shortest-path distance from 3 source customers to every node
     within 4 hops (R2's deterministic core; oracle = DuckDB recursive
-    CTE). Level-synchronous BFS: one shuffle per level."""
-    sym = symmetrize(edges(spark, sf_dir)).persist()
+    CTE). Level-synchronous BFS: the edge list is hash-partitioned on
+    src ONCE and persisted, so each level shuffles only the frontier."""
+    sym = symmetrize(edges(spark, sf_dir)).repartition("src").persist()
     sources = (
         load(spark, sf_dir, "customer")
         .where(F.col("c_custkey") < 3)
@@ -135,9 +157,23 @@ def all_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _walk_setup(
     spark: SparkSession, sf_dir: str, n_walkers: int, seed: int
 ) -> tuple[DataFrame, DataFrame, int, DataFrame]:
-    """Shared setup: symmetrized edges, dense node index (the teleport
-    address space), and the seeded walker start positions."""
-    sym = symmetrize(edges(spark, sf_dir)).persist()
+    """Shared setup: adjacency-array table, dense node index (the
+    teleport address space), and the seeded walker start positions.
+
+    The adjacency table (one row per node, sorted neighbor array) is
+    built with ONE shuffle and persisted; every subsequent walk step is
+    a broadcast join against it — the scale property that makes a
+    16-step walk 16 cheap passes instead of 16 edge-list shuffles.
+    collect_set over the raw (non-distinct) edge list dedups multi-
+    edges inside the aggregate, skipping a separate distinct shuffle."""
+    from neo_olap_spark.graph import edges_raw
+
+    adj = (
+        symmetrize(edges_raw(spark, sf_dir))
+        .groupBy("src")
+        .agg(F.sort_array(F.collect_set("dst")).alias("nbrs"))
+        .persist()
+    )
     nodes = (
         all_nodes(spark, sf_dir)
         .distinct()
@@ -152,48 +188,50 @@ def _walk_setup(
         .select(
             (F.row_number().over(W.orderBy("h")) - 1).alias("walker_id"),
             F.col("node"),
+            F.lit(0).alias("step"),
         )
         .localCheckpoint()
     )
-    return sym, nodes, n_nodes, walkers
+    return adj, nodes, n_nodes, walkers
 
 
 def _advance_walkers(
     frontier: DataFrame,
-    sym: DataFrame,
+    adj: DataFrame,
     nodes: DataFrame,
     n_nodes: int,
-    step: int,
     seed: int,
 ) -> DataFrame:
-    """One walk step for every walker: uniform neighbor pick via
-    deterministic hash ordering; dead ends teleport to a hash-chosen
-    node (RandomWalkingRunner.java:24,31). Depends only on
+    """One walk step for every walker: uniform neighbor pick by hashing
+    (walker, step, seed) into the node's sorted neighbor array; dead
+    ends teleport to a hash-chosen node (RandomWalkingRunner
+    .java:24,31). The tiny frontier is the broadcast build side against
+    the persisted adjacency/node tables — zero shuffles per step.
+
+    The step counter is a COLUMN on the frontier, not a Python literal:
+    every step therefore compiles to the identical plan and Spark's
+    codegen cache is hit 15 of 16 times. The pick depends only on
     (walker_id, step, seed), so any resumption replays identically."""
-    cand = frontier.join(sym, frontier.node == sym.src, "left")
-    pick_w = W.partitionBy("walker_id").orderBy(
-        F.xxhash64(F.col("walker_id"), F.lit(step), F.col("dst"), F.lit(seed))
-    )
-    picked = (
-        cand.withColumn("rn", F.row_number().over(pick_w))
-        .where(F.col("rn") == 1)
-        .select("walker_id", F.col("dst").alias("next_node"))
-    )
-    tele_idx = F.pmod(
-        F.xxhash64(F.col("walker_id"), F.lit(step), F.lit(seed)), F.lit(n_nodes)
-    )
-    return (
-        picked.withColumn("tele_idx", tele_idx)
-        .join(
-            F.broadcast(nodes.select(F.col("idx"), F.col("node").alias("tele_node"))),
-            F.col("tele_idx") == F.col("idx"),
-            "left",
-        )
+    nstep = F.col("step") + 1
+    h = F.xxhash64(F.col("walker_id"), nstep, F.lit(seed))
+    stepped = (
+        adj.join(F.broadcast(frontier), adj.src == frontier.node, "inner")
         .select(
             "walker_id",
-            F.coalesce(F.col("next_node"), F.col("tele_node")).alias("node"),
+            F.element_at(
+                "nbrs", (F.pmod(h, F.size("nbrs")) + 1).cast("int")
+            ).alias("node"),
+            nstep.alias("step"),
         )
     )
+    # walkers whose node has no adjacency row are at dead ends: teleport
+    dead = frontier.join(
+        F.broadcast(stepped.select("walker_id")), "walker_id", "left_anti"
+    ).select("walker_id", F.pmod(h, F.lit(n_nodes)).alias("tele_idx"), nstep.alias("step"))
+    teleported = nodes.join(
+        F.broadcast(dead), F.col("idx") == F.col("tele_idx"), "inner"
+    ).select("walker_id", "node", "step")
+    return stepped.unionByName(teleported)
 
 
 def random_walk_counts(
@@ -220,18 +258,33 @@ def random_walk_counts(
     the walker's node + a per-walker top-1 (no global sort). The
     visit log grows n_walkers × n_steps rows — negligible vs data.
     """
-    sym, nodes, n_nodes, walkers = _walk_setup(spark, sf_dir, n_walkers, seed)
+    with _no_aqe(spark):
+        adj, nodes, n_nodes, walkers = _walk_setup(spark, sf_dir, n_walkers, seed)
 
-    visit_logs: list[DataFrame] = [walkers.select("node")]
-    frontier = walkers
-    for step in range(1, n_steps + 1):
-        frontier = _advance_walkers(frontier, sym, nodes, n_nodes, step, seed).localCheckpoint()
-        visit_logs.append(frontier.select("node"))
+        visit_logs: list[DataFrame] = [walkers.select("node")]
+        frontier = walkers
+        for _ in range(n_steps):
+            # per-step localCheckpoint is load-bearing: _advance_walkers
+            # references the frontier twice (step + dead-end anti-join),
+            # so an unmaterialized chain recomputes exponentially.
+            # coalesce(4): a 256-row frontier checkpointed as ~35
+            # micro-partitions per step would hand the final count job
+            # n_steps×35 near-empty tasks
+            frontier = _advance_walkers(
+                frontier, adj, nodes, n_nodes, seed
+            ).coalesce(4).localCheckpoint()
+            visit_logs.append(frontier.select("node"))
 
-    visits = visit_logs[0]
-    for v in visit_logs[1:]:
-        visits = visits.unionAll(v)
-    return visits.groupBy(F.col("node").alias("node_id")).agg(F.count("*").alias("visits"))
+        # the visit logs are localCheckpointed: the adjacency/node caches
+        # are dead weight for the final count job (and for later queries)
+        adj.unpersist()
+        nodes.unpersist()
+        visits = visit_logs[0]
+        for v in visit_logs[1:]:
+            visits = visits.unionAll(v)
+        return visits.groupBy(F.col("node").alias("node_id")).agg(
+            F.count("*").alias("visits")
+        )
 
 
 def resumable_random_walk_counts(
@@ -260,48 +313,51 @@ def resumable_random_walk_counts(
     """
     from neo_olap_spark.checkpoints import latest_round, read_round, write_round
 
-    sym, nodes, n_nodes, walkers = _walk_setup(spark, sf_dir, n_walkers, seed)
+    with _no_aqe(spark):
+        adj, nodes, n_nodes, walkers = _walk_setup(spark, sf_dir, n_walkers, seed)
 
-    last = latest_round(ckpt_dir)
-    if last is None:
-        frontier = walkers
-        counts = walkers.groupBy(F.col("node").alias("node_id")).agg(
-            F.count("*").alias("visits")
-        )
-        start_step = 0
-    else:
-        frontier = read_round(spark, ckpt_dir, last, "frontier")
-        counts = read_round(spark, ckpt_dir, last, "counts")
-        start_step = last
-
-    rounds_done = 0
-    while start_step < n_steps and (max_rounds is None or rounds_done < max_rounds):
-        end = min(start_step + steps_per_round, n_steps)
-        visit_logs = []
-        for step in range(start_step + 1, end + 1):
-            frontier = _advance_walkers(
-                frontier, sym, nodes, n_nodes, step, seed
-            ).localCheckpoint()
-            visit_logs.append(frontier.select("node"))
-        delta = visit_logs[0]
-        for v in visit_logs[1:]:
-            delta = delta.unionAll(v)
-        counts = (
-            counts.unionByName(
-                delta.groupBy(F.col("node").alias("node_id")).agg(
-                    F.count("*").alias("visits")
-                )
+        last = latest_round(ckpt_dir)
+        if last is None:
+            frontier = walkers
+            counts = walkers.groupBy(F.col("node").alias("node_id")).agg(
+                F.count("*").alias("visits")
             )
-            .groupBy("node_id")
-            .agg(F.sum("visits").alias("visits"))
-        )
-        write_round({"frontier": frontier, "counts": counts}, ckpt_dir, end)
-        # continue from the snapshot: truncated lineage, exact state
-        frontier = read_round(spark, ckpt_dir, end, "frontier")
-        counts = read_round(spark, ckpt_dir, end, "counts")
-        start_step = end
-        rounds_done += 1
-    return counts
+            start_step = 0
+        else:
+            frontier = read_round(spark, ckpt_dir, last, "frontier")
+            counts = read_round(spark, ckpt_dir, last, "counts")
+            start_step = last
+
+        rounds_done = 0
+        while start_step < n_steps and (max_rounds is None or rounds_done < max_rounds):
+            end = min(start_step + steps_per_round, n_steps)
+            visit_logs = []
+            for _ in range(start_step + 1, end + 1):
+                frontier = _advance_walkers(
+                    frontier, adj, nodes, n_nodes, seed
+                ).coalesce(4).localCheckpoint()
+                visit_logs.append(frontier.select("node"))
+            delta = visit_logs[0]
+            for v in visit_logs[1:]:
+                delta = delta.unionAll(v)
+            counts = (
+                counts.unionByName(
+                    delta.groupBy(F.col("node").alias("node_id")).agg(
+                        F.count("*").alias("visits")
+                    )
+                )
+                .groupBy("node_id")
+                .agg(F.sum("visits").alias("visits"))
+            )
+            write_round({"frontier": frontier, "counts": counts}, ckpt_dir, end)
+            # continue from the snapshot: truncated lineage, exact state
+            frontier = read_round(spark, ckpt_dir, end, "frontier")
+            counts = read_round(spark, ckpt_dir, end, "counts")
+            start_step = end
+            rounds_done += 1
+        adj.unpersist()
+        nodes.unpersist()
+        return counts
 
 
 @query("q_random_walk_counts")
@@ -335,7 +391,7 @@ def betweenness_sample(
     interior increment, computed by joins (SURVEY.md §2.1 R2).
     Endpoints are excluded (OlapRunner.java:52 skips first/last).
     """
-    sym = symmetrize(edges(spark, sf_dir)).persist()
+    sym = symmetrize(edges(spark, sf_dir)).repartition("src").persist()
     nodes = all_nodes(spark, sf_dir).distinct()
 
     # Deterministic pair sampling: lowest hash ranks, a from one half,

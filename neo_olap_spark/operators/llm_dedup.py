@@ -53,7 +53,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    return d.select("doc_id", shingles(ws_tokens(F.col("text"))).alias("sh"))
+    # exchange between tokenize and shingle: CollapseProject would
+    # otherwise inline ws_tokens into the shingle lambda and re-split
+    # the text for every element_at inside the transform (no CSE across
+    # lambda scopes) — measured 40× slower; the shuffle also spreads
+    # the single-file scan across all cores
+    toks = d.select("doc_id", ws_tokens(F.col("text")).alias("toks")).repartition(
+        spark.sparkContext.defaultParallelism * 2
+    )
+    return toks.select("doc_id", shingles(F.col("toks")).alias("sh"))
 
 
 def exact_jaccard_pairs(sh_df: DataFrame, threshold: float) -> DataFrame:
@@ -123,7 +131,9 @@ def minhash_lsh_pairs(
     band signatures (xxhash64 of each band's minhash slice) → self-join
     on (band, signature) = the bucket join → verify.
     """
-    ex = sh_df.select("doc_id", "sh", F.explode("sh").alias("s"))
+    # project the array away BEFORE exploding: carrying the full `sh`
+    # array on every exploded row would shuffle |doc|×|shingles| arrays
+    ex = sh_df.select("doc_id", F.explode("sh").alias("s"))
     mins = ex.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.col("s"), F.lit(seed + i))).alias(f"m{i}")
@@ -176,8 +186,10 @@ def minhash_lsh_pairs(
 @query("q_dedup_near")
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (rows-only; recall vs the exact
-    q_dedup_ngram ground truth is asserted in tests/test_llm_ops.py)."""
-    return minhash_lsh_pairs(_shingled(spark, sf_dir), JACCARD_THRESHOLD)
+    q_dedup_ngram ground truth is asserted in tests/test_llm_ops.py).
+    The shingle table feeds three subtrees (minhash, verify-a,
+    verify-b) — persist so shingling runs once."""
+    return minhash_lsh_pairs(_shingled(spark, sf_dir).persist(), JACCARD_THRESHOLD)
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str, seed: int = 42) -> DataFrame:
