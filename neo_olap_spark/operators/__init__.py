@@ -1,6 +1,7 @@
 """Operator modules. Importing this package registers every query."""
 
 from neo_olap_spark.operators import (  # noqa: F401
+    analytics,
     graph_algos,
     io_sources,
     llm_dedup,

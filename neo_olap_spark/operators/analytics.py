@@ -1,0 +1,177 @@
+"""Composite analytics: multi-way star joins, time-hierarchy rollups,
+skew-mitigated aggregation, exact percentiles (SURVEY.md §2.3 widened).
+
+These are the query shapes a warehouse actually runs at 100 TB; each
+one's docstring names the plan property that keeps it scalable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neo_olap_spark.registry import query
+from neo_olap_spark.tables import load
+
+N_SALTS = 16
+
+
+@query(
+    "q_star_join",
+    oracle="""
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star join: local-supplier revenue by nation.
+
+    Scale shape: the lineitem fact never shuffles for the dimension
+    edges — customer/supplier/nation/region are all broadcast; the only
+    shuffle is lineitem⋈orders plus the final small aggregate. The
+    date filter pushes down to the orders scan, and the region filter
+    prunes nations before they're broadcast."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q_time_rollup",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+           CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY ROLLUP(date_trunc('day', ts), date_trunc('hour', ts))
+    """,
+)
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-hierarchy rollup: hourly, daily, and grand
+    totals in one pass (grouping sets — one shuffle computes every
+    granularity; a continuous-aggregate system maintains exactly this).
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.date_trunc("day", "ts").cast("long").alias("day_epoch"),
+            F.date_trunc("hour", "ts").cast("long").alias("hour_epoch"),
+            "value",
+        )
+        .rollup("day_epoch", "hour_epoch")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+@query(
+    "q_agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions: all 4 grouping sets in one shuffle."""
+    return (
+        load(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@query(
+    "q_agg_salted",
+    oracle="""
+    SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS cnt
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated two-phase aggregation. l_returnflag has 3 values
+    over 600k rows — a single-phase shuffle would land each giant group
+    on one reducer. Phase 1 aggregates (key, salt) over 16 hash salts;
+    phase 2 merges the 48 partials. Same answer as a plain GROUP BY
+    (the oracle), but the heavy shuffle fans out evenly — the manual
+    form of what AQE skew-join does for joins."""
+    li = load(spark, sf_dir, "lineitem")
+    salted = li.withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(N_SALTS))
+    )
+    partial = salted.groupBy("l_returnflag", "salt").agg(
+        F.sum("l_quantity").alias("p_qty"), F.count("*").alias("p_cnt")
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.round(F.sum("p_qty"), 2).alias("sum_qty"),
+        F.sum("p_cnt").alias("cnt"),
+    )
+
+
+@query(
+    "q_agg_median",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+      FROM lineitem
+    )
+    SELECT l_returnflag, ROUND(MIN(l_extendedprice), 2) AS med_price
+    FROM r WHERE rn = (cnt + 1) // 2
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact lower median per group, rank-based: the value at position
+    ⌊(n+1)/2⌋ of the sorted group. Interpolating medians differ between
+    engines at the last ulp, so both sides pick an actual row value —
+    engine-neutral by construction. At 100 TB the cheap tier is
+    percentile_approx; this is the exact tier (one sort per group)."""
+    from pyspark.sql.window import Window as W
+
+    li = load(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag")
+    r = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w.orderBy("l_extendedprice")).alias("rn"),
+        F.count("*").over(w).alias("cnt"),
+    )
+    return (
+        r.where(F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
+        .groupBy("l_returnflag")
+        .agg(F.round(F.min("l_extendedprice"), 2).alias("med_price"))
+    )

@@ -197,6 +197,65 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIN_TOKENS = 5
+MAX_STOPWORD_RATIO = 0.6
+
+
+def _pipeline_oracle() -> str:
+    return f"""
+    WITH pred AS ({_langid_oracle()}),
+    qual AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> list_contains({_sql_list(EN_STOPWORDS)}, x)))
+               * 1.0 / len(regexp_split_to_array(trim(text), '\\s+')) AS stop_ratio
+      FROM documents
+    ),
+    canon AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text)
+    SELECT p.doc_id, p.pred_lang, CAST(q.n_tokens AS BIGINT) AS n_tokens
+    FROM pred p
+    JOIN qual q USING (doc_id)
+    JOIN canon c USING (doc_id)
+    WHERE p.pred_lang = 'en'
+      AND q.n_tokens >= {MIN_TOKENS}
+      AND q.stop_ratio <= {MAX_STOPWORD_RATIO}
+    """
+
+
+@query("q_pipeline_filter", oracle=_pipeline_oracle())
+def q_pipeline_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data filter: exact-dedup (keep canonical
+    copy) ∘ language gate (predicted English) ∘ quality gate (length +
+    stopword ratio). The composition stays one declarative plan —
+    Catalyst fuses the three gates into the same scan where possible,
+    which is the point of building each stage as expressions rather
+    than materialized passes."""
+    d = load(spark, sf_dir, "documents")
+    toks = ws_tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n = F.size(toks)
+    qual = d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        (F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))) / n).alias(
+            "stop_ratio"
+        ),
+    )
+    canon = d.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    pred = q_text_langid(spark, sf_dir).select("doc_id", "pred_lang")
+    return (
+        pred.join(qual, "doc_id")
+        .join(canon, "doc_id")
+        .where(
+            (F.col("pred_lang") == "en")
+            & (F.col("n_tokens") >= MIN_TOKENS)
+            & (F.col("stop_ratio") <= MAX_STOPWORD_RATIO)
+        )
+        .select("doc_id", "pred_lang", F.col("n_tokens").cast("long").alias("n_tokens"))
+    )
+
+
 @query(
     "q_text_fingerprint",
     oracle="""

@@ -107,3 +107,37 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract stub over binary payloads (rows-only:
     the fake decode is deterministic, but not SQL-expressible)."""
     return decode_multimodal(multimodal_table(spark, sf_dir))
+
+
+FRAMES_SCHEMA = "doc_id long, frame_no long, frame_sha string"
+FRAMES_PER_DOC = 3
+
+
+def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """1-to-N frame sampling kernel (mapInPandas): each payload emits
+    FRAMES_PER_DOC frame rows. STUB: a real decoder seeks to evenly
+    spaced frames with ffmpeg; the fake hashes evenly spaced byte
+    slices, so output cardinality/schema/partitioning are the real
+    plumbing and the content is deterministic."""
+    import hashlib
+
+    for pdf in batches:
+        rows: dict[str, list] = {"doc_id": [], "frame_no": [], "frame_sha": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = max(len(payload), 1)
+            for k in range(FRAMES_PER_DOC):
+                lo = (k * n) // FRAMES_PER_DOC
+                hi = ((k + 1) * n) // FRAMES_PER_DOC
+                rows["doc_id"].append(doc_id)
+                rows["frame_no"].append(k)
+                rows["frame_sha"].append(hashlib.sha256(bytes(payload[lo:hi])).hexdigest())
+        yield pd.DataFrame(rows)
+
+
+@query("q_multimodal_frames")
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing over binary payloads: Arrow batches in,
+    FRAMES_PER_DOC rows out per document (rows-only; deterministic
+    fake frames, real schema/batch shape)."""
+    m = multimodal_table(spark, sf_dir)
+    return m.select("doc_id", "payload").mapInPandas(_frame_sample_batches, FRAMES_SCHEMA)

@@ -233,12 +233,60 @@ def streaming_user_stats(spark: SparkSession, events_dir: str) -> DataFrame:
     )
 
 
+def streaming_enriched_segments(
+    spark: SparkSession, events_dir: str, customer: DataFrame
+) -> DataFrame:
+    """Stream-static join: each micro-batch of events is enriched with
+    the static customer dim via broadcast — no stream state at all, the
+    standard shape for dimension lookups on a 100 TB/day event feed."""
+    ev = stream_events(spark, events_dir)
+    return (
+        ev.join(F.broadcast(customer), ev.user_id == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
 _SINK_COUNTER = [0]
 
 
 def _fresh_sink_name(prefix: str) -> str:
     _SINK_COUNTER[0] += 1
     return f"{prefix}_{_SINK_COUNTER[0]}"
+
+
+@query(
+    "q_stream_enrich",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives the REAL stream-static broadcast join: events replay as a
+    file stream, enriched per micro-batch against the static customer
+    dim, aggregated in complete mode; the final memory-sink table must
+    hash-match the batch join — the oracle."""
+    import shutil
+    import tempfile
+
+    events_dir = tempfile.mkdtemp(prefix="neo_olap_enrich_")
+    try:
+        spark.read.parquet(f"{sf_dir}/events.parquet").write.mode("overwrite").parquet(
+            events_dir
+        )
+        name = _fresh_sink_name("t_enrich")
+        customer = load(spark, sf_dir, "customer")
+        run_stream_once(
+            streaming_enriched_segments(spark, events_dir, customer),
+            name,
+            output_mode="complete",
+        )
+        final = spark.table(name)
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(events_dir, ignore_errors=True)
 
 
 @query(
