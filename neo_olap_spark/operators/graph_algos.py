@@ -143,7 +143,9 @@ def q_shortest_path_len(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def all_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every node id of the derived graph (customers, orders, parts)."""
+    """Every node id of the derived graph (customers, orders, parts).
+    Duplicate-free by construction: keys are unique within each table
+    and the three offset ranges are disjoint — no distinct needed."""
     from neo_olap_spark.graph import ORDER_OFFSET, PART_OFFSET
 
     c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("node"))
@@ -154,11 +156,80 @@ def all_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.unionAll(o).unionAll(p)
 
 
-def _walk_setup(
-    spark: SparkSession, sf_dir: str, n_walkers: int, seed: int
-) -> tuple[DataFrame, DataFrame, int, DataFrame]:
-    """Shared setup: adjacency-array table, dense node index (the
-    teleport address space), and the seeded walker start positions.
+def dense_index(df: DataFrame, col_name: str, n_parts: int = 32) -> DataFrame:
+    """0-based dense index over distinct values in sort order,
+    DISTRIBUTED: range-partition by value, rank within each partition,
+    then add per-partition offsets (32 scalars collected to the driver).
+    The naive global row_number window funnels every row through one
+    task — fine at 300k rows, fatal at 1e9 (SCALING.md). Returns
+    (col_name, idx)."""
+    spark = df.sparkSession
+    parts = (
+        df.repartitionByRange(n_parts, col_name)
+        .sortWithinPartitions(col_name)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()  # pin partitioning: the count pass and the
+        # rank pass must see identical partition ids
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in parts.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    w = W.partitionBy("_pid").orderBy(col_name)
+    return (
+        parts.join(F.broadcast(off_df), "_pid")
+        .withColumn("idx", F.col("_off") + F.row_number().over(w) - 1)
+        .select(col_name, "idx")
+    )
+
+
+def _teleport_address_space(spark: SparkSession, sf_dir: str):
+    """The teleport address map idx ∈ [0, n_nodes) → node id.
+
+    The derived graph's node ids are offset table keys, and TPC-H keys
+    are dense 0..n-1 — the same density assumption the reference makes
+    when it rejection-samples node ids (OlapRunner.java:60-69). One
+    metadata-cheap aggregate verifies it, and the map becomes a CLOSED-
+    FORM expression: no node table, no join, no cache. If a table ever
+    arrives non-dense, callers fall back to dense_index() (the
+    distributed rank path).
+
+    Returns (n_nodes, node_of_idx: Column -> Column) or (None, None)
+    when the density check fails."""
+    from neo_olap_spark.graph import ORDER_OFFSET, PART_OFFSET
+
+    tagged = None
+    for t, key in (("customer", "c_custkey"), ("orders", "o_orderkey"), ("part", "p_partkey")):
+        part = load(spark, sf_dir, t).select(F.lit(t).alias("t"), F.col(key).alias("k"))
+        tagged = part if tagged is None else tagged.unionByName(part)
+    stats = {
+        r.t: r
+        for r in tagged.groupBy("t")
+        .agg(F.count("*").alias("n"), F.max("k").alias("mx"), F.min("k").alias("mn"))
+        .collect()
+    }
+    if any(r.mn != 0 or r.mx != r.n - 1 for r in stats.values()):
+        return None, None
+    nc, no, np_ = (stats[t].n for t in ("customer", "orders", "part"))
+
+    def node_of_idx(ix):
+        return (
+            F.when(ix < nc, ix)
+            .when(ix < nc + no, F.lit(ORDER_OFFSET) + ix - nc)
+            .otherwise(F.lit(PART_OFFSET) + ix - nc - no)
+        )
+
+    return nc + no + np_, node_of_idx
+
+
+def _walk_setup(spark: SparkSession, sf_dir: str, n_walkers: int, seed: int):
+    """Shared setup: adjacency-array table, teleport address space, and
+    the seeded walker start positions.
 
     The adjacency table (one row per node, sorted neighbor array) is
     built with ONE shuffle and persisted; every subsequent walk step is
@@ -168,21 +239,32 @@ def _walk_setup(
     edges inside the aggregate, skipping a separate distinct shuffle."""
     from neo_olap_spark.graph import edges_raw
 
-    adj = (
+    nodes_all = all_nodes(spark, sf_dir)
+    # TOTAL adjacency: isolated nodes get an empty array, so every
+    # frontier row matches the single inner join in _advance_walkers
+    # (dead-end handling is a column expression, not a second join)
+    nbr = (
         symmetrize(edges_raw(spark, sf_dir))
         .groupBy("src")
         .agg(F.sort_array(F.collect_set("dst")).alias("nbrs"))
+    )
+    adj = (
+        nodes_all.join(nbr, nodes_all.node == nbr.src, "left")
+        .select(
+            nodes_all.node.alias("src"),
+            F.coalesce("nbrs", F.array().cast("array<bigint>")).alias("nbrs"),
+        )
         .persist()
     )
-    nodes = (
-        all_nodes(spark, sf_dir)
-        .distinct()
-        .withColumn("idx", F.row_number().over(W.orderBy("node")) - 1)
-        .persist()
-    )
-    n_nodes = nodes.count()
+    n_nodes, node_of_idx = _teleport_address_space(spark, sf_dir)
+    if n_nodes is None:
+        # non-dense keys: distributed-rank index, join-backed teleport
+        tele_nodes = dense_index(nodes_all, "node").persist()
+        n_nodes = tele_nodes.count()
+    else:
+        tele_nodes = None
     walkers = (
-        nodes.withColumn("h", F.xxhash64(F.col("node"), F.lit(seed)))
+        nodes_all.withColumn("h", F.xxhash64(F.col("node"), F.lit(seed)))
         .orderBy("h")
         .limit(n_walkers)
         .select(
@@ -192,13 +274,13 @@ def _walk_setup(
         )
         .localCheckpoint()
     )
-    return adj, nodes, n_nodes, walkers
+    return adj, (tele_nodes, node_of_idx), n_nodes, walkers
 
 
 def _advance_walkers(
     frontier: DataFrame,
     adj: DataFrame,
-    nodes: DataFrame,
+    tele,
     n_nodes: int,
     seed: int,
 ) -> DataFrame:
@@ -212,23 +294,30 @@ def _advance_walkers(
     every step therefore compiles to the identical plan and Spark's
     codegen cache is hit 15 of 16 times. The pick depends only on
     (walker_id, step, seed), so any resumption replays identically."""
+    tele_nodes, node_of_idx = tele
     nstep = F.col("step") + 1
     h = F.xxhash64(F.col("walker_id"), nstep, F.lit(seed))
-    stepped = (
-        adj.join(F.broadcast(frontier), adj.src == frontier.node, "inner")
-        .select(
+    pick = F.element_at("nbrs", (F.pmod(h, F.size("nbrs")) + 1).cast("int"))
+    tele_idx = F.pmod(h, F.lit(n_nodes))
+    joined = adj.join(F.broadcast(frontier), adj.src == frontier.node, "inner")
+    if node_of_idx is not None:
+        # dense keys: dead ends (empty nbrs) teleport via a pure
+        # expression — the whole step is ONE broadcast join, one scan
+        return joined.select(
             "walker_id",
-            F.element_at(
-                "nbrs", (F.pmod(h, F.size("nbrs")) + 1).cast("int")
-            ).alias("node"),
+            F.when(F.size("nbrs") > 0, pick)
+            .otherwise(node_of_idx(tele_idx))
+            .alias("node"),
             nstep.alias("step"),
         )
+    # non-dense fallback: teleport needs the index join
+    stepped = joined.where(F.size("nbrs") > 0).select(
+        "walker_id", pick.alias("node"), nstep.alias("step")
     )
-    # walkers whose node has no adjacency row are at dead ends: teleport
-    dead = frontier.join(
-        F.broadcast(stepped.select("walker_id")), "walker_id", "left_anti"
-    ).select("walker_id", F.pmod(h, F.lit(n_nodes)).alias("tele_idx"), nstep.alias("step"))
-    teleported = nodes.join(
+    dead = joined.where(F.size("nbrs") == 0).select(
+        "walker_id", tele_idx.alias("tele_idx"), nstep.alias("step")
+    )
+    teleported = tele_nodes.join(
         F.broadcast(dead), F.col("idx") == F.col("tele_idx"), "inner"
     ).select("walker_id", "node", "step")
     return stepped.unionByName(teleported)
@@ -259,7 +348,7 @@ def random_walk_counts(
     visit log grows n_walkers × n_steps rows — negligible vs data.
     """
     with _no_aqe(spark):
-        adj, nodes, n_nodes, walkers = _walk_setup(spark, sf_dir, n_walkers, seed)
+        adj, tele, n_nodes, walkers = _walk_setup(spark, sf_dir, n_walkers, seed)
 
         visit_logs: list[DataFrame] = [walkers.select("node")]
         frontier = walkers
@@ -271,14 +360,15 @@ def random_walk_counts(
             # micro-partitions per step would hand the final count job
             # n_steps×35 near-empty tasks
             frontier = _advance_walkers(
-                frontier, adj, nodes, n_nodes, seed
+                frontier, adj, tele, n_nodes, seed
             ).coalesce(4).localCheckpoint()
             visit_logs.append(frontier.select("node"))
 
         # the visit logs are localCheckpointed: the adjacency/node caches
         # are dead weight for the final count job (and for later queries)
         adj.unpersist()
-        nodes.unpersist()
+        if tele[0] is not None:
+            tele[0].unpersist()
         visits = visit_logs[0]
         for v in visit_logs[1:]:
             visits = visits.unionAll(v)
@@ -314,7 +404,7 @@ def resumable_random_walk_counts(
     from neo_olap_spark.checkpoints import latest_round, read_round, write_round
 
     with _no_aqe(spark):
-        adj, nodes, n_nodes, walkers = _walk_setup(spark, sf_dir, n_walkers, seed)
+        adj, tele, n_nodes, walkers = _walk_setup(spark, sf_dir, n_walkers, seed)
 
         last = latest_round(ckpt_dir)
         if last is None:
@@ -334,7 +424,7 @@ def resumable_random_walk_counts(
             visit_logs = []
             for _ in range(start_step + 1, end + 1):
                 frontier = _advance_walkers(
-                    frontier, adj, nodes, n_nodes, seed
+                    frontier, adj, tele, n_nodes, seed
                 ).coalesce(4).localCheckpoint()
                 visit_logs.append(frontier.select("node"))
             delta = visit_logs[0]
@@ -356,7 +446,8 @@ def resumable_random_walk_counts(
             start_step = end
             rounds_done += 1
         adj.unpersist()
-        nodes.unpersist()
+        if tele[0] is not None:
+            tele[0].unpersist()
         return counts
 
 

@@ -12,8 +12,18 @@ from pyspark.sql import functions as F
 from neo_olap_spark.operators.graph_algos import (
     bfs_distances,
     betweenness_sample,
+    dense_index,
     random_walk_counts,
 )
+
+
+def test_dense_index_matches_global_rank(spark):
+    # distributed two-phase index ≡ the single-task global window
+    vals = [(v,) for v in [7, 3, 99, 42, 0, 15, 8, 23, 4, 100, 55]]
+    df = spark.createDataFrame(vals, "node long")
+    got = {r.node: r.idx for r in dense_index(df, "node", n_parts=4).collect()}
+    want = {v: i for i, (v,) in enumerate(sorted(vals))}
+    assert got == want
 
 
 def _edges(spark, pairs):

@@ -80,6 +80,32 @@ def test_udf_is_arrow_vectorized(q):
     assert_pushed_filter(df, "LessThan(l_orderkey,2000)")
 
 
+def test_star_join_broadcasts_all_dims(q):
+    # Q5 shape: one shuffle join (lineitem⋈orders) + broadcast dims;
+    # the fact table must never sort-merge against a dimension
+    p = plan_str(q("q_star_join"))
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in p
+    # the date filter reached the orders scan
+    assert "PushedFilters" in p and "o_orderdate" in p
+
+
+def test_time_rollup_single_expand(q):
+    # grouping sets compute every granularity in ONE pass: one Expand,
+    # and partial aggregation before the single shuffle
+    p = plan_str(q("q_time_rollup"))
+    assert p.count("Expand") >= 1
+    assert p.count("HashAggregate") >= 2
+
+
+def test_dedup_embed_blocks_before_pairs(q):
+    # the label-blocked pair join must be an equi join on the block key,
+    # not a cartesian product
+    p = plan_str(q("q_dedup_embed"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_every_oracle_query_analyzes(q):
     # every registered key at least builds a resolvable plan
     for key in REGISTRY:

@@ -1,0 +1,76 @@
+"""Property-based sink/source roundtrips (hypothesis).
+
+The reference's ArrayStoreTest checks one constant fixture; these
+generate adversarial content — delimiters, quotes, newlines, unicode,
+nulls — and assert every interchange format reproduces it exactly.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from neo_olap_spark.sources import read_csv, read_json, write_csv, write_json
+
+SCHEMA = StructType(
+    [
+        StructField("id", LongType(), False),
+        StructField("txt", StringType(), True),
+    ]
+)
+
+# printable-ish unicode incl. csv/json hazards; exclude the surrogates
+# block (unencodable) and control chars parquet/csv writers normalize
+text_strategy = st.one_of(
+    st.none(),
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8",
+            categories=("L", "N", "P", "S", "Zs"),
+            include_characters=',";\n\t{}[]\\',
+        ),
+        max_size=40,
+    ),
+)
+
+rows_strategy = st.lists(text_strategy, min_size=1, max_size=12)
+
+
+def _roundtrip(spark, rows, writer, reader):
+    df = spark.createDataFrame(list(enumerate(rows)), SCHEMA)
+    out = tempfile.mkdtemp(prefix="neo_olap_prop_rt_")
+    try:
+        writer(df, out)
+        back = reader(spark, out, SCHEMA)
+        return {r.id: r.txt for r in back.collect()}
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=rows_strategy)
+def test_csv_roundtrip_property(spark, rows):
+    got = _roundtrip(spark, rows, write_csv, read_csv)
+    # CSV cannot distinguish null from empty string (both serialize to
+    # an empty field) — normalize that one lossy case, assert the rest
+    want = {i: (t if t != "" else None) for i, t in enumerate(rows)}
+    got = {i: (t if t != "" else None) for i, t in got.items()}
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=rows_strategy)
+def test_json_roundtrip_property(spark, rows):
+    got = _roundtrip(spark, rows, write_json, read_json)
+    assert got == dict(enumerate(rows))
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _warm(spark):
+    # one tiny job so hypothesis timing isn't dominated by JVM warmup
+    spark.range(10).count()
