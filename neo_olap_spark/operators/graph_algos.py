@@ -549,3 +549,131 @@ def q_betweenness_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariants — path-graph middle node maximal, determinism — in
     tests/test_graph_algos.py)."""
     return betweenness_sample(spark, sf_dir, n_pairs=6, max_depth=5, seed=42)
+
+
+# ---------------------------------------------------------------------------
+# PageRank (power iteration) and connected components
+# ---------------------------------------------------------------------------
+
+
+def pagerank(
+    sym_edges: DataFrame,
+    nodes: DataFrame,
+    n_iters: int = 8,
+    damping: float = 0.85,
+) -> DataFrame:
+    """True PageRank by power iteration — the quantity the reference's
+    degree-biased walk approximates (its output file is literally
+    page_rank.int, Runner.java:64).
+
+    Scale shape: dangling nodes get SELF-LOOPS (their mass returns to
+    them — the standard dangling treatment that needs no per-iteration
+    driver scalar), the rank state carries its degree (no extra join),
+    and the edge list is hash-partitioned on src once — each iteration
+    is exactly ONE shuffle (the contribution groupBy); the join back to
+    the co-partitioned state adds no exchange. Total rank is exactly
+    n_nodes every iteration (asserted in tests).
+    """
+    spark = sym_edges.sparkSession
+    with _no_aqe(spark):
+        deg0 = sym_edges.groupBy("src").agg(F.count("*").alias("deg"))
+        base = (
+            nodes.join(deg0, nodes.node == deg0.src, "left")
+            .select("node", F.coalesce("deg", F.lit(0)).alias("deg"))
+            .repartition("node")
+            .persist()
+        )
+        self_loops = base.where(F.col("deg") == 0).select(
+            F.col("node").alias("src"), F.col("node").alias("dst")
+        )
+        edges_p = sym_edges.unionByName(self_loops).repartition("src").persist()
+        state = base.select(
+            "node", F.greatest("deg", F.lit(1)).alias("deg"), F.lit(1.0).alias("rank")
+        ).localCheckpoint()
+
+        for _ in range(n_iters):
+            # shuffle_hash: build on the small state side — SMJ would
+            # re-sort the 1.6M-row edge cache every iteration
+            contrib = (
+                state.hint("shuffle_hash")
+                .join(edges_p, state.node == edges_p.src)
+                .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+                .groupBy("node")
+                .agg(F.sum("c").alias("in_mass"))
+            )
+            state = (
+                state.select("node", "deg")
+                .join(contrib.hint("shuffle_hash"), "node", "left")
+                .select(
+                    "node",
+                    "deg",
+                    (
+                        F.lit(1.0 - damping)
+                        + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .localCheckpoint()
+            )
+        base.unpersist()
+        edges_p.unpersist()
+        return state.select(F.col("node").alias("node_id"), F.round("rank", 6).alias("rank"))
+
+
+@query("q_pagerank")
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the derived undirected graph, 8 power iterations
+    (rows-only; invariants in tests: total rank ≈ n_nodes, determinism,
+    hubs outrank leaves on a star fixture)."""
+    sym = symmetrize(edges(spark, sf_dir))
+    return pagerank(sym, all_nodes(spark, sf_dir), n_iters=8)
+
+
+def connected_components(
+    sym_edges: DataFrame, nodes: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Connected components by frontier-based min-label propagation:
+    every node starts as its own label; each round, only nodes whose
+    label CHANGED last round push it to their neighbors (the frontier
+    shrinks geometrically on most graphs, so late rounds touch almost
+    nothing); a label adopts any smaller incoming label. Terminates
+    when the frontier empties — O(diameter) rounds.
+    """
+    spark = sym_edges.sparkSession
+    with _no_aqe(spark):
+        edges_p = sym_edges.repartition("src").persist()
+        labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
+        frontier = labels  # round 0: everyone announces
+        for _ in range(max_iters):
+            pushed = (
+                frontier.hint("shuffle_hash")
+                .join(edges_p, frontier.node == edges_p.src)
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("label").alias("cand"))
+            )
+            improved = (
+                labels.join(pushed.hint("shuffle_hash"), "node")
+                .where(F.col("cand") < F.col("label"))
+                .select("node", F.col("cand").alias("label"))
+                .localCheckpoint()
+            )
+            if improved.isEmpty():
+                break
+            # merge improvements into the label table
+            keep = labels.join(
+                improved.select(F.col("node").alias("inode")),
+                labels.node == F.col("inode"),
+                "left_anti",
+            )
+            labels = keep.unionByName(improved).localCheckpoint()
+            frontier = improved
+        edges_p.unpersist()
+        return labels.select(F.col("node").alias("node_id"), F.col("label").alias("component"))
+
+
+@query("q_connected_components")
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the derived graph (rows-only; invariants
+    in tests: a path graph is one component, disjoint cliques are
+    separate, labels are the component-minimum node id)."""
+    sym = symmetrize(edges(spark, sf_dir))
+    return connected_components(sym, all_nodes(spark, sf_dir))

@@ -233,6 +233,24 @@ def streaming_user_stats(spark: SparkSession, events_dir: str) -> DataFrame:
     )
 
 
+def run_to_parquet_sink(df: DataFrame, sink_dir: str, ckpt_dir: str) -> None:
+    """Drive a streaming DataFrame into a DURABLE parquet sink with a
+    streaming checkpoint: offsets + sink commits live under ckpt_dir,
+    so a restarted query resumes exactly where it stopped and the sink
+    stays exactly-once across restarts (asserted in tests). This is
+    the production shape of R10's checkpoint/resume for streams."""
+    q = (
+        df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
 def streaming_enriched_segments(
     spark: SparkSession, events_dir: str, customer: DataFrame
 ) -> DataFrame:

@@ -14,11 +14,27 @@ from pyspark.sql.types import StructType
 
 
 def write_csv(df: DataFrame, path: str) -> None:
-    df.write.mode("overwrite").option("header", True).csv(path)
+    # ignore*WhiteSpace default TRUE on write — silently trims values;
+    # disabled so whitespace-bearing strings roundtrip (caught by the
+    # hypothesis roundtrip property test)
+    (
+        df.write.mode("overwrite")
+        .option("header", True)
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .csv(path)
+    )
 
 
 def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
-    return spark.read.schema(schema).option("header", True).csv(path)
+    # multiLine: records may span lines (quoted embedded newlines);
+    # without it the reader splits mid-record
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("multiLine", True)
+        .csv(path)
+    )
 
 
 def write_json(df: DataFrame, path: str) -> None:

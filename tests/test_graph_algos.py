@@ -78,3 +78,34 @@ def test_betweenness_runs_and_deterministic(spark, sf_dir):
     assert ra == rb
     # interior counts are positive
     assert all(cnt > 0 for _, cnt in ra)
+
+
+def test_pagerank_invariants(spark, sf_dir):
+    from neo_olap_spark.operators.graph_algos import all_nodes, pagerank
+    from neo_olap_spark.graph import edges, symmetrize
+
+    sym = symmetrize(edges(spark, sf_dir))
+    pr = pagerank(sym, all_nodes(spark, sf_dir), n_iters=4)
+    rows = {r.node_id: r.rank for r in pr.collect()}
+    n = len(rows)
+    # damped power iteration preserves total mass: sum(rank) == n
+    assert abs(sum(rows.values()) - n) < 1e-3 * n
+
+
+def test_pagerank_star_hub_dominates(spark):
+    from neo_olap_spark.operators.graph_algos import pagerank
+
+    sym = _edges(spark, [(0, k) for k in range(1, 9)])
+    nodes = spark.createDataFrame([(i,) for i in range(9)], "node long")
+    pr = {r.node_id: r.rank for r in pagerank(sym, nodes, n_iters=6).collect()}
+    assert pr[0] > max(pr[k] for k in range(1, 9)) * 2
+
+
+def test_connected_components_fixture(spark):
+    from neo_olap_spark.operators.graph_algos import connected_components
+
+    # two disjoint cliques {0,1,2} and {10,11}, plus isolated 20
+    sym = _edges(spark, [(0, 1), (1, 2), (0, 2), (10, 11)])
+    nodes = spark.createDataFrame([(i,) for i in [0, 1, 2, 10, 11, 20]], "node long")
+    got = {r.node_id: r.component for r in connected_components(sym, nodes).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 20: 20}

@@ -54,3 +54,43 @@ def test_stream_dedup_matches_batch(spark, sf_dir, events_dir):
     got = spark.sql("SELECT count(DISTINCT event_id) AS n, count(*) AS total FROM t_dedup").first()
     want = load(spark, sf_dir, "events").select(F.countDistinct("event_id")).first()[0]
     assert got.n == got.total == want
+
+
+def test_parquet_sink_exactly_once_across_restart(spark, sf_dir):
+    """Durable streaming checkpoint: stop the query, add new data,
+    restart with the same checkpointLocation — every event lands in the
+    sink exactly once (the reference's checkpoint/resume R10, stream
+    form)."""
+    import pathlib
+
+    from neo_olap_spark.operators.streaming import run_to_parquet_sink, stream_events
+
+    base = tempfile.mkdtemp(prefix="neo_olap_restart_")
+    src_dir, sink_dir, ckpt_dir = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
+    try:
+        ev = load(spark, sf_dir, "events")
+        first = ev.where(F.col("event_id") % 2 == 0)
+        second = ev.where(F.col("event_id") % 2 == 1)
+
+        spark.read.parquet(f"{sf_dir}/events.parquet").limit(0)  # warm schema
+        first.write.mode("overwrite").parquet(src_dir)
+        raw_schema = spark.read.parquet(src_dir).schema
+
+        def run_once():
+            stream = spark.readStream.schema(raw_schema).parquet(src_dir)
+            out = stream.select("event_id", "user_id", "value")
+            run_to_parquet_sink(out, sink_dir, ckpt_dir)
+
+        run_once()
+        n_first = spark.read.parquet(sink_dir).count()
+        assert n_first == first.count()
+
+        # new files arrive while the query is DOWN; restart resumes
+        second.write.mode("append").parquet(src_dir)
+        run_once()
+
+        sunk = spark.read.parquet(sink_dir)
+        assert sunk.count() == ev.count()
+        assert sunk.select("event_id").distinct().count() == ev.count()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
