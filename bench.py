@@ -33,10 +33,16 @@ HEADLINE = [
     "q_window_running_sum",
     "q_degree",
     "q_topn",
+    "q_star_join",
+    "q_time_rollup",
+    "q_agg_salted",
+    "q_udf_pandas",
     "q_dedup_exact",
     "q_dedup_near",
     "q_sim_search",
+    "q_dedup_embed",
     "q_text_tokens",
+    "q_text_tfidf",
     "q_stream_tumbling",
     "q_shortest_path_len",
     "q_random_walk_counts",

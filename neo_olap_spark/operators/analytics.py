@@ -141,6 +141,35 @@ def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_join_salted",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated fact⋈fact join: the fact side gets a deterministic
+    salt, the other side is replicated across all N_SALTS salts
+    (explode of a literal range — N× the smaller side, 1× the fact), so
+    one hot join key fans out over N_SALTS reducers instead of melting
+    one. Oracle-identical to the plain join — the manual form of AQE's
+    skew-join split, spelled out because at 100 TB you sometimes need
+    it where AQE can't see the skew (e.g. under a cached exchange)."""
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.xxhash64("l_linenumber", "l_partkey"), F.lit(N_SALTS))
+    )
+    o = load(spark, sf_dir, "orders").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALTS - 1)))
+    )
+    return (
+        li.join(o, (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+
+
+@query(
     "q_agg_median",
     oracle="""
     WITH r AS (

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from neo_olap_spark.functions import cosine, shingles, ws_tokens
+from neo_olap_spark.functions import shingles, ws_tokens
 from neo_olap_spark.registry import query
 from neo_olap_spark.tables import load
 
@@ -275,10 +275,22 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the pair space linear-ish; at scale the block key would be a
     coarse quantization of the vector). Oracle-checked against
     DuckDB's list_cosine_similarity in double precision."""
-    e = load(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("label"), F.col("embedding").alias("eb"))
-    sim = cosine(F.col("ea"), F.col("eb"))
+    from neo_olap_spark.functions import dot, norm
+
+    # norms precomputed per VECTOR (2k folds), not per PAIR (200k×2
+    # folds) — array folds are interpreted, so this is the 3× lever
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    a = e.select(
+        F.col("vec_id").alias("id_a"), "label",
+        F.col("embedding").alias("ea"), F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), "label",
+        F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
+    )
+    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, "label")
         .where(F.col("id_a") < F.col("id_b"))

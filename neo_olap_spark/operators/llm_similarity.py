@@ -31,14 +31,24 @@ N_PROBE = 4
 def brute_force_topk(corpus: DataFrame, queries_df: DataFrame, k: int) -> DataFrame:
     """Exact cosine top-k: broadcast queries, score all, window top-k.
     Tie-break (rounded sim desc, vec_id asc) keeps results total-ordered."""
+    from neo_olap_spark.functions import dot, norm
+
     q = queries_df.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        norm(F.col("embedding")).alias("qn"),
     )
-    c = corpus.select(F.col("vec_id"), F.col("embedding").alias("ce"))
+    c = corpus.select(
+        F.col("vec_id"), F.col("embedding").alias("ce"), norm(F.col("embedding")).alias("cn")
+    )
+    # norms per vector, dot per pair (folds are interpreted — see dedup)
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("qe"), F.col("ce")), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 6),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
