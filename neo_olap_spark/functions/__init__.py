@@ -39,8 +39,13 @@ def ws_tokens(text: Column) -> Column:
 
 def shingles(tokens: Column, k: int = 3) -> Column:
     """Distinct k-gram word shingles of a token array (1-indexed
-    element_at, matching DuckDB list indexing in the oracles)."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (k - 1), F.lit(0)))
+    element_at, matching DuckDB list indexing in the oracles).
+
+    Guarded for short docs: Spark's sequence(1, 0) yields a DESCENDING
+    [1, 0] — unguarded it would index element 0 and error."""
+    idx = F.when(
+        F.size(tokens) >= k, F.sequence(F.lit(1), F.size(tokens) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
     gram = F.transform(
         idx,
         lambda i: F.concat_ws(
@@ -48,3 +53,11 @@ def shingles(tokens: Column, k: int = 3) -> Column:
         ),
     )
     return F.array_distinct(gram)
+
+
+def bounded_sequence(n: Column, lo: int = 1) -> Column:
+    """sequence(lo, n) that is EMPTY when n < lo (Spark's sequence
+    descends when start > stop — a footgun for window indexing)."""
+    return F.when(n >= lo, F.sequence(F.lit(lo), n)).otherwise(
+        F.array().cast("array<int>")
+    )

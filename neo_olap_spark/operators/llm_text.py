@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from neo_olap_spark.functions import ws_tokens
+from neo_olap_spark.functions import bounded_sequence, ws_tokens
 from neo_olap_spark.registry import query
 from neo_olap_spark.tables import load
 
@@ -195,6 +195,95 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
+
+
+# winnowing parameters: k-gram size, window width, hash constants —
+# plain int64 arithmetic so Spark and DuckDB compute identical values
+WINNOW_K = 3
+WINNOW_W = 4
+P1, P2, MOD = 1_000_003, 4_099, 2_147_483_647
+
+
+@query(
+    "q_text_winnow",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             list_transform(toks, s ->
+               length(s) * 131 + ascii(substr(s, 1, 1)) * 31
+               + ascii(substr(s, length(s), 1))) AS codes
+      FROM t
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(codes) - {WINNOW_K - 2}, 1)), i ->
+               (codes[i] * {P1} + codes[i+1] * {P2} + codes[i+2]) % {MOD}) AS gh
+      FROM c
+    ),
+    w AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(range(1, greatest(len(gh) - {WINNOW_W - 2}, 1)), i ->
+                 list_min(gh[i:i+{WINNOW_W - 1}]))) AS fps
+      FROM g
+    )
+    SELECT doc_id, unnest(fps) AS fp FROM w
+    """,
+)
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    rolling polynomial hash over token-code {WINNOW_K}-grams, then the
+    minimum of each {WINNOW_W}-wide window — the selected minima are
+    the fingerprint set, guaranteeing any sufficiently long match
+    between two documents shares a fingerprint. All int64 arithmetic
+    on both engines, so the oracle matches exactly; per-row expression
+    work only — no shuffle until a downstream fingerprint join."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", ws_tokens(F.lower(F.col("text"))).alias("toks")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    code = lambda s: (  # noqa: E731
+        F.length(s) * 131
+        + F.ascii(F.substr(s, F.lit(1), F.lit(1))) * 31
+        + F.ascii(F.substr(s, F.length(s), F.lit(1)))
+    ).cast("long")
+    # localCheckpoint barriers between the array stages are load-
+    # bearing: a lambda that reads a COMPUTED array column via
+    # element_at/slice re-inlines the whole upstream transform per
+    # element (projection collapse, no CSE across lambda scopes) —
+    # without hard barriers the plan is quadratic-in-doc-length per row
+    # (measured 200s for 500 docs; repartition is NOT enough, projects
+    # push through it). Eager materialization of two tiny array tables.
+    c = toks.select(
+        "doc_id", F.transform("toks", code).alias("codes")
+    ).localCheckpoint()
+    gh = c.select(
+        "doc_id",
+        F.transform(
+            bounded_sequence(F.size("codes") - (WINNOW_K - 1)),
+            lambda i: (
+                F.element_at("codes", i)
+                * P1
+                + F.element_at("codes", (i + 1).cast("int")) * P2
+                + F.element_at("codes", (i + 2).cast("int"))
+            )
+            % MOD,
+        ).alias("gh"),
+    ).localCheckpoint()
+    fps = gh.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                bounded_sequence(F.size("gh") - (WINNOW_W - 1)),
+                lambda i: F.array_min(F.slice("gh", i, WINNOW_W)),
+            )
+        ).alias("fps"),
+    )
+    return fps.select("doc_id", F.explode("fps").alias("fp"))
 
 
 MIN_TOKENS = 5
