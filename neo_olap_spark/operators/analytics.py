@@ -169,6 +169,29 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_agg_approx_quantile")
+def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch tier of the quantile ladder: percentile_approx (a
+    mergeable quantile sketch — partials combine across partitions, so
+    the shuffle carries one sketch per group, not the data). Rows-only;
+    tests assert each approximation lands within the accuracy bound of
+    the exact rank-based q_agg_median."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_med_price"),
+            F.percentile_approx("l_extendedprice", [0.25, 0.75], 1000).alias("iqr_bounds"),
+        )
+        .select(
+            "l_returnflag",
+            F.round("approx_med_price", 2).alias("approx_med_price"),
+            F.round(F.element_at("iqr_bounds", 1), 2).alias("p25"),
+            F.round(F.element_at("iqr_bounds", 2), 2).alias("p75"),
+        )
+    )
+
+
 @query(
     "q_agg_median",
     oracle="""

@@ -62,3 +62,17 @@ def test_delete_previous_retention(spark, sf_dir, ckpt_dir):
 
     rounds = [p.name for p in pathlib.Path(ckpt_dir).iterdir() if p.name.startswith("round=")]
     assert rounds == ["round=8"]
+
+
+def test_resume_is_round_size_independent(spark, sf_dir, ckpt_dir):
+    """The step kernel depends only on (walker, step, seed), so a run
+    interrupted at a 4-step boundary and resumed with a DIFFERENT round
+    size must still be bit-identical to the uninterrupted run."""
+    plain = _rows(random_walk_counts(spark, sf_dir, **ARGS))
+    resumable_random_walk_counts(
+        spark, sf_dir, ckpt_dir, steps_per_round=4, max_rounds=1, **ARGS
+    )
+    resumed = resumable_random_walk_counts(
+        spark, sf_dir, ckpt_dir, steps_per_round=2, **ARGS
+    )
+    assert _rows(resumed) == plain

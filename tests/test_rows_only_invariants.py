@@ -57,3 +57,23 @@ def test_winnow_detects_shared_run(spark):
     assert fps[0] & fps[1], "shared run must share a fingerprint"
     assert not (fps[0] & fps[2])
     assert not (fps[1] & fps[2])
+
+
+def test_approx_quantile_within_bound_of_exact(spark, sf_dir):
+    approx = {
+        r.l_returnflag: r.approx_med_price
+        for r in queries()["q_agg_approx_quantile"](spark, sf_dir).collect()
+    }
+    exact = {
+        r.l_returnflag: r.med_price
+        for r in queries()["q_agg_median"](spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, med in exact.items():
+        # accuracy 1000 => rank error <= n/1000; prices are smooth, so
+        # a 2% relative envelope is comfortably loose
+        assert abs(approx[flag] - med) / med < 0.02
+    # p25 <= median <= p75 sanity
+    rows = queries()["q_agg_approx_quantile"](spark, sf_dir).collect()
+    for r in rows:
+        assert r.p25 <= r.approx_med_price <= r.p75
