@@ -39,9 +39,20 @@ def latest_round(base: str) -> int | None:
 
 def write_round(dfs: dict[str, DataFrame], base: str, step: int) -> None:
     """Snapshot named DataFrames under round=<step>, then delete the
-    previous rounds (Runner.java:67-71 delete-after-write retention)."""
+    previous rounds (Runner.java:67-71 delete-after-write retention).
+
+    Crash-safe: everything is written into a ``_tmp_round=<step>``
+    staging directory, which is RENAMED to ``round=<step>`` only once
+    every table landed — latest_round never matches a partial
+    snapshot, so an interrupted writer resumes from the previous
+    intact round."""
+    tmp = Path(base) / f"_tmp_round={step}"
+    shutil.rmtree(tmp, ignore_errors=True)
     for name, df in dfs.items():
-        df.write.mode("overwrite").parquet(f"{round_dir(base, step)}/{name}")
+        df.write.mode("overwrite").parquet(str(tmp / name))
+    final = Path(round_dir(base, step))
+    shutil.rmtree(final, ignore_errors=True)
+    tmp.rename(final)
     for d in Path(base).iterdir():
         if (m := _ROUND_RE.match(d.name)) and int(m.group(1)) != step:
             shutil.rmtree(d, ignore_errors=True)

@@ -24,8 +24,11 @@ from pyspark.sql import functions as F
 
 from neo_olap_spark.tables import load
 
-ORDER_OFFSET = 1_000_000
-PART_OFFSET = 2_000_000
+# Offsets keep the three node-id ranges disjoint. 2^40 apart: a table
+# would need a trillion rows before ranges could collide (1e6-style
+# offsets silently merge order and part ids at TPC-H sf~0.7).
+ORDER_OFFSET = 1 << 40
+PART_OFFSET = 2 << 40
 
 
 def customer_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -82,10 +85,10 @@ def degrees(e: DataFrame) -> DataFrame:
 
 
 # DuckDB oracle fragments reused by several registered queries.
-ORACLE_EDGES = """
-    SELECT o_custkey AS src, 1000000 + o_orderkey AS dst FROM orders
+ORACLE_EDGES = f"""
+    SELECT o_custkey AS src, {ORDER_OFFSET} + o_orderkey AS dst FROM orders
     UNION ALL
-    SELECT 1000000 + l_orderkey AS src, 2000000 + l_partkey AS dst
+    SELECT {ORDER_OFFSET} + l_orderkey AS src, {PART_OFFSET} + l_partkey AS dst
     FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
 """
 

@@ -96,13 +96,16 @@ def bfs_distances(
     return visited.select("tag", "node", "dist")
 
 
+from neo_olap_spark.graph import ORDER_OFFSET as _ORD, PART_OFFSET as _PRT  # noqa: E402
+
+
 @query(
     "q_shortest_path_len",
-    oracle="""
+    oracle=f"""
     WITH RECURSIVE e AS (
-      SELECT o_custkey AS src, 1000000 + o_orderkey AS dst FROM orders
+      SELECT o_custkey AS src, {_ORD} + o_orderkey AS dst FROM orders
       UNION ALL
-      SELECT 1000000 + l_orderkey AS src, 2000000 + l_partkey AS dst
+      SELECT {_ORD} + l_orderkey AS src, {_PRT} + l_partkey AS dst
       FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
     ),
     sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
@@ -134,6 +137,8 @@ def q_shortest_path_len(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("node_id"),
         F.col("dist").cast("long").alias("dist"),
     )
+    # BFS levels are localCheckpointed — the edge cache is dead weight
+    sym.unpersist()
     return out
 
 
@@ -541,9 +546,12 @@ def betweenness_sample(
         .where((F.col("node") != F.col("a")) & (F.col("node") != F.col("b")))
         .select("node", (F.col("pa") * F.col("pb")).alias("path_count"))
     )
-    return on_path.groupBy(F.col("node").alias("node_id")).agg(
+    result = on_path.groupBy(F.col("node").alias("node_id")).agg(
         F.sum("path_count").alias("cnt")
     )
+    # fwd/bwd BFS outputs are localCheckpointed; drop the edge cache
+    sym.unpersist()
+    return result
 
 
 @query("q_betweenness_sample")
@@ -646,6 +654,7 @@ def connected_components(
         edges_p = sym_edges.repartition("src").persist()
         labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
         frontier = labels  # round 0: everyone announces
+        converged = False
         for _ in range(max_iters):
             pushed = (
                 frontier.hint("shuffle_hash")
@@ -660,6 +669,7 @@ def connected_components(
                 .localCheckpoint()
             )
             if improved.isEmpty():
+                converged = True
                 break
             # merge improvements into the label table
             keep = labels.join(
@@ -669,7 +679,15 @@ def connected_components(
             )
             labels = keep.unionByName(improved).localCheckpoint()
             frontier = improved
+        else:
+            converged = False
         edges_p.unpersist()
+        if not converged:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iters} rounds "
+                "(component diameter exceeds max_iters) — raise max_iters; "
+                "returning partial labels would be silently wrong"
+            )
         return labels.select(F.col("node").alias("node_id"), F.col("label").alias("component"))
 
 

@@ -111,8 +111,8 @@ def exact_jaccard_pairs(sh_df: DataFrame, threshold: float) -> DataFrame:
     """,
 )
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram shingle Jaccard near-dup pairs (threshold
-    {JACCARD_THRESHOLD}) — the oracle-checked ground truth."""
+    """Exact 3-gram shingle Jaccard near-dup pairs (threshold 0.2,
+    JACCARD_THRESHOLD) — the oracle-checked ground truth."""
     return exact_jaccard_pairs(_shingled(spark, sf_dir), JACCARD_THRESHOLD)
 
 
@@ -216,27 +216,33 @@ def simhash_signatures(spark: SparkSession, sf_dir: str, seed: int = 42) -> Data
     return votes.select("doc_id", sig.alias("simhash"))
 
 
+# Pigeonhole: a pair within hamming <= H must agree exactly on at
+# least one of H+1 chunks. 9 chunks of ~7 bits cover H = 8.
+SIMHASH_N_CHUNKS = SIMHASH_MAX_HAMMING + 1
+_CHUNK_BOUNDS = [round(64 * c / SIMHASH_N_CHUNKS) for c in range(SIMHASH_N_CHUNKS + 1)]
+
+
 @query("q_dedup_simhash")
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: block on 16-bit signature chunks (a pair
-    within hamming ≤ {SIMHASH_MAX_HAMMING} of 64 bits must agree on at
-    least one of 4 chunks when hamming < 4 per pigeonhole at chunk
-    granularity), verify with bit_count(xor). Rows-only."""
+    """SimHash near-dup pairs: block on 9 signature chunks — by
+    pigeonhole, any pair within hamming <= 8 of 64 bits agrees on at
+    least one chunk, so candidate generation has NO false negatives at
+    the declared threshold; verify with bit_count(xor). Rows-only."""
     sigs = simhash_signatures(spark, sf_dir)
+    chunk_cols = []
+    for c in range(SIMHASH_N_CHUNKS):
+        lo, hi = _CHUNK_BOUNDS[c], _CHUNK_BOUNDS[c + 1]
+        mask = (1 << (hi - lo)) - 1
+        chunk_cols.append(
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright("simhash", lo).bitwiseAND(F.lit(mask)).alias("val"),
+            )
+        )
     chunks = sigs.select(
         "doc_id",
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
-                    )
-                    for c in range(4)
-                ]
-            )
-        ).alias("cv"),
+        F.explode(F.array(*chunk_cols)).alias("cv"),
     ).select("doc_id", "simhash", "cv.chunk", "cv.val")
     cand = (
         chunks.alias("x")

@@ -18,7 +18,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from neo_olap_spark.functions import cosine
 from neo_olap_spark.registry import query
 from neo_olap_spark.tables import load
 
@@ -80,7 +79,7 @@ def brute_force_topk(corpus: DataFrame, queries_df: DataFrame, k: int) -> DataFr
     """,
 )
 def q_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-{TOP_K} for {N_QUERIES} query vectors."""
+    """Brute-force cosine top-k (TOP_K=10) for the N_QUERIES=5 query vectors."""
     e = load(spark, sf_dir, "embeddings")
     return brute_force_topk(e, e.where(F.col("vec_id") < N_QUERIES), TOP_K)
 
@@ -98,39 +97,54 @@ def ivf_topk(
     a sample); every vector is assigned to its nearest centroid; a
     query probes its n_probe nearest cells and brute-forces only those.
     """
+    from neo_olap_spark.functions import dot, norm
+
+    # norms precomputed per vector/centroid once — cosine() would
+    # re-fold both norms per PAIR (see brute_force_topk)
+    corpus_n = corpus.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("vn")
+    )
     cents = (
-        corpus.withColumn("h", F.xxhash64("vec_id", F.lit(seed)))
+        corpus_n.withColumn("h", F.xxhash64("vec_id", F.lit(seed)))
         .orderBy("h")
         .limit(n_cells)
         .select(
             F.row_number().over(W.orderBy("h")).alias("cell"),
             F.col("embedding").alias("cent"),
+            F.col("vn").alias("cent_n"),
         )
     )
     # assign corpus vectors to nearest centroid (cells broadcast twice:
     # once for assignment, once for probing — both tiny)
-    sim_to_cent = cosine(F.col("embedding"), F.col("cent"))
+    sim_to_cent = dot(F.col("embedding"), F.col("cent")) / (F.col("vn") * F.col("cent_n"))
     assign_w = W.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cell"))
     assigned = (
-        corpus.crossJoin(F.broadcast(cents))
+        corpus_n.crossJoin(F.broadcast(cents))
         .withColumn("cs", sim_to_cent)
         .withColumn("rn", F.row_number().over(assign_w))
         .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cell")
+        .select("vec_id", "embedding", "vn", "cell")
     )
     probes = (
-        queries_df.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+        queries_df.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            norm(F.col("embedding")).alias("qn"),
+        )
         .crossJoin(F.broadcast(cents))
-        .withColumn("cs", cosine(F.col("qe"), F.col("cent")))
+        .withColumn("cs", dot(F.col("qe"), F.col("cent")) / (F.col("qn") * F.col("cent_n")))
         .withColumn("rn", F.row_number().over(
             W.partitionBy("query_id").orderBy(F.col("cs").desc(), F.col("cell"))))
         .where(F.col("rn") <= n_probe)
-        .select("query_id", "qe", "cell")
+        .select("query_id", "qe", "qn", "cell")
     )
     scored = (
         probes.join(assigned, "cell")
         .where(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("qe"), F.col("embedding")), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("vn")), 6),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
@@ -142,7 +156,7 @@ def ivf_topk(
 
 @query("q_sim_ann_ivf")
 def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate top-{TOP_K} (rows-only; recall vs the
+    """IVF-bucketed approximate top-k (TOP_K=10; rows-only; recall vs the
     exact q_sim_search is asserted in tests/test_llm_ops.py)."""
     e = load(spark, sf_dir, "embeddings")
     return ivf_topk(e, e.where(F.col("vec_id") < N_QUERIES), TOP_K)

@@ -236,8 +236,8 @@ P1, P2, MOD = 1_000_003, 4_099, 2_147_483_647
 )
 def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
-    rolling polynomial hash over token-code {WINNOW_K}-grams, then the
-    minimum of each {WINNOW_W}-wide window — the selected minima are
+    rolling polynomial hash over token-code 3-grams (WINNOW_K), then the
+    minimum of each 4-wide window (WINNOW_W) — the selected minima are
     the fingerprint set, guaranteeing any sufficiently long match
     between two documents shares a fingerprint. All int64 arithmetic
     on both engines, so the oracle matches exactly; per-row expression

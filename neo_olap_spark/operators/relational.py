@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from neo_olap_spark.graph import ORACLE_SYM_EDGES, degrees, edges
+from neo_olap_spark.graph import ORACLE_SYM_EDGES, ORDER_OFFSET, degrees, edges
 from neo_olap_spark.registry import query
 from neo_olap_spark.tables import load
 
@@ -485,10 +485,10 @@ def q_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_union",
-    oracle="""
+    oracle=f"""
     SELECT c_custkey AS id, 'customer' AS side FROM customer
     UNION ALL
-    SELECT 1000000 + o_orderkey AS id, 'order' AS side FROM orders
+    SELECT {ORDER_OFFSET} + o_orderkey AS id, 'order' AS side FROM orders
     """,
 )
 def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -497,7 +497,7 @@ def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("id"), F.lit("customer").alias("side")
     )
     o = load(spark, sf_dir, "orders").select(
-        (F.lit(1_000_000) + F.col("o_orderkey")).alias("id"), F.lit("order").alias("side")
+        (F.lit(ORDER_OFFSET) + F.col("o_orderkey")).alias("id"), F.lit("order").alias("side")
     )
     return c.unionAll(o)
 

@@ -25,11 +25,6 @@ from pyspark.sql import functions as F
 from neo_olap_spark.registry import query
 from neo_olap_spark.tables import load
 
-# epoch seconds of a window-start column (timestamps never leave raw)
-def _epoch(col: str) -> F.Column:
-    return F.col(col).cast("long")
-
-
 # ---------------------------------------------------------------------------
 # Mode-agnostic builders
 # ---------------------------------------------------------------------------
@@ -188,9 +183,15 @@ def streaming_tumbling_with_watermark(spark: SparkSession, events_dir: str) -> D
 
 
 def streaming_dedup_with_watermark(spark: SparkSession, events_dir: str) -> DataFrame:
-    """Stateful streaming dedup on event_id within the watermark horizon."""
+    """Stateful streaming dedup on event_id with BOUNDED state:
+    dropDuplicatesWithinWatermark evicts each key once the watermark
+    passes its event time. Plain dropDuplicates(["event_id"]) would
+    keep one state entry per distinct id forever (the watermark only
+    bounds state when the event-time column is part of the key set)."""
     ev = stream_events(spark, events_dir).withWatermark("ts", "10 minutes")
-    return ev.dropDuplicates(["event_id"]).select("event_id", "user_id", "event_type")
+    return ev.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id", "user_id", "event_type"
+    )
 
 
 # ---------------------------------------------------------------------------

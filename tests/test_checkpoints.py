@@ -76,3 +76,18 @@ def test_resume_is_round_size_independent(spark, sf_dir, ckpt_dir):
         spark, sf_dir, ckpt_dir, steps_per_round=2, **ARGS
     )
     assert _rows(resumed) == plain
+
+
+def test_partial_snapshot_is_invisible(spark, sf_dir, ckpt_dir):
+    """A crash mid-write leaves only a _tmp_round staging dir, which
+    latest_round must ignore — resume picks the last INTACT round."""
+    import pathlib
+
+    resumable_random_walk_counts(
+        spark, sf_dir, ckpt_dir, steps_per_round=4, max_rounds=1, **ARGS
+    )
+    assert latest_round(ckpt_dir) == 4
+    # simulate a crash mid-snapshot of round 8: staging dir exists,
+    # final dir does not
+    (pathlib.Path(ckpt_dir) / "_tmp_round=8" / "frontier").mkdir(parents=True)
+    assert latest_round(ckpt_dir) == 4
