@@ -233,6 +233,61 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_join_range_binned",
+    oracle="""
+    WITH a AS (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+               FROM events WHERE event_type = 'click'),
+         b AS (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+               FROM events WHERE event_type = 'purchase')
+    SELECT a.event_id AS click_id,
+           CAST(COUNT(b.event_id) AS BIGINT) AS n_near_purchases
+    FROM a LEFT JOIN b ON abs(a.sec - b.sec) <= 300
+    GROUP BY a.event_id
+    """,
+)
+def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big interval join via bucketing: purchases within ±5 minutes
+    of each click, with NO equi key in the predicate. A naive theta
+    join is a cartesian product (O(n*m) comparisons — what the oracle
+    does, fine at sf0.01, fatal at 100 TB). The scale plan: quantize
+    both sides to 300 s buckets, explode the probe side into its 3
+    admissible buckets {b-1, b, b+1}, and equi-join on bucket — a
+    plain shuffled hash join whose per-bucket fan-in is bounded by the
+    event rate, then an exact |Δt| <= 300 post-filter. Each match is
+    counted exactly once because |Δt| <= 300 implies the bucket delta
+    is in {-1, 0, 1}. Unmatched clicks are restored by a final
+    left join against the click set (count 0)."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").cast("long").alias("a_sec")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("ts").cast("long").alias("b_sec"),
+        F.floor(F.col("ts").cast("long") / 300).alias("bucket"),
+    )
+    probe = clicks.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.floor(F.col("a_sec") / 300) - 1,
+                F.floor(F.col("a_sec") / 300),
+                F.floor(F.col("a_sec") / 300) + 1,
+            )
+        ),
+    )
+    matched = (
+        probe.join(purchases, "bucket")
+        .where(F.abs(F.col("a_sec") - F.col("b_sec")) <= 300)
+        .groupBy("click_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return clicks.select("click_id").join(matched, "click_id", "left").select(
+        "click_id", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_near_purchases")
+    )
+
+
+@query(
     "q_two_hop",
     oracle="""
     WITH e1 AS (SELECT o_custkey AS src, o_orderkey AS mid FROM orders),

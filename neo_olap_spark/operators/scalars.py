@@ -172,6 +172,43 @@ def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_scalar_struct",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_totalprice, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      FROM orders
+    )
+    SELECT o_custkey,
+           ROUND(o_totalprice, 2) AS best_price,
+           best_orderkey
+    FROM (SELECT o_custkey, o_totalprice, o_orderkey AS best_orderkey, rn FROM ranked)
+    WHERE rn = 1
+    """,
+)
+def q_scalar_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct family: named-struct construction, lexicographic struct
+    MAX, and field access. ``max(struct(price, key))`` is the argmax
+    pattern — one hash aggregate gives "the row of the max" with no
+    per-group sort, no window, and no join back to the fact table,
+    which at 100 TB saves an entire shuffle vs the row_number approach
+    (the oracle uses row_number because DuckDB's arg_max leaves ties
+    unspecified)."""
+    o = load(spark, sf_dir, "orders")
+    best = o.groupBy("o_custkey").agg(
+        F.max(
+            F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k"))
+        ).alias("best")
+    )
+    return best.select(
+        "o_custkey",
+        F.round(F.col("best.p"), 2).alias("best_price"),
+        F.col("best.k").alias("best_orderkey"),
+    )
+
+
+@query(
     "q_scalar_cond",
     oracle="""
     SELECT o_orderkey,

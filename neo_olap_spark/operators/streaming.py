@@ -67,6 +67,33 @@ def build_session(events: DataFrame) -> DataFrame:
     )
 
 
+def build_interval_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Per-user interval join: each click paired with that user's
+    purchases in the following 10 minutes. The join key is (user_id
+    equality + event-time range) — in streaming mode the range bound is
+    what lets Spark expire join state once the watermark passes
+    click_ts + 10 min, so state is bounded by the time horizon, not the
+    stream length."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    cond = (
+        (c.c_user == p.p_user)
+        & (p.p_ts >= c.c_ts)
+        & (p.p_ts <= c.c_ts + F.expr("INTERVAL 10 MINUTES"))
+    )
+    return c.join(p, cond).select(
+        "click_id", "purchase_id", F.col("c_user").alias("user_id")
+    )
+
+
 def build_dedup(events: DataFrame) -> DataFrame:
     """Distinct (user_id, event_type) pairs — the deterministic core of
     stateful dedup; the streaming variant bounds state with a watermark."""
@@ -194,6 +221,58 @@ def streaming_dedup_with_watermark(spark: SparkSession, events_dir: str) -> Data
     )
 
 
+def streaming_interval_join(spark: SparkSession, events_dir: str) -> DataFrame:
+    """The real stream-stream join: two file streams over the same
+    events feed (clicks / purchases), both watermarked, joined on
+    user + 10-minute event-time range. Watermarks on BOTH sides plus
+    the range condition are required for state eviction — without them
+    each side's join state grows forever."""
+    clicks = (
+        stream_events(spark, events_dir)
+        .where(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+    )
+    purchases = (
+        stream_events(spark, events_dir)
+        .where(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+    )
+    return build_interval_join(clicks, purchases)
+
+
+@query(
+    "q_stream_join",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+    WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+    """,
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives the REAL stream-stream interval join (not a batch twin):
+    events replay as two file streams, watermarked and joined in append
+    mode; the memory-sink rows must hash-match the batch theta join —
+    the oracle."""
+    import shutil
+    import tempfile
+
+    events_dir = tempfile.mkdtemp(prefix="neo_olap_ssjoin_")
+    try:
+        spark.read.parquet(f"{sf_dir}/events.parquet").write.mode("overwrite").parquet(
+            events_dir
+        )
+        name = _fresh_sink_name("t_ssjoin")
+        run_stream_once(
+            streaming_interval_join(spark, events_dir), name, output_mode="append"
+        )
+        final = spark.table(name)
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(events_dir, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator: applyInPandasWithState
 # ---------------------------------------------------------------------------
@@ -232,6 +311,142 @@ def streaming_user_stats(spark: SparkSession, events_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: transformWithStateInPandas (Spark 4.x API)
+# ---------------------------------------------------------------------------
+
+TWS_OUTPUT_SCHEMA = "user_id long, event_type string, n_events long"
+
+
+def _make_type_count_processor():
+    """Build the StatefulProcessor subclass lazily (module import must
+    not require a live session; the class itself only needs pyspark)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TypeCountProcessor(StatefulProcessor):
+        """Per-(user, event_type) running counts held in a per-user
+        MapState keyed by event_type — multi-valued per-key state that
+        applyInPandasWithState's single state tuple can't hold without
+        serializing a whole map into one value. State size is bounded
+        by (users x event types), not stream length."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState("counts", "event_type string", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd  # executor-side import
+
+            batch: dict[str, int] = {}
+            for pdf in rows:
+                for t, c in pdf["event_type"].value_counts().items():
+                    batch[t] = batch.get(t, 0) + int(c)
+            out_types: list[str] = []
+            out_counts: list[int] = []
+            for t, c in sorted(batch.items()):
+                prev = (
+                    self._counts.getValue((t,))[0]
+                    if self._counts.containsKey((t,))
+                    else 0
+                )
+                total = prev + c
+                self._counts.updateValue((t,), (total,))
+                out_types.append(t)
+                out_counts.append(total)
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out_types),
+                    "event_type": out_types,
+                    "n_events": out_counts,
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return TypeCountProcessor()
+
+
+def streaming_type_counts(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Running per-(user, event_type) counts via transformWithState —
+    the Spark 4.x arbitrary-stateful API (successor of
+    applyInPandasWithState): typed composite state (Value/List/Map),
+    timers, and TTL. Requires the RocksDB state store provider."""
+    ev = stream_events(spark, events_dir)
+    return ev.groupBy("user_id").transformWithStateInPandas(
+        _make_type_count_processor(),
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def has_transform_with_state_runtime() -> bool:
+    """transformWithState's state-server protocol is protobuf-based;
+    the pyspark driver worker imports google.protobuf at query start.
+    Gate registration on that import so environments without protobuf
+    (like this container) don't register a key that can only crash."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def q_stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives the REAL transformWithStateInPandas operator: events
+    replay as a file stream; per-user MapState accumulates per-type
+    counts in update mode; the maximal (= final) emission per
+    (user, type) must equal the batch group-by — the oracle."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.window import Window as W
+
+    events_dir = tempfile.mkdtemp(prefix="neo_olap_tws_")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    try:
+        spark.read.parquet(f"{sf_dir}/events.parquet").write.mode("overwrite").parquet(
+            events_dir
+        )
+        spark.conf.set(provider_key, ROCKSDB_PROVIDER)
+        name = _fresh_sink_name("t_tws")
+        run_stream_once(streaming_type_counts(spark, events_dir), name, output_mode="update")
+        mem = spark.table(name)
+        w = W.partitionBy("user_id", "event_type").orderBy(F.col("n_events").desc())
+        final = (
+            mem.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "event_type", "n_events")
+        )
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
+        shutil.rmtree(events_dir, ignore_errors=True)
+
+
+if has_transform_with_state_runtime():
+    q_stream_transform_state = query(
+        "q_stream_transform_state",
+        oracle="""
+        SELECT user_id, event_type, COUNT(*) AS n_events
+        FROM events GROUP BY user_id, event_type
+        """,
+    )(q_stream_transform_state)
 
 
 def run_to_parquet_sink(df: DataFrame, sink_dir: str, ckpt_dir: str) -> None:

@@ -24,6 +24,38 @@ def plan_str(df: DataFrame, mode: str = "formatted") -> str:
     return buf.getvalue()
 
 
+@contextlib.contextmanager
+def runtime_bloom_filter(spark, application_side_threshold: str = "0"):
+    """Enable Catalyst's runtime Bloom-filter join pruning for the
+    block (InjectRuntimeFilter): the selective side of a shuffle join
+    builds a bloom_filter_agg over its join keys and the big side gets
+    a might_contain pre-filter — rows that can't join are dropped
+    BEFORE the shuffle. This is Spark's built-in realization of the
+    reference's "check the light record before materializing" pattern
+    (RelationshipPreloader.java:18-21) applied to joins. The
+    application-side scan threshold defaults to 10 GiB (the filter
+    only pays for itself on big scans); tests lower it to 0 to make
+    the injection observable at test scale."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": (
+            application_side_threshold
+        ),
+    }
+    saved: dict[str, str | None] = {}
+    for k, v in confs.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def assert_pushed_filter(df: DataFrame, fragment: str) -> None:
     """The parquet scan must carry a pushed filter mentioning
     ``fragment`` (predicate reached the reader: row-group skipping)."""

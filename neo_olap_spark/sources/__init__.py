@@ -37,6 +37,35 @@ def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     )
 
 
+def write_parquet_tuned(
+    df: DataFrame,
+    path: str,
+    compression: str = "zstd",
+    max_records_per_file: int = 0,
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """Production parquet sink with explicit layout knobs.
+
+    - ``compression='zstd'``: ~30% smaller than snappy at comparable
+      decode speed — at 100 TB that's tens of TB of storage and
+      proportional scan I/O saved.
+    - ``max_records_per_file``: bounds file size so downstream scans
+      get even split sizes (a few huge files serialize the scan; a
+      million tiny ones drown the driver in task scheduling — the
+      parquet-era version of the reference's ArrayStore chunking,
+      ArrayStore.java:23-25).
+    - ``partition_by``: hive-style directory partitioning; equality
+      predicates on these columns become directory pruning (zero I/O
+      for excluded partitions) rather than row-group skipping.
+    """
+    w = df.write.mode("overwrite").option("compression", compression)
+    if max_records_per_file > 0:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
 def write_json(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
 

@@ -106,6 +106,37 @@ def test_dedup_embed_blocks_before_pairs(q):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """With runtime Bloom-filter pruning on, a selective dim filter on
+    one side of a shuffle join injects might_contain onto the fact
+    scan — non-joinable rows die before the exchange. (Shuffle join
+    forced: a broadcast join needs no runtime filter.)"""
+    from pyspark.sql import functions as F
+
+    from neo_olap_spark.plans import runtime_bloom_filter
+    from neo_olap_spark.tables import load
+
+    bcast_key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(bcast_key)
+    try:
+        spark.conf.set(bcast_key, "-1")
+        with runtime_bloom_filter(spark):
+            li = load(spark, sf_dir, "lineitem")
+            o = load(spark, sf_dir, "orders").where(
+                F.col("o_orderpriority") == "1-URGENT"
+            )
+            j = (
+                li.join(o, li.l_orderkey == o.o_orderkey)
+                .groupBy("o_orderpriority")
+                .count()
+            )
+            p = plan_str(j)
+            assert "might_contain" in p, f"no runtime bloom filter injected:\n{p}"
+            assert "bloom_filter_agg" in p
+    finally:
+        spark.conf.set(bcast_key, prev)
+
+
 def test_every_oracle_query_analyzes(q):
     # every registered key at least builds a resolvable plan
     for key in REGISTRY:

@@ -70,6 +70,39 @@ def test_json_roundtrip_property(spark, rows):
     assert got == dict(enumerate(rows))
 
 
+def test_parquet_tuned_writer(spark, sf_dir):
+    """write_parquet_tuned: zstd codec lands in the file names, file
+    count respects maxRecordsPerFile, partitionBy produces prunable
+    directories, and content roundtrips exactly."""
+    import glob
+
+    from neo_olap_spark.sources import write_parquet_tuned
+
+    from neo_olap_spark.tables import load
+
+    o = load(spark, sf_dir, "orders")
+    n = o.count()
+    out = tempfile.mkdtemp(prefix="neo_olap_tuned_") + "/orders"
+    try:
+        write_parquet_tuned(
+            o, out, compression="zstd", max_records_per_file=200,
+            partition_by=("o_orderstatus",),
+        )
+        files = glob.glob(f"{out}/*/*.parquet")
+        assert files and all(".zstd.parquet" in f for f in files)
+        # every partition dir splits into ceil(rows/200) files
+        assert len(files) >= n // 200
+        dirs = {f.split("/")[-2] for f in files}
+        assert all(d.startswith("o_orderstatus=") for d in dirs)
+        back = spark.read.parquet(out)
+        assert back.count() == n
+        assert {r.o_orderkey for r in back.select("o_orderkey").collect()} == {
+            r.o_orderkey for r in o.select("o_orderkey").collect()
+        }
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 @pytest.fixture(scope="module", autouse=True)
 def _warm(spark):
     # one tiny job so hypothesis timing isn't dominated by JVM warmup

@@ -56,6 +56,48 @@ def test_stream_dedup_matches_batch(spark, sf_dir, events_dir):
     assert got.n == got.total == want
 
 
+def test_stream_interval_join_matches_batch(spark, sf_dir, events_dir):
+    """Stream-stream interval join (watermarked both sides, append
+    mode) must emit exactly the batch theta-join pairs."""
+    from neo_olap_spark.operators.streaming import (
+        build_interval_join,
+        streaming_interval_join,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    batch = build_interval_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+    )
+    stream = streaming_interval_join(spark, events_dir)
+    run_stream_once(stream, "t_ssjoin_test", output_mode="append")
+    assert _rows(spark.sql("SELECT * FROM t_ssjoin_test")) == _rows(batch)
+
+
+def test_transform_with_state_gated_on_protobuf(spark, sf_dir):
+    """transformWithState needs google.protobuf at runtime; the key
+    must be registered exactly when that import works. When available,
+    the driven query must match its oracle."""
+    from neo_olap_spark.operators.streaming import (
+        has_transform_with_state_runtime,
+        q_stream_transform_state,
+    )
+    from neo_olap_spark.registry import REGISTRY, queries
+
+    queries()  # populate
+    available = has_transform_with_state_runtime()
+    assert ("q_stream_transform_state" in REGISTRY) == available
+    if not available:
+        pytest.skip("google.protobuf not installed; transformWithState gated off")
+    from neo_olap_spark.testing import assert_parity
+
+    assert_parity(
+        q_stream_transform_state(spark, sf_dir),
+        REGISTRY["q_stream_transform_state"].oracle,
+        sf_dir,
+    )
+
+
 def test_parquet_sink_exactly_once_across_restart(spark, sf_dir):
     """Durable streaming checkpoint: stop the query, add new data,
     restart with the same checkpointLocation — every event lands in the
