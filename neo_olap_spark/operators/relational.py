@@ -288,6 +288,90 @@ def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_join_asof",
+    oracle="""
+    SELECT event_id, user_id, last_orderkey FROM (
+      SELECT e.event_id, e.user_id, o.o_orderkey AS last_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e LEFT JOIN orders o
+        ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    ) WHERE rn = 1
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — each event matched to the user's LATEST order at or
+    before the event time. Spark has no ASOF JOIN operator; the naive
+    form (theta join + per-event row_number, what the oracle does)
+    materializes every (event, earlier-order) pair — quadratic per
+    user. The scale shape used here is the union-and-window trick:
+    tag both sides, union, ONE shuffle on user_id, ONE sort on
+    (time, side, key), and a running last_value(order_key ignorenulls)
+    hands every event row the most recent order seen — O(n log n)
+    total, no pair blow-up, skew-bounded by the busiest user. Order
+    rows sort before event rows at equal timestamps (<= semantics);
+    ties among same-date orders resolve to the max key, matching the
+    oracle's DESC, DESC pick."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(None).cast("long").alias("okey"),
+        F.lit(0).alias("is_order"),
+        "event_id",
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("t"),
+        F.col("o_orderkey").alias("okey"),
+        F.lit(1).alias("is_order"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("t"), F.col("is_order").desc(), F.col("okey"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        ev.unionByName(o)
+        .withColumn("last_orderkey", F.last("okey", ignorenulls=True).over(w))
+        .where(F.col("is_order") == 0)
+        .select("event_id", "user_id", "last_orderkey")
+    )
+
+
+@query(
+    "q_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per customer. Catalyst plans the
+    rank-then-filter as WindowGroupLimit: each partition keeps a
+    running per-group top-K heap BEFORE the shuffle, so the exchange
+    carries at most K rows per group — the grouped analog of
+    TakeOrderedAndProject (R8). Unique o_orderkey breaks price ties."""
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        load(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+@query(
     "q_two_hop",
     oracle="""
     WITH e1 AS (SELECT o_custkey AS src, o_orderkey AS mid FROM orders),
@@ -587,3 +671,25 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rejection sampling analog — Spark's sample is per-partition PRNG,
     no driver round-trips). Rows-only check."""
     return load(spark, sf_dir, "orders").sample(fraction=0.1, seed=42)
+
+
+STRATA_FRACTIONS = {
+    "1-URGENT": 0.5,
+    "2-HIGH": 0.25,
+    "3-MEDIUM": 0.1,
+    "4-NOT SPECIFIED": 0.1,
+    "5-LOW": 0.05,
+}
+
+
+@query("q_sample_stratified")
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-class) sampling via sampleBy — the
+    class-rebalancing primitive of a training-data pipeline (e.g.
+    downsample the dominant language/source, keep all of the rare
+    one). Per-partition Bernoulli per stratum: no shuffle, no driver
+    round-trip, deterministic under the seed. Rows-only; invariants
+    (per-stratum rates, determinism, subset-of-input) in tests."""
+    return load(spark, sf_dir, "orders").sampleBy(
+        "o_orderpriority", fractions=STRATA_FRACTIONS, seed=42
+    )

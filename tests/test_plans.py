@@ -106,6 +106,23 @@ def test_dedup_embed_blocks_before_pairs(q):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_topk_per_group_uses_group_limit(q):
+    # rank-then-filter must plan as WindowGroupLimit with a Partial
+    # phase before the shuffle: at most K rows per group are exchanged
+    p = plan_str(q("q_topk_per_group"), mode="simple")
+    assert "WindowGroupLimit" in p
+    assert "Partial" in p
+
+
+def test_asof_join_no_pair_blowup(q):
+    # the as-of join must be the union+window shape: one Window, no
+    # theta join (SortMergeJoin/BroadcastNestedLoopJoin would mean the
+    # quadratic per-user pair plan)
+    p = plan_str(q("q_join_asof"), mode="simple")
+    assert "Window" in p
+    assert "Join" not in p
+
+
 def test_runtime_bloom_filter_injection(spark, sf_dir):
     """With runtime Bloom-filter pruning on, a selective dim filter on
     one side of a shuffle join injects might_contain onto the fact

@@ -59,6 +59,32 @@ def test_winnow_detects_shared_run(spark):
     assert not (fps[1] & fps[2])
 
 
+def test_stratified_sample_rates_and_determinism(spark, sf_dir):
+    from neo_olap_spark.operators.relational import STRATA_FRACTIONS
+
+    q = queries()["q_sample_stratified"]
+    got = q(spark, sf_dir)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    totals = {r.o_orderpriority: r["count"] for r in orders.groupBy("o_orderpriority").count().collect()}
+    sampled = {r.o_orderpriority: r["count"] for r in got.groupBy("o_orderpriority").count().collect()}
+    for stratum, frac in STRATA_FRACTIONS.items():
+        n, tot = sampled.get(stratum, 0), totals[stratum]
+        # Bernoulli(frac) per stratum: ~4-sigma envelope
+        sd = (tot * frac * (1 - frac)) ** 0.5
+        assert abs(n - tot * frac) < 4 * sd + 5, (stratum, n, tot * frac)
+    # deterministic under the seed, and a subset of the input
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, q(spark, sf_dir).collect()))
+    assert got.join(orders, "o_orderkey", "left_anti").isEmpty()
+
+
+def test_hll_estimate_within_error_bound(spark, sf_dir):
+    rows = queries()["q_agg_hll"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # lgK=12 => ~1.6% standard error; 5-sigma-ish envelope
+        assert abs(r.hll_parts - r.exact_parts) <= max(0.08 * r.exact_parts, 3), r
+
+
 def test_approx_quantile_within_bound_of_exact(spark, sf_dir):
     approx = {
         r.l_returnflag: r.approx_med_price
