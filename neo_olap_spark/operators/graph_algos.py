@@ -247,18 +247,20 @@ def _walk_setup(spark: SparkSession, sf_dir: str, n_walkers: int, seed: int):
     nodes_all = all_nodes(spark, sf_dir)
     # TOTAL adjacency: isolated nodes get an empty array, so every
     # frontier row matches the single inner join in _advance_walkers
-    # (dead-end handling is a column expression, not a second join)
-    nbr = (
-        symmetrize(edges_raw(spark, sf_dir))
-        .groupBy("src")
-        .agg(F.sort_array(F.collect_set("dst")).alias("nbrs"))
+    # (dead-end handling is a column expression, not a second join).
+    # Totality comes from phantom (node, NULL) rows unioned in before
+    # the aggregate — collect_set skips nulls, so edge-less nodes
+    # group to an empty array. ONE shuffle builds the whole table;
+    # the join-with-all-nodes alternative costs a second exchange
+    # (measured ~2.7× slower cold at sf0.1).
+    phantom = nodes_all.select(
+        F.col("node").alias("src"), F.lit(None).cast("bigint").alias("dst")
     )
     adj = (
-        nodes_all.join(nbr, nodes_all.node == nbr.src, "left")
-        .select(
-            nodes_all.node.alias("src"),
-            F.coalesce("nbrs", F.array().cast("array<bigint>")).alias("nbrs"),
-        )
+        symmetrize(edges_raw(spark, sf_dir))
+        .unionByName(phantom)
+        .groupBy("src")
+        .agg(F.sort_array(F.collect_set("dst")).alias("nbrs"))
         # fewer cache partitions = fewer tasks per step scan; each step
         # touches the whole table anyway (measured 1.5× on 16 steps)
         .coalesce(8)
