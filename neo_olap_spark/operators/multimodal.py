@@ -109,6 +109,59 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_multimodal(multimodal_table(spark, sf_dir))
 
 
+RESIZE_SCHEMA = "doc_id long, payload binary, width long, height long, codec string"
+TARGET_W, TARGET_H = 64, 64
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Resize kernel (mapInPandas): binary in, binary out — the
+    transform stays on executors; payloads never visit the driver.
+
+    STUB: a real deployment replaces ``fake_resize`` with
+    PIL.Image.resize; the fake maps the payload onto a deterministic
+    TARGET_W*TARGET_H byte grid by even-stride sampling, so output
+    payload size is exactly what a real thumbnail pipeline produces
+    and downstream operators (content hash, dedup) are exercised for
+    real."""
+
+    def fake_resize(payload: bytes) -> bytes:
+        if REAL_DECODERS_AVAILABLE:  # pragma: no cover
+            raise NotImplementedError("plug real codec here")
+        n = len(payload)
+        size = TARGET_W * TARGET_H
+        if n == 0:
+            return bytes(size)
+        return bytes(payload[(i * n) // size] for i in range(size))
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "payload": [fake_resize(p) for p in pdf["payload"]],
+                "width": TARGET_W,
+                "height": TARGET_H,
+                "codec": "fake-raw/v1",
+            }
+        )
+
+
+@query("q_multimodal_resize")
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing over binary payloads (rows-only): mapInPandas
+    binary→binary, then the content hash of the resized payload —
+    the thumbnail-then-dedup shape of a media ingest pipeline."""
+    m = multimodal_table(spark, sf_dir)
+    resized = m.select("doc_id", "payload").mapInPandas(_resize_batches, RESIZE_SCHEMA)
+    return resized.select(
+        "doc_id",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.sha2("payload", 256).alias("resized_sha"),
+        "width",
+        "height",
+        "codec",
+    )
+
+
 FRAMES_SCHEMA = "doc_id long, frame_no long, frame_sha string"
 FRAMES_PER_DOC = 3
 

@@ -287,6 +287,67 @@ def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUCKET_SEQ = [0]
+
+
+def bucketed_customer_orders(
+    spark: SparkSession, sf_dir: str, base: str, n_buckets: int = 8
+) -> tuple[DataFrame, DataFrame, list[str]]:
+    """Write customer and orders as bucketed tables (same bucket count,
+    bucketed on the join key) and return them plus the table names for
+    cleanup. Shared by q_join_bucketed and the plan test."""
+    from neo_olap_spark.sources import write_bucketed
+
+    _BUCKET_SEQ[0] += 1
+    tc, to = f"bkt_customer_{_BUCKET_SEQ[0]}", f"bkt_orders_{_BUCKET_SEQ[0]}"
+    write_bucketed(load(spark, sf_dir, "customer"), tc, f"{base}/c", "c_custkey", n_buckets)
+    write_bucketed(load(spark, sf_dir, "orders"), to, f"{base}/o", "o_custkey", n_buckets)
+    return spark.table(tc), spark.table(to), [tc, to]
+
+
+@query(
+    "q_join_bucketed",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketing: both sides written bucketed on
+    the join key (write_bucketed), so the join runs with NO exchange —
+    bucket i merges with bucket i where it already sits. Broadcast is
+    disabled for the join so the plan genuinely exercises the bucketed
+    sort-merge path (asserted exchange-free in tests/test_plans.py);
+    at 100 TB this is how a recurring fact-fact join avoids shuffling
+    the fact table every run."""
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="neo_olap_bucket_")
+    bcast_key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(bcast_key)
+    tables: list[str] = []
+    try:
+        c, o, tables = bucketed_customer_orders(spark, sf_dir, base)
+        spark.conf.set(bcast_key, "-1")
+        res = (
+            c.join(o, c.c_custkey == o.o_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total"),
+            )
+        )
+        # materialize before the backing tables/files are dropped
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        spark.conf.set(bcast_key, prev)
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(base, ignore_errors=True)
+
+
 @query(
     "q_join_asof",
     oracle="""

@@ -123,6 +123,38 @@ def test_asof_join_no_pair_blowup(q):
     assert "Join" not in p
 
 
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Two tables bucketed on the join key must join without any
+    shuffle: the only Exchange in the plan is the final aggregation's."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from neo_olap_spark.operators.relational import bucketed_customer_orders
+
+    base = tempfile.mkdtemp(prefix="neo_olap_bucket_plan_")
+    bcast_key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(bcast_key)
+    tables = []
+    try:
+        c, o, tables = bucketed_customer_orders(spark, sf_dir, base)
+        spark.conf.set(bcast_key, "-1")
+        joined = c.join(o, c.c_custkey == o.o_custkey).select("c_mktsegment", "o_totalprice")
+        p = plan_str(joined, mode="simple")
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p, f"bucketed join must not shuffle:\n{p}"
+        # selecting bucket metadata is honored end-to-end: 8 buckets
+        agg = joined.groupBy("c_mktsegment").agg(F.count("*").alias("n"))
+        p2 = plan_str(agg, mode="simple")
+        assert p2.count("Exchange") == 1  # only the aggregate shuffles
+    finally:
+        spark.conf.set(bcast_key, prev)
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_runtime_bloom_filter_injection(spark, sf_dir):
     """With runtime Bloom-filter pruning on, a selective dim filter on
     one side of a shuffle join injects might_contain onto the fact
