@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from neo_olap_spark.registry import query
 from neo_olap_spark.tables import load
@@ -188,6 +189,113 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("approx_med_price", 2).alias("approx_med_price"),
             F.round(F.element_at("iqr_bounds", 1), 2).alias("p25"),
             F.round(F.element_at("iqr_bounds", 2), 2).alias("p75"),
+        )
+    )
+
+
+PIVOT_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+           COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+           COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+           COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS unspecified,
+           COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: priorities become columns, one count cell each. The
+    pivot values are DECLARED (not discovered) — at 100 TB an
+    undeclared pivot costs an extra distinct-values pass and risks a
+    million-column explosion; declared values compile to one hash
+    aggregate with conditional counters, exactly the oracle's
+    FILTER form."""
+    labels = dict(
+        zip(PIVOT_PRIORITIES, ["urgent", "high", "medium", "unspecified", "low"])
+    )
+    piv = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", PIVOT_PRIORITIES)
+        .count()
+    )
+    return piv.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(labels[p]) for p in PIVOT_PRIORITIES],
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'price' AS measure,
+           ROUND(l_extendedprice, 2) AS val
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'qty', ROUND(l_quantity, 2) FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', ROUND(l_discount, 2) FROM lineitem
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide measure columns to (measure, value) rows —
+    the long-format transform feeding per-metric pipelines. Spark's
+    unpivot is a zero-shuffle Expand (each input row emits one row per
+    measure in place); the oracle spells it as UNION ALL."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 2).alias("price"),
+            F.round("l_quantity", 2).alias("qty"),
+            F.round("l_discount", 2).alias("discount"),
+        )
+        .unpivot(
+            ids=["l_orderkey", "l_linenumber"],
+            values=["price", "qty", "discount"],
+            variableColumnName="measure",
+            valueColumnName="val",
+        )
+    )
+
+
+@query(
+    "q_window_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+             RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_last_90d
+    FROM orders
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based window frame: per customer, how many orders landed
+    in the 90 days up to each order (RANGE frame over epoch seconds —
+    peer rows with equal timestamps count together, unlike a ROWS
+    frame). The trailing-window metric shape of rolling features."""
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_epoch"))
+        .rangeBetween(-90 * 86400, 0)
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp").cast("long").alias("o_epoch"),
+        )
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.count("*").over(w).cast("long").alias("n_last_90d"),
         )
     )
 
