@@ -28,12 +28,16 @@ HEADLINE = [
     "q_agg_distinct",
     "q_join_inner",
     "q_join_outer",
+    "q_join_asof",
+    "q_join_range_binned",
     "q_two_hop",
     "q_window_rank",
     "q_window_running_sum",
     "q_degree",
     "q_topn",
+    "q_topk_per_group",
     "q_star_join",
+    "q_pivot",
     "q_time_rollup",
     "q_agg_salted",
     "q_udf_pandas",
@@ -46,6 +50,8 @@ HEADLINE = [
     "q_stream_tumbling",
     "q_shortest_path_len",
     "q_random_walk_counts",
+    "q_pagerank",
+    "q_connected_components",
 ]
 
 

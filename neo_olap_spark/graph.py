@@ -66,6 +66,17 @@ def edges_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer_order_edges(spark, sf_dir).unionAll(op)
 
 
+def edge_count_estimate(spark: SparkSession, sf_dir: str) -> int:
+    """Cheap upper bound on the symmetrized edge count, for sizing
+    iteration-loop shuffles: 2 × (|orders| + |lineitem|). count() on a
+    bare parquet scan is answered from row-group metadata — no data
+    read, no shuffle (the exact count would cost the order→part
+    distinct, a full shuffle, before the loop even starts)."""
+    n_o = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    n_l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    return 2 * (n_o + n_l)
+
+
 def symmetrize(e: DataFrame) -> DataFrame:
     """Undirected view: each edge appears in both directions.
 

@@ -27,6 +27,28 @@ from neo_olap_spark.tables import load
 
 
 @contextmanager
+def _loop_shuffle_partitions(
+    spark: SparkSession, n_rows: int, rows_per_partition: int = 2_000_000
+):
+    """Size per-iteration shuffles to the loop's ACTUAL data volume.
+
+    Iterative loops shuffle the same (known-size) tables dozens of
+    times; the session-wide shuffle.partitions (sized for arbitrary
+    queries) makes every micro-iteration pay full task-scheduling
+    overhead — measured 1.6× on PageRank/CC at sf0.1 (32 partitions
+    for a 2M-row edge list). The rule scales both ways: ~2M rows per
+    partition keeps partitions ∝ data, so a 1e12-edge graph still
+    fans out to thousands of reducers."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    n = max(8, min(10_000, (n_rows + rows_per_partition - 1) // rows_per_partition))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@contextmanager
 def _no_aqe(spark: SparkSession):
     """Disable AQE for a micro-iteration loop. AQE's per-stage re-plan
     round-trips dominate when each step touches a few hundred rows
@@ -126,20 +148,24 @@ def q_shortest_path_len(spark: SparkSession, sf_dir: str) -> DataFrame:
     within 4 hops (R2's deterministic core; oracle = DuckDB recursive
     CTE). Level-synchronous BFS: the edge list is hash-partitioned on
     src ONCE and persisted, so each level shuffles only the frontier."""
-    sym = symmetrize(edges(spark, sf_dir)).repartition("src").persist()
-    sources = (
-        load(spark, sf_dir, "customer")
-        .where(F.col("c_custkey") < 3)
-        .select(F.col("c_custkey").alias("tag"), F.col("c_custkey").alias("node"))
-    )
-    out = bfs_distances(sym, sources, max_depth=4).select(
-        F.col("tag").alias("src_id"),
-        F.col("node").alias("node_id"),
-        F.col("dist").cast("long").alias("dist"),
-    )
-    # BFS levels are localCheckpointed — the edge cache is dead weight
-    sym.unpersist()
-    return out
+    from neo_olap_spark.graph import edge_count_estimate
+
+    sym0 = symmetrize(edges(spark, sf_dir))
+    with _loop_shuffle_partitions(spark, edge_count_estimate(spark, sf_dir)):
+        sym = sym0.repartition("src").persist()
+        sources = (
+            load(spark, sf_dir, "customer")
+            .where(F.col("c_custkey") < 3)
+            .select(F.col("c_custkey").alias("tag"), F.col("c_custkey").alias("node"))
+        )
+        out = bfs_distances(sym, sources, max_depth=4).select(
+            F.col("tag").alias("src_id"),
+            F.col("node").alias("node_id"),
+            F.col("dist").cast("long").alias("dist"),
+        )
+        # BFS levels are localCheckpointed — the edge cache is dead weight
+        sym.unpersist()
+        return out
 
 
 # ---------------------------------------------------------------------------
@@ -492,68 +518,72 @@ def betweenness_sample(
     interior increment, computed by joins (SURVEY.md §2.1 R2).
     Endpoints are excluded (OlapRunner.java:52 skips first/last).
     """
-    sym = symmetrize(edges(spark, sf_dir)).repartition("src").persist()
-    nodes = all_nodes(spark, sf_dir).distinct()
+    from neo_olap_spark.graph import edge_count_estimate
 
-    # Deterministic pair sampling: lowest hash ranks, a from one half,
-    # b from the other (hash-disjoint salts).
-    a_nodes = (
-        nodes.withColumn("h", F.xxhash64("node", F.lit(seed)))
-        .orderBy("h")
-        .limit(n_pairs)
-        .select((F.row_number().over(W.orderBy("h")) - 1).alias("pair_id"), F.col("node"))
-    )
-    b_nodes = (
-        nodes.withColumn("h", F.xxhash64("node", F.lit(seed + 1)))
-        .orderBy("h")
-        .limit(n_pairs)
-        .select((F.row_number().over(W.orderBy("h")) - 1).alias("pair_id"), F.col("node"))
-    )
-    pairs = (
-        a_nodes.alias("a")
-        .join(b_nodes.alias("b"), "pair_id")
-        .select("pair_id", F.col("a.node").alias("a"), F.col("b.node").alias("b"))
-        .where(F.col("a") != F.col("b"))
-        .localCheckpoint()
-    )
+    sym0 = symmetrize(edges(spark, sf_dir))
+    with _loop_shuffle_partitions(spark, edge_count_estimate(spark, sf_dir)):
+        sym = sym0.repartition("src").persist()
+        nodes = all_nodes(spark, sf_dir).distinct()
 
-    fwd = bfs_distances(
-        sym,
-        pairs.select(F.col("pair_id").alias("tag"), F.col("a").alias("node")),
-        max_depth,
-        count_paths=True,
-    )
-    bwd = bfs_distances(
-        sym,
-        pairs.select(F.col("pair_id").alias("tag"), F.col("b").alias("node")),
-        max_depth,
-        count_paths=True,
-    )
+        # Deterministic pair sampling: lowest hash ranks, a from one
+        # half, b from the other (hash-disjoint salts).
+        a_nodes = (
+            nodes.withColumn("h", F.xxhash64("node", F.lit(seed)))
+            .orderBy("h")
+            .limit(n_pairs)
+            .select((F.row_number().over(W.orderBy("h")) - 1).alias("pair_id"), F.col("node"))
+        )
+        b_nodes = (
+            nodes.withColumn("h", F.xxhash64("node", F.lit(seed + 1)))
+            .orderBy("h")
+            .limit(n_pairs)
+            .select((F.row_number().over(W.orderBy("h")) - 1).alias("pair_id"), F.col("node"))
+        )
+        pairs = (
+            a_nodes.alias("a")
+            .join(b_nodes.alias("b"), "pair_id")
+            .select("pair_id", F.col("a.node").alias("a"), F.col("b.node").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .localCheckpoint()
+        )
 
-    # dist(a,b) per pair = forward distance at b (if reached within depth)
-    pb_end = pairs.select(F.col("pair_id").alias("ptag"), F.col("b").alias("pb"))
-    d_ab = (
-        fwd.join(pb_end, (fwd.node == pb_end.pb) & (fwd.tag == pb_end.ptag))
-        .select(F.col("tag"), F.col("dist").alias("d_ab"))
-    )
+        fwd = bfs_distances(
+            sym,
+            pairs.select(F.col("pair_id").alias("tag"), F.col("a").alias("node")),
+            max_depth,
+            count_paths=True,
+        )
+        bwd = bfs_distances(
+            sym,
+            pairs.select(F.col("pair_id").alias("tag"), F.col("b").alias("node")),
+            max_depth,
+            count_paths=True,
+        )
 
-    f = fwd.select(F.col("tag"), F.col("node"), F.col("dist").alias("da"), F.col("npaths").alias("pa"))
-    g = bwd.select(F.col("tag").alias("tag2"), F.col("node").alias("node2"),
-                   F.col("dist").alias("db"), F.col("npaths").alias("pb"))
-    on_path = (
-        f.join(g, (f.tag == g.tag2) & (f.node == g.node2))
-        .join(d_ab, "tag")
-        .where(F.col("da") + F.col("db") == F.col("d_ab"))
-        .join(pairs.select(F.col("pair_id").alias("tag"), "a", "b"), "tag")
-        .where((F.col("node") != F.col("a")) & (F.col("node") != F.col("b")))
-        .select("node", (F.col("pa") * F.col("pb")).alias("path_count"))
-    )
-    result = on_path.groupBy(F.col("node").alias("node_id")).agg(
-        F.sum("path_count").alias("cnt")
-    )
-    # fwd/bwd BFS outputs are localCheckpointed; drop the edge cache
-    sym.unpersist()
-    return result
+        # dist(a,b) per pair = forward distance at b (if reached in depth)
+        pb_end = pairs.select(F.col("pair_id").alias("ptag"), F.col("b").alias("pb"))
+        d_ab = (
+            fwd.join(pb_end, (fwd.node == pb_end.pb) & (fwd.tag == pb_end.ptag))
+            .select(F.col("tag"), F.col("dist").alias("d_ab"))
+        )
+
+        f = fwd.select(F.col("tag"), F.col("node"), F.col("dist").alias("da"), F.col("npaths").alias("pa"))
+        g = bwd.select(F.col("tag").alias("tag2"), F.col("node").alias("node2"),
+                       F.col("dist").alias("db"), F.col("npaths").alias("pb"))
+        on_path = (
+            f.join(g, (f.tag == g.tag2) & (f.node == g.node2))
+            .join(d_ab, "tag")
+            .where(F.col("da") + F.col("db") == F.col("d_ab"))
+            .join(pairs.select(F.col("pair_id").alias("tag"), "a", "b"), "tag")
+            .where((F.col("node") != F.col("a")) & (F.col("node") != F.col("b")))
+            .select("node", (F.col("pa") * F.col("pb")).alias("path_count"))
+        )
+        result = on_path.groupBy(F.col("node").alias("node_id")).agg(
+            F.sum("path_count").alias("cnt")
+        )
+        # fwd/bwd BFS outputs are localCheckpointed; drop the edge cache
+        sym.unpersist()
+        return result
 
 
 @query("q_betweenness_sample")
@@ -574,6 +604,7 @@ def pagerank(
     nodes: DataFrame,
     n_iters: int = 8,
     damping: float = 0.85,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """True PageRank by power iteration — the quantity the reference's
     degree-biased walk approximates (its output file is literally
@@ -588,7 +619,12 @@ def pagerank(
     n_nodes every iteration (asserted in tests).
     """
     spark = sym_edges.sparkSession
-    with _no_aqe(spark):
+    # the edge-count hint sizes loop shuffles; callers pass the cheap
+    # metadata estimate (edge_count_estimate) — computing the exact
+    # count here would cost a full edge-build shuffle before the loop
+    if n_edges is None:
+        n_edges = sym_edges.count()
+    with _no_aqe(spark), _loop_shuffle_partitions(spark, n_edges):
         deg0 = sym_edges.groupBy("src").agg(F.count("*").alias("deg"))
         base = (
             nodes.join(deg0, nodes.node == deg0.src, "left")
@@ -637,12 +673,20 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the derived undirected graph, 8 power iterations
     (rows-only; invariants in tests: total rank ≈ n_nodes, determinism,
     hubs outrank leaves on a star fixture)."""
+    from neo_olap_spark.graph import edge_count_estimate
+
     sym = symmetrize(edges(spark, sf_dir))
-    return pagerank(sym, all_nodes(spark, sf_dir), n_iters=8)
+    return pagerank(
+        sym, all_nodes(spark, sf_dir), n_iters=8,
+        n_edges=edge_count_estimate(spark, sf_dir),
+    )
 
 
 def connected_components(
-    sym_edges: DataFrame, nodes: DataFrame, max_iters: int = 20
+    sym_edges: DataFrame,
+    nodes: DataFrame,
+    max_iters: int = 20,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """Connected components by frontier-based min-label propagation:
     every node starts as its own label; each round, only nodes whose
@@ -652,7 +696,9 @@ def connected_components(
     when the frontier empties — O(diameter) rounds.
     """
     spark = sym_edges.sparkSession
-    with _no_aqe(spark):
+    if n_edges is None:
+        n_edges = sym_edges.count()
+    with _no_aqe(spark), _loop_shuffle_partitions(spark, n_edges):
         edges_p = sym_edges.repartition("src").persist()
         labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
         frontier = labels  # round 0: everyone announces
@@ -698,5 +744,9 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components of the derived graph (rows-only; invariants
     in tests: a path graph is one component, disjoint cliques are
     separate, labels are the component-minimum node id)."""
+    from neo_olap_spark.graph import edge_count_estimate
+
     sym = symmetrize(edges(spark, sf_dir))
-    return connected_components(sym, all_nodes(spark, sf_dir))
+    return connected_components(
+        sym, all_nodes(spark, sf_dir), n_edges=edge_count_estimate(spark, sf_dir)
+    )
