@@ -383,7 +383,11 @@ def random_walk_counts(
     the walker's node + a per-walker top-1 (no global sort). The
     visit log grows n_walkers × n_steps rows — negligible vs data.
     """
-    with _no_aqe(spark):
+    from neo_olap_spark.graph import edge_count_estimate
+
+    with _no_aqe(spark), _loop_shuffle_partitions(
+        spark, edge_count_estimate(spark, sf_dir)
+    ):
         adj, tele, n_nodes, walkers = _walk_setup(spark, sf_dir, n_walkers, seed)
 
         visit_logs: list[DataFrame] = [walkers.select("node")]
@@ -438,8 +442,11 @@ def resumable_random_walk_counts(
     completion. Returns the final (node_id, visits) counts.
     """
     from neo_olap_spark.checkpoints import latest_round, read_round, write_round
+    from neo_olap_spark.graph import edge_count_estimate
 
-    with _no_aqe(spark):
+    with _no_aqe(spark), _loop_shuffle_partitions(
+        spark, edge_count_estimate(spark, sf_dir)
+    ):
         adj, tele, n_nodes, walkers = _walk_setup(spark, sf_dir, n_walkers, seed)
 
         last = latest_round(ckpt_dir)
