@@ -130,18 +130,28 @@ def minhash_lsh_pairs(
     candidates (so the output has no false positives; recall is the
     LSH trade-off).
 
-    shingle → n_hashes minhashes (one groupBy with n min() aggs) →
-    band signatures (xxhash64 of each band's minhash slice) → self-join
-    on (band, signature) = the bucket join → verify.
+    shingle → n_hashes minhashes (array_min over per-seed hash
+    transforms — a PURE PROJECTION, no explode, no shuffle: the
+    explode+groupBy alternative shuffles |docs|×|shingles| rows and
+    measured 3× slower cold) → band signatures (xxhash64 of each
+    band's minhash slice) → (band, sig) bucket aggregation → verify.
     """
-    # project the array away BEFORE exploding: carrying the full `sh`
-    # array on every exploded row would shuffle |doc|×|shingles| arrays
-    ex = sh_df.select("doc_id", F.explode("sh").alias("s"))
-    mins = ex.groupBy("doc_id").agg(
+
+    def mk_hash(seed_i: int):
+        # factory, NOT `lambda s, i=i: ...`: a two-parameter lambda is
+        # treated by F.transform as the (element, INDEX) binary form,
+        # and the array index silently shadows the bound seed
+        return lambda s: F.xxhash64(s, F.lit(seed_i))
+
+    # empty-shingle docs (shorter than the shingle width) would all
+    # share the NULL-minhash signature and form one junk bucket; the
+    # explode form dropped them implicitly, here it's explicit
+    mins = sh_df.where(F.size("sh") > 0).select(
+        "doc_id",
         *[
-            F.min(F.xxhash64(F.col("s"), F.lit(seed + i))).alias(f"m{i}")
+            F.array_min(F.transform("sh", mk_hash(seed + i))).alias(f"m{i}")
             for i in range(n_hashes)
-        ]
+        ],
     )
     rows_per_band = n_hashes // n_bands
     bands = mins.select(
