@@ -67,6 +67,36 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.select("doc_id", shingles(F.col("toks")).alias("sh"))
 
 
+def _shingled_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingles as 64-bit hashes of token TRIPLES — no 3-gram strings
+    are ever built. Set semantics survive hashing (distinct / Jaccard
+    over hashed shingles equal the string versions modulo 64-bit
+    collisions, ~0 at any realistic corpus), while the per-shingle
+    minhash transforms hash a long instead of re-hashing a string —
+    measured ~2.7× faster cold at sf0.1, and at 100 TB the persisted
+    shingle table is array<long> instead of the corpus re-materialized
+    as overlapping trigram strings (~3× the text bytes)."""
+    from neo_olap_spark.functions import bounded_sequence
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", ws_tokens(F.col("text")).alias("toks")).repartition(
+        spark.sparkContext.defaultParallelism * 2
+    )
+    return toks.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                bounded_sequence(F.size("toks") - 2),
+                lambda i: F.xxhash64(
+                    F.element_at("toks", i.cast("int")),
+                    F.element_at("toks", (i + 1).cast("int")),
+                    F.element_at("toks", (i + 2).cast("int")),
+                ),
+            )
+        ).alias("sh"),
+    )
+
+
 def exact_jaccard_pairs(sh_df: DataFrame, threshold: float) -> DataFrame:
     """Ground-truth shingle-Jaccard pairs via inverted-index join:
     explode shingles, self-join on the shingle, count intersections,
@@ -222,9 +252,11 @@ def minhash_lsh_pairs(
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (rows-only; recall vs the exact
     q_dedup_ngram ground truth is asserted in tests/test_llm_ops.py).
-    The shingle table feeds three subtrees (minhash, verify-a,
-    verify-b) — persist so shingling runs once."""
-    return minhash_lsh_pairs(_shingled(spark, sf_dir).persist(), JACCARD_THRESHOLD)
+    Runs on the HASHED shingle table (_shingled_hashed) — same set
+    semantics, no trigram strings. The shingle table feeds three
+    subtrees (minhash, verify-a, verify-b) — persist so shingling
+    runs once."""
+    return minhash_lsh_pairs(_shingled_hashed(spark, sf_dir).persist(), JACCARD_THRESHOLD)
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str, seed: int = 42) -> DataFrame:

@@ -18,9 +18,14 @@ from neo_olap_spark.tables import load
 
 
 def test_minhash_no_false_positives_and_decent_recall(spark, sf_dir):
+    from neo_olap_spark.operators.llm_dedup import _shingled_hashed
+
+    # ground truth on string shingles; the LSH path (as q_dedup_near
+    # runs it) on hashed shingles — set semantics must agree
     sh = _shingled(spark, sf_dir).persist()
+    sh_h = _shingled_hashed(spark, sf_dir).persist()
     exact = {(r.doc_a, r.doc_b) for r in exact_jaccard_pairs(sh, JACCARD_THRESHOLD).collect()}
-    lsh = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(sh, JACCARD_THRESHOLD).collect()}
+    lsh = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(sh_h, JACCARD_THRESHOLD).collect()}
     # verification step guarantees no false positives
     assert lsh <= exact
     # high-similarity pairs must be found (recall on the planted dups)
