@@ -193,6 +193,53 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TPCH_Q3_SQL = """
+SELECT l_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(o_orderdate AS STRING) AS o_orderdate_s,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@query(
+    "q_sql_surface",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS o_orderdate_s,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate  > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-text entry path: TPC-H Q3 (shipping priority) submitted
+    as a SQL string over registered views — identical Catalyst plan to
+    the DataFrame API, proving the engine exposes both surfaces.
+    LIMIT carries a total-order tie-break (revenue DESC, l_orderkey)
+    so the top-10 is deterministic on both engines."""
+    from neo_olap_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(TPCH_Q3_SQL)
+
+
 PIVOT_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 
 
