@@ -287,6 +287,76 @@ def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MERGE_NEW_OFFSET = 10_000_000
+
+
+@query(
+    "q_merge_upsert",
+    oracle=f"""
+    WITH updates AS (
+      SELECT o_orderkey AS key, ROUND(o_totalprice + 100.0, 2) AS price
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT {MERGE_NEW_OFFSET} + o_orderkey AS key, ROUND(o_totalprice, 2) AS price
+      FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    unioned AS (
+      SELECT o_orderkey AS key, ROUND(o_totalprice, 2) AS price, 0 AS ver FROM orders
+      UNION ALL
+      SELECT key, price, 1 AS ver FROM updates
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY ver DESC) AS rn
+      FROM unioned
+    )
+    SELECT key, price, CASE WHEN ver = 1 THEN 'merged' ELSE 'base' END AS src
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation (upsert): apply a change set to a base
+    table — matched keys take the update, unmatched updates insert,
+    untouched base rows survive. Plain Spark has no MERGE; the
+    scalable shape is union-tag-and-pick-latest: ONE shuffle on the
+    key, per-key top-1 via WindowGroupLimit (at most one row per key
+    crosses the exchange per side). The change set here is derived
+    deterministically from orders (every 10th key updated +100.00, every
+    97th key re-inserted under a new id) so the oracle can reproduce
+    it."""
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("key"),
+        F.round("o_totalprice", 2).alias("price"),
+        F.lit(0).alias("ver"),
+    )
+    updates = (
+        o.where(F.col("o_orderkey") % 10 == 0)
+        .select(
+            F.col("o_orderkey").alias("key"),
+            F.round(F.col("o_totalprice") + 100.0, 2).alias("price"),
+            F.lit(1).alias("ver"),
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 97 == 0).select(
+                (F.lit(MERGE_NEW_OFFSET) + F.col("o_orderkey")).alias("key"),
+                F.round("o_totalprice", 2).alias("price"),
+                F.lit(1).alias("ver"),
+            )
+        )
+    )
+    w = W.partitionBy("key").orderBy(F.col("ver").desc())
+    return (
+        base.unionByName(updates)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "key",
+            "price",
+            F.when(F.col("ver") == 1, "merged").otherwise("base").alias("src"),
+        )
+    )
+
+
 _BUCKET_SEQ = [0]
 
 

@@ -172,6 +172,33 @@ def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_scalar_posexplode",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+    )
+    SELECT doc_id, CAST(p.pos AS BIGINT) AS pos, p.tok
+    FROM (SELECT doc_id,
+                 unnest(list_transform(toks, (x, i) -> struct_pack(pos := i - 1, tok := x))) AS p
+          FROM t)
+    """,
+)
+def q_scalar_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral view / posexplode: tokens with their positions — the
+    order-preserving flatten used for positional n-gram work. A
+    zero-shuffle Generate operator (each row expands in place);
+    positions are 0-based (DuckDB's WITH ORDINALITY is 1-based, so
+    the oracle shifts)."""
+    from pyspark.sql.functions import posexplode
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    return d.select("doc_id", posexplode(toks).alias("pos", "tok")).select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), "tok"
+    )
+
+
+@query(
     "q_scalar_struct",
     oracle="""
     WITH ranked AS (

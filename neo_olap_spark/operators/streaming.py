@@ -273,6 +273,101 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(events_dir, ignore_errors=True)
 
 
+def build_interval_join_outer(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """LEFT OUTER variant of the interval join: every click appears;
+    clicks with no purchase in the window carry a NULL purchase_id."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    cond = (
+        (c.c_user == p.p_user)
+        & (p.p_ts >= c.c_ts)
+        & (p.p_ts <= c.c_ts + F.expr("INTERVAL 10 MINUTES"))
+    )
+    return c.join(p, cond, "left_outer").select(
+        "click_id", "purchase_id", F.col("c_user").alias("user_id")
+    )
+
+
+def streaming_interval_join_outer(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join. Null-extended rows for a
+    click are emitted only once the watermark proves no matching
+    purchase can still arrive (click_ts + 10 min < watermark) — so the
+    tail of a bounded replay (the last watermark-delay's worth of
+    clicks) stays unmatched-undecided and is NOT emitted. That is
+    watermark semantics, not data loss: registered rows-only, with the
+    inner-part equivalence asserted in tests."""
+    clicks = (
+        stream_events(spark, events_dir)
+        .where(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+    )
+    purchases = (
+        stream_events(spark, events_dir)
+        .where(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+    )
+    return build_interval_join_outer(clicks, purchases)
+
+
+@query("q_stream_join_outer")
+def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives the REAL stream-stream left-outer interval join
+    (rows-only: outer emission depends on final-watermark position,
+    which no batch SQL reproduces; invariants in tests)."""
+    import shutil
+    import tempfile
+
+    events_dir = tempfile.mkdtemp(prefix="neo_olap_ssjoin_outer_")
+    try:
+        spark.read.parquet(f"{sf_dir}/events.parquet").write.mode("overwrite").parquet(
+            events_dir
+        )
+        name = _fresh_sink_name("t_ssjoin_outer")
+        run_stream_once(
+            streaming_interval_join_outer(spark, events_dir), name, output_mode="append"
+        )
+        final = spark.table(name)
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(events_dir, ignore_errors=True)
+
+
+def run_foreach_batch_to_parquet(df: DataFrame, sink_dir: str, ckpt_dir: str) -> None:
+    """foreachBatch sink: arbitrary per-micro-batch logic with the
+    batch DataFrame API — the escape hatch for sinks Structured
+    Streaming doesn't ship (JDBC upserts, MERGE, multi-table writes).
+    Each batch lands in a batch_id=<n> partition, so re-delivered
+    batches after a restart overwrite their own partition instead of
+    duplicating — idempotence via dynamic partition overwrite, the
+    standard exactly-once recipe for foreachBatch."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(sink_dir)
+        )
+
+    q = (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator: applyInPandasWithState
 # ---------------------------------------------------------------------------
