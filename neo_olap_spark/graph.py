@@ -72,8 +72,8 @@ def edge_count_estimate(spark: SparkSession, sf_dir: str) -> int:
     bare parquet scan is answered from row-group metadata — no data
     read, no shuffle (the exact count would cost the order→part
     distinct, a full shuffle, before the loop even starts)."""
-    n_o = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
-    n_l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    n_o = load(spark, sf_dir, "orders").count()
+    n_l = load(spark, sf_dir, "lineitem").count()
     return 2 * (n_o + n_l)
 
 

@@ -208,24 +208,29 @@ def minhash_lsh_pairs(
     # The self-join alternative shuffles the bands table twice and
     # materializes per-bucket n² join rows before distinct — measured
     # ~1.4× slower at sf0.1 and strictly more shuffle at 100 TB.
-    # MAX_BUCKET_DOCS caps pathological buckets (n² pair blow-up of
-    # near-identical collections); docs beyond the cap are still
-    # deduped transitively through the kept members.
+    # MAX_BUCKET_DOCS caps the quadratic expansion of pathological
+    # buckets (near-identical collections): all-pairs among the first
+    # MAX_BUCKET_DOCS members, and every overflow doc paired with the
+    # bucket's first member only (O(n) tail) — overflow docs still
+    # surface as duplicates of the anchor, so none silently vanish
+    # from the candidate set.
     buckets = (
         bands.groupBy("band", "sig")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
         .where(F.size("docs") > 1)
-        .select(F.slice("docs", 1, MAX_BUCKET_DOCS).alias("docs"))
     )
+    head_pairs = (
+        "flatten(transform(slice(docs, 1, {cap}), (x, i) -> "
+        "transform(slice(docs, i + 2, least(size(docs), {cap}) - i - 1), "
+        "y -> struct(x AS doc_a, y AS doc_b))))"
+    ).format(cap=MAX_BUCKET_DOCS)
+    tail_pairs = (
+        "transform(slice(docs, {cap} + 1, greatest(size(docs) - {cap}, 0)), "
+        "y -> struct(docs[1] AS doc_a, y AS doc_b))"
+    ).format(cap=MAX_BUCKET_DOCS)
     cand = (
         buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(docs, (x, i) -> "
-                    "transform(slice(docs, i + 2, size(docs) - i - 1), "
-                    "y -> struct(x AS doc_a, y AS doc_b))))"
-                )
-            ).alias("p")
+            F.explode(F.expr(f"concat({head_pairs}, {tail_pairs})")).alias("p")
         )
         .select("p.doc_a", "p.doc_b")
         .distinct()
@@ -337,8 +342,14 @@ def cosine_pairs_kernel():
     per-PAIR dot product is the one hot path where a vectorized numpy
     kernel (BLAS einsum over the whole Arrow batch) beats built-ins —
     ~1.4× at dim=64 and growing linearly with dimension. Accumulates
-    in float64 (matching DuckDB's double math within rounding). Built
-    lazily: pandas_udf resolves types against the active session."""
+    in float64; einsum's pairwise summation order differs from a
+    sequential fold in the last bits, so a pair whose true cosine sits
+    within ~1e-15 of the threshold or a rounding boundary could in
+    principle land differently than the DuckDB oracle (probability
+    ~1e-10 per pair — accepted; the sequential-fold alternative has
+    the same class of risk against DuckDB's own accumulation order).
+    Built lazily: pandas_udf resolves types against the active
+    session."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")

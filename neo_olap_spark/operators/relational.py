@@ -287,7 +287,11 @@ def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MERGE_NEW_OFFSET = 10_000_000
+# 2^40, same rationale as graph.py's node-ID offsets: a decimal-sized
+# offset collides with dense order keys at moderate SF (the exact bug
+# class fixed for the graph in an earlier round) and silently turns
+# "insert" rows into nondeterministic-tie updates
+MERGE_NEW_OFFSET = 1 << 40
 
 
 @query(
@@ -370,9 +374,19 @@ def bucketed_customer_orders(
 
     _BUCKET_SEQ[0] += 1
     tc, to = f"bkt_customer_{_BUCKET_SEQ[0]}", f"bkt_orders_{_BUCKET_SEQ[0]}"
-    write_bucketed(load(spark, sf_dir, "customer"), tc, f"{base}/c", "c_custkey", n_buckets)
-    write_bucketed(load(spark, sf_dir, "orders"), to, f"{base}/o", "o_custkey", n_buckets)
-    return spark.table(tc), spark.table(to), [tc, to]
+    created: list[str] = []
+    try:
+        write_bucketed(load(spark, sf_dir, "customer"), tc, f"{base}/c", "c_custkey", n_buckets)
+        created.append(tc)
+        write_bucketed(load(spark, sf_dir, "orders"), to, f"{base}/o", "o_custkey", n_buckets)
+        created.append(to)
+    except BaseException:
+        # drop any table already registered so a half-failed setup
+        # doesn't leak catalog entries pointing at a removed temp dir
+        for t in created:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        raise
+    return spark.table(tc), spark.table(to), created
 
 
 @query(

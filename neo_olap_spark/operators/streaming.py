@@ -67,13 +67,18 @@ def build_session(events: DataFrame) -> DataFrame:
     )
 
 
-def build_interval_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+def build_interval_join(
+    clicks: DataFrame, purchases: DataFrame, how: str = "inner"
+) -> DataFrame:
     """Per-user interval join: each click paired with that user's
     purchases in the following 10 minutes. The join key is (user_id
     equality + event-time range) — in streaming mode the range bound is
     what lets Spark expire join state once the watermark passes
     click_ts + 10 min, so state is bounded by the time horizon, not the
-    stream length."""
+    stream length. ``how='left_outer'`` keeps unmatched clicks with a
+    NULL purchase_id (ONE builder for both variants, so the
+    outer-matched-rows == inner-rows test invariant holds by
+    construction)."""
     c = clicks.select(
         F.col("user_id").alias("c_user"),
         F.col("event_id").alias("click_id"),
@@ -89,7 +94,7 @@ def build_interval_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
         & (p.p_ts >= c.c_ts)
         & (p.p_ts <= c.c_ts + F.expr("INTERVAL 10 MINUTES"))
     )
-    return c.join(p, cond).select(
+    return c.join(p, cond, how).select(
         "click_id", "purchase_id", F.col("c_user").alias("user_id")
     )
 
@@ -221,7 +226,9 @@ def streaming_dedup_with_watermark(spark: SparkSession, events_dir: str) -> Data
     )
 
 
-def streaming_interval_join(spark: SparkSession, events_dir: str) -> DataFrame:
+def streaming_interval_join(
+    spark: SparkSession, events_dir: str, how: str = "inner"
+) -> DataFrame:
     """The real stream-stream join: two file streams over the same
     events feed (clicks / purchases), both watermarked, joined on
     user + 10-minute event-time range. Watermarks on BOTH sides plus
@@ -237,7 +244,7 @@ def streaming_interval_join(spark: SparkSession, events_dir: str) -> DataFrame:
         .where(F.col("event_type") == "purchase")
         .withWatermark("ts", "1 hour")
     )
-    return build_interval_join(clicks, purchases)
+    return build_interval_join(clicks, purchases, how)
 
 
 @query(
@@ -273,48 +280,16 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(events_dir, ignore_errors=True)
 
 
-def build_interval_join_outer(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
-    """LEFT OUTER variant of the interval join: every click appears;
-    clicks with no purchase in the window carry a NULL purchase_id."""
-    c = clicks.select(
-        F.col("user_id").alias("c_user"),
-        F.col("event_id").alias("click_id"),
-        F.col("ts").alias("c_ts"),
-    )
-    p = purchases.select(
-        F.col("user_id").alias("p_user"),
-        F.col("event_id").alias("purchase_id"),
-        F.col("ts").alias("p_ts"),
-    )
-    cond = (
-        (c.c_user == p.p_user)
-        & (p.p_ts >= c.c_ts)
-        & (p.p_ts <= c.c_ts + F.expr("INTERVAL 10 MINUTES"))
-    )
-    return c.join(p, cond, "left_outer").select(
-        "click_id", "purchase_id", F.col("c_user").alias("user_id")
-    )
-
-
 def streaming_interval_join_outer(spark: SparkSession, events_dir: str) -> DataFrame:
-    """Stream-stream LEFT OUTER interval join. Null-extended rows for a
-    click are emitted only once the watermark proves no matching
-    purchase can still arrive (click_ts + 10 min < watermark) — so the
-    tail of a bounded replay (the last watermark-delay's worth of
-    clicks) stays unmatched-undecided and is NOT emitted. That is
-    watermark semantics, not data loss: registered rows-only, with the
+    """Stream-stream LEFT OUTER interval join (same builder as the
+    inner variant, how='left_outer'). Null-extended rows for a click
+    are emitted only once the watermark proves no matching purchase
+    can still arrive (click_ts + 10 min < watermark) — so the tail of
+    a bounded replay (the last watermark-delay's worth of clicks)
+    stays unmatched-undecided and is NOT emitted. That is watermark
+    semantics, not data loss: registered rows-only, with the
     inner-part equivalence asserted in tests."""
-    clicks = (
-        stream_events(spark, events_dir)
-        .where(F.col("event_type") == "click")
-        .withWatermark("ts", "1 hour")
-    )
-    purchases = (
-        stream_events(spark, events_dir)
-        .where(F.col("event_type") == "purchase")
-        .withWatermark("ts", "1 hour")
-    )
-    return build_interval_join_outer(clicks, purchases)
+    return streaming_interval_join(spark, events_dir, how="left_outer")
 
 
 @query("q_stream_join_outer")

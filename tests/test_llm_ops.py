@@ -37,6 +37,41 @@ def test_minhash_no_false_positives_and_decent_recall(spark, sf_dir):
         assert len(lsh & high) / len(high) >= 0.8
 
 
+def test_bucket_cap_keeps_overflow_docs_in_candidates(spark, monkeypatch):
+    """Capped LSH buckets must not drop overflow docs from the
+    candidate set: beyond MAX_BUCKET_DOCS all-pairs expansion, each
+    overflow doc pairs with the bucket anchor, so every member of a
+    giant near-identical cluster is still reported as a duplicate."""
+    import neo_olap_spark.operators.llm_dedup as llm_dedup
+
+    monkeypatch.setattr(llm_dedup, "MAX_BUCKET_DOCS", 4)
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(i, text.split()) for i in range(10)], "doc_id long, toks array<string>"
+    )
+    sh = df.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("toks", i.cast("int")),
+                    F.element_at("toks", (i + 1).cast("int")),
+                    F.element_at("toks", (i + 2).cast("int")),
+                ),
+            )
+        ).alias("sh"),
+    )
+    pairs = llm_dedup.minhash_lsh_pairs(sh.persist(), JACCARD_THRESHOLD)
+    seen = set()
+    for r in pairs.collect():
+        seen.add(r.doc_a)
+        seen.add(r.doc_b)
+        assert r.jaccard == 1.0
+    assert seen == set(range(10))
+
+
 def test_simhash_deterministic_and_self_similar(spark, sf_dir):
     s1 = dict(simhash_signatures(spark, sf_dir).collect())
     s2 = dict(simhash_signatures(spark, sf_dir).collect())
