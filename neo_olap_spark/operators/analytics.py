@@ -347,6 +347,43 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_agg_mode",
+    oracle="""
+    WITH counted AS (
+      SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                   ORDER BY cnt DESC, l_quantity DESC) AS rn
+      FROM counted
+    )
+    SELECT l_returnflag, ROUND(l_quantity, 2) AS mode_qty, cnt AS mode_cnt
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mode (most frequent value) per group with a DETERMINISTIC
+    tie-break — Spark's built-in mode() leaves ties unspecified, so
+    this is two hash aggregates: count per (group, value), then the
+    struct-max argmax (max count, then max value). Both shuffles carry
+    only grouped partials; no window, no sort."""
+    counted = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(F.count("*").alias("cnt"))
+    )
+    best = counted.groupBy("l_returnflag").agg(
+        F.max(F.struct(F.col("cnt"), F.col("l_quantity").alias("q"))).alias("b")
+    )
+    return best.select(
+        "l_returnflag",
+        F.round(F.col("b.q"), 2).alias("mode_qty"),
+        F.col("b.cnt").alias("mode_cnt"),
+    )
+
+
 @query("q_agg_hll")
 def q_agg_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch tier of count-distinct: Apache DataSketches HLL via
