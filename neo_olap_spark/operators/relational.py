@@ -725,6 +725,31 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_window_ntile",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows: ntile buckets, percent_rank, cume_dist —
+    the per-group percentile machinery behind quantile features.
+    o_orderkey joins the ORDER BY so ties can't reorder buckets."""
+    w = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sort / limit / top-K
 # ---------------------------------------------------------------------------

@@ -66,6 +66,29 @@ def write_parquet_tuned(
     w.parquet(path)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_rows_per_file: int = 1_000_000,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ~target-sized files. A streaming sink or per-batch writer leaves
+    one file per trigger; a year of 1-minute micro-batches is 500k
+    tiny files, and at 100 TB the driver spends longer listing them
+    than reading them. Rewrite = one metadata count (parquet
+    row-group stats, no data scan) + one coalesce write — no shuffle:
+    coalesce merges input splits in place. Returns the file count
+    written."""
+    df = spark.read.parquet(src)
+    n_rows = df.count()
+    n_files = max(1, (n_rows + target_rows_per_file - 1) // target_rows_per_file)
+    df.coalesce(n_files).write.mode("overwrite").parquet(dst)
+    import glob
+
+    return len(glob.glob(f"{dst}/part-*.parquet"))
+
+
 def write_bucketed(
     df: DataFrame, table_name: str, path: str, bucket_col: str, n_buckets: int
 ) -> None:

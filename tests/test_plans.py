@@ -186,6 +186,57 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
         spark.conf.set(bcast_key, prev)
 
 
+def test_hive_partition_pruning(spark, sf_dir):
+    """An equality predicate on a hive-partition column must prune at
+    the DIRECTORY level (PartitionFilters), reading zero bytes of the
+    excluded partitions — stronger than row-group skipping."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from neo_olap_spark.sources import write_parquet_tuned
+    from neo_olap_spark.tables import load
+
+    out = tempfile.mkdtemp(prefix="neo_olap_part_") + "/orders"
+    try:
+        write_parquet_tuned(
+            load(spark, sf_dir, "orders"), out, partition_by=("o_orderstatus",)
+        )
+        df = spark.read.parquet(out).where(F.col("o_orderstatus") == "F")
+        p = plan_str(df)
+        pf = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
+        assert pf and any("o_orderstatus" in ln for ln in pf), (
+            f"partition filter did not reach the scan:\n{p}"
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_compact_parquet_reduces_files(spark, sf_dir):
+    """compact_parquet: many small files in, ~target-sized files out,
+    same content."""
+    import glob
+    import shutil
+    import tempfile
+
+    from neo_olap_spark.sources import compact_parquet
+    from neo_olap_spark.tables import load
+
+    base = tempfile.mkdtemp(prefix="neo_olap_compact_")
+    src, dst = f"{base}/src", f"{base}/dst"
+    try:
+        o = load(spark, sf_dir, "orders")
+        n = o.count()
+        o.repartition(40).write.parquet(src)  # simulate tiny-file sprawl
+        assert len(glob.glob(f"{src}/part-*.parquet")) == 40
+        n_files = compact_parquet(spark, src, dst, target_rows_per_file=n // 2 + 1)
+        assert n_files == 2
+        assert spark.read.parquet(dst).count() == n
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_every_oracle_query_analyzes(q):
     # every registered key at least builds a resolvable plan
     for key in REGISTRY:

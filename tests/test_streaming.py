@@ -48,6 +48,17 @@ def test_stream_tumbling_watermark_runs(spark, events_dir):
     assert spark.sql("SELECT * FROM t_wm").count() >= 0
 
 
+def test_stream_session_matches_batch(spark, sf_dir, events_dir):
+    """Session windows driven as a real stream (complete mode) must
+    equal the batch sessionization."""
+    from neo_olap_spark.operators.streaming import build_session
+
+    batch = build_session(load(spark, sf_dir, "events"))
+    stream = build_session(stream_events(spark, events_dir))
+    run_stream_once(stream, "t_session_test", output_mode="complete")
+    assert _rows(spark.sql("SELECT * FROM t_session_test")) == _rows(batch)
+
+
 def test_stream_dedup_matches_batch(spark, sf_dir, events_dir):
     df = streaming_dedup_with_watermark(spark, events_dir)
     run_stream_once(df, "t_dedup", output_mode="append")
