@@ -172,6 +172,35 @@ def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_scalar_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey & 255 AS BIGINT) AS low_byte,
+           CAST(o_orderkey | 15 AS BIGINT) AS or15,
+           CAST(xor(o_orderkey, 21845) AS BIGINT) AS xored,
+           CAST(bit_count(o_orderkey) AS BIGINT) AS popcnt,
+           CAST(o_orderkey << 2 AS BIGINT) AS shl2,
+           CAST(o_orderkey >> 3 AS BIGINT) AS shr3
+    FROM orders
+    """,
+)
+def q_scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: and/or/xor, popcount, shifts — the machinery
+    under hash bucketing, bitmask flags, and SimHash-style signatures."""
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).cast("long").alias("low_byte"),
+        k.bitwiseOR(F.lit(15)).cast("long").alias("or15"),
+        k.bitwiseXOR(F.lit(21845)).cast("long").alias("xored"),
+        F.bit_count(k).cast("long").alias("popcnt"),
+        F.shiftleft(k, 2).cast("long").alias("shl2"),
+        F.shiftright(k, 3).cast("long").alias("shr3"),
+    )
+
+
+@query(
     "q_scalar_posexplode",
     oracle="""
     WITH t AS (

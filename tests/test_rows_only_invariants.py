@@ -85,6 +85,17 @@ def test_hll_estimate_within_error_bound(spark, sf_dir):
         assert abs(r.hll_parts - r.exact_parts) <= max(0.08 * r.exact_parts, 3), r
 
 
+def test_limit_bearing_keys_are_deterministic(spark, sf_dir):
+    """Every LIMIT/top-K key must produce identical rows across runs —
+    a missing tie-break shows up here before it flakes the driver's
+    hash gate."""
+    for key in ("q_topn", "q_topk_per_group", "q_sql_surface", "q_sim_search"):
+        q = queries()[key]
+        a = sorted(map(tuple, q(spark, sf_dir).collect()))
+        b = sorted(map(tuple, q(spark, sf_dir).collect()))
+        assert a == b, f"{key} nondeterministic across runs"
+
+
 def test_approx_quantile_within_bound_of_exact(spark, sf_dir):
     approx = {
         r.l_returnflag: r.approx_med_price

@@ -48,6 +48,15 @@ def test_stream_tumbling_watermark_runs(spark, events_dir):
     assert spark.sql("SELECT * FROM t_wm").count() >= 0
 
 
+def test_stream_sliding_matches_batch(spark, sf_dir, events_dir):
+    from neo_olap_spark.operators.streaming import build_sliding
+
+    batch = build_sliding(load(spark, sf_dir, "events"))
+    stream = build_sliding(stream_events(spark, events_dir))
+    run_stream_once(stream, "t_sliding_test", output_mode="complete")
+    assert _rows(spark.sql("SELECT * FROM t_sliding_test")) == _rows(batch)
+
+
 def test_stream_session_matches_batch(spark, sf_dir, events_dir):
     """Session windows driven as a real stream (complete mode) must
     equal the batch sessionization."""
