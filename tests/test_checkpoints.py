@@ -78,6 +78,32 @@ def test_resume_is_round_size_independent(spark, sf_dir, ckpt_dir):
     assert _rows(resumed) == plain
 
 
+def test_pagerank_resume_equivalence(spark, sf_dir, ckpt_dir):
+    """Round-checkpointed PageRank (the reference's literal checkpoint
+    payload, page_rank.int): interrupted after one round and resumed,
+    the ranks must be bit-identical to the uninterrupted power
+    iteration."""
+    from neo_olap_spark.graph import edges, symmetrize
+    from neo_olap_spark.operators.graph_algos import (
+        all_nodes,
+        pagerank,
+        resumable_pagerank,
+    )
+
+    plain = _rows(
+        pagerank(symmetrize(edges(spark, sf_dir)), all_nodes(spark, sf_dir), n_iters=4)
+    )
+    resumable_pagerank(
+        spark, sf_dir, ckpt_dir, n_iters=4, iters_per_round=2, max_rounds=1
+    )
+    assert latest_round(ckpt_dir) == 2
+    resumed = resumable_pagerank(
+        spark, sf_dir, ckpt_dir, n_iters=4, iters_per_round=2
+    )
+    assert latest_round(ckpt_dir) == 4
+    assert _rows(resumed) == plain
+
+
 def test_partial_snapshot_is_invisible(spark, sf_dir, ckpt_dir):
     """A crash mid-write leaves only a _tmp_round staging dir, which
     latest_round must ignore — resume picks the last INTACT round."""
