@@ -34,3 +34,19 @@ def q_source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="neo_olap_json_") + "/region"
     write_json(r, out)
     return read_json(spark, out, r.schema)
+
+
+@query(
+    "q_source_orc",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source roundtrip of the supplier dim — the second
+    columnar format (row-group pruning and column projection work the
+    same as parquet; zlib-compressed, splittable)."""
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    out = tempfile.mkdtemp(prefix="neo_olap_orc_") + "/supplier"
+    s.write.mode("overwrite").orc(out)
+    return spark.read.schema(s.schema).orc(out)
