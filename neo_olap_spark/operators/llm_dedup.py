@@ -149,6 +149,76 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_jaccard_pairs(_shingled(spark, sf_dir), JACCARD_THRESHOLD)
 
 
+_NGRAM_PAIRS_CTE = f"""
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+      FROM toks
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+    cnt AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter,
+             ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM cnt
+      WHERE inter * 1.0 / (na + nb - inter) >= {JACCARD_THRESHOLD}
+    )
+"""
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    {_NGRAM_PAIRS_CTE},
+    e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM e
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+    ),
+    canon AS (
+      SELECT u AS doc_id, LEAST(u, MIN(v)) AS canonical_id
+      FROM reach GROUP BY u
+    )
+    SELECT d.doc_id, COALESCE(c.canonical_id, d.doc_id) AS canonical_id
+    FROM documents d LEFT JOIN canon c ON d.doc_id = c.doc_id
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup CLUSTERS: the pipeline's actual deliverable — every doc
+    mapped to its cluster's canonical (minimum) doc_id, so keeping
+    `doc_id == canonical_id` rows dedups the corpus with one filter.
+    Built by running the graph engine's connected-components operator
+    over the exact shingle-Jaccard pair graph (near-dup similarity is
+    not transitive, so clustering = CC over the pair graph, the
+    standard closure). Oracle = recursive transitive closure in DuckDB
+    over the identical pair set; Spark side is frontier label
+    propagation — O(cluster diameter) rounds, and dup clusters are
+    shallow. Singleton docs are their own canonical."""
+    from neo_olap_spark.graph import symmetrize as sym_edges_fn
+    from neo_olap_spark.operators.graph_algos import connected_components
+
+    d = load(spark, sf_dir, "documents")
+    pairs = exact_jaccard_pairs(_shingled(spark, sf_dir).persist(), JACCARD_THRESHOLD)
+    edges_df = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    nodes = d.select(F.col("doc_id").alias("node"))
+    labels = connected_components(
+        sym_edges_fn(edges_df), nodes, n_edges=edges_df.count() * 2 + 1
+    )
+    return labels.select(
+        F.col("node_id").alias("doc_id"), F.col("component").alias("canonical_id")
+    )
+
+
 def minhash_lsh_pairs(
     sh_df: DataFrame,
     threshold: float,
