@@ -348,6 +348,60 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_profile_stats",
+    oracle="""
+    SELECT 'o_totalprice' AS col, COUNT(*) AS n_rows,
+           CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS n_distinct,
+           ROUND(MIN(o_totalprice), 2) AS min_v, ROUND(MAX(o_totalprice), 2) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*),
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           ROUND(MIN(o_custkey), 2), ROUND(MAX(o_custkey), 2)
+    FROM orders
+    """,
+)
+def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the SUMMARIZE / data-quality pass every
+    ingest pipeline runs): rows, nulls, exact distinct, min/max per
+    column — ONE scan computes every column's profile (one wide
+    aggregate; the per-column UNION in the oracle is for SQL clarity,
+    Spark's plan reads the table once). At 100 TB swap exact distinct
+    for approx_count_distinct; min/max come free from parquet
+    footers."""
+    o = load(spark, sf_dir, "orders")
+
+    def profile(col: str):
+        return F.struct(
+            F.count("*").alias("n_rows"),
+            (F.count("*") - F.count(col)).alias("n_nulls"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.round(F.min(col), 2).alias("min_v"),
+            F.round(F.max(col), 2).alias("max_v"),
+        ).alias(col)
+
+    wide = o.agg(profile("o_totalprice"), profile("o_custkey"))
+    rows = []
+    for col in ("o_totalprice", "o_custkey"):
+        rows.append(
+            wide.select(
+                F.lit(col).alias("col"),
+                F.col(f"{col}.n_rows").alias("n_rows"),
+                F.col(f"{col}.n_nulls").alias("n_nulls"),
+                F.col(f"{col}.n_distinct").alias("n_distinct"),
+                F.col(f"{col}.min_v").cast("double").alias("min_v"),
+                F.col(f"{col}.max_v").cast("double").alias("max_v"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@query(
     "q_agg_mode",
     oracle="""
     WITH counted AS (
