@@ -103,6 +103,63 @@ def test_parquet_tuned_writer(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+asof_events = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=25
+)
+asof_orders = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=0, max_size=25
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events=asof_events, orders=asof_orders)
+def test_asof_join_property(spark, events, orders):
+    """The union+window as-of join must agree with the brute-force
+    definition on random data: for each event, the order of the same
+    user with the max (t, key) among orders with t <= event time —
+    including ties at equal timestamps and users with no orders."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    ev_rows = [(i, u, t) for i, (u, t) in enumerate(events)]
+    o_rows = [(1000 + i, u, t) for i, (u, t) in enumerate(orders)]
+
+    ev = spark.createDataFrame(ev_rows, "event_id long, user_id long, t long")
+    o = spark.createDataFrame(o_rows, "okey long, user_id long, t long") if o_rows else (
+        spark.createDataFrame([], "okey long, user_id long, t long")
+    )
+
+    # same shape as q_join_asof: union, sort, running last_value
+    left = ev.select(
+        "user_id", "t", F.lit(None).cast("long").alias("okey"),
+        F.lit(0).alias("is_order"), "event_id",
+    )
+    right = o.select(
+        "user_id", "t", "okey", F.lit(1).alias("is_order"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("t"), F.col("is_order").desc(), F.col("okey"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    got = {
+        r.event_id: r.last_okey
+        for r in left.unionByName(right)
+        .withColumn("last_okey", F.last("okey", ignorenulls=True).over(w))
+        .where(F.col("is_order") == 0)
+        .select("event_id", "last_okey")
+        .collect()
+    }
+
+    # brute force in Python
+    want = {}
+    for eid, u, t in ev_rows:
+        cands = [(ot, ok) for ok, ou, ot in o_rows if ou == u and ot <= t]
+        want[eid] = max(cands)[1] if cands else None
+    assert got == want
+
+
 @pytest.fixture(scope="module", autouse=True)
 def _warm(spark):
     # one tiny job so hypothesis timing isn't dominated by JVM warmup
