@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from neo_olap_spark.registry import query
 from neo_olap_spark.tables import load
@@ -187,9 +188,16 @@ def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
     (spark.sql.legacy.parquet.nanosAsLong) and is converted to a
     proper timestamp before any windowing.
     """
+    from neo_olap_spark.tables import _enable_nanos_as_long
+
+    _enable_nanos_as_long(spark)
     static = spark.read.parquet(events_dir)
     stream = spark.readStream.schema(static.schema).parquet(events_dir)
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(stream.schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return stream
 
 
 def run_stream_once(

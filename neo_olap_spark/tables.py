@@ -26,10 +26,25 @@ TABLES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
+def _enable_nanos_as_long(spark: SparkSession) -> None:
+    """Make TIMESTAMP(NANOS) parquet columns readable on ANY session.
+
+    ``events.parquet`` stores nanosecond timestamps, which Spark rejects
+    outright (PARQUET_TYPE_ILLEGAL) unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` is set. Our own session
+    factory sets it at build time (session.py), but callers (the driver
+    harness, notebooks) may hand us a bare SparkSession — the conf is
+    runtime-settable, so set it here at read time.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table from a scale-factor directory."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        _enable_nanos_as_long(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # ts is parquet TIMESTAMP(NANOS) read as long nanos

@@ -1,0 +1,54 @@
+"""Events must be readable under ANY SparkSession, not just ours.
+
+The driver harness builds its own bare SparkSession without our
+builder-time configs (notably spark.sql.legacy.parquet.nanosAsLong,
+required to read events.parquet's TIMESTAMP(NANOS) column). Round 1's
+only two driver failures were exactly this. These tests simulate the
+driver by UNSETTING the conf before invoking events-touching keys:
+tables.load / stream_events must re-set it at read time.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from neo_olap_spark.operators import analytics, relational, streaming
+from neo_olap_spark.tables import load
+
+NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+@pytest.fixture()
+def bare_conf(spark):
+    """Unset the nanos conf to mimic a driver-built session; restore after."""
+    spark.conf.unset(NANOS_CONF)
+    yield spark
+    spark.conf.set(NANOS_CONF, "true")
+
+
+def test_load_events_on_bare_session(bare_conf, sf_dir):
+    ev = load(bare_conf, sf_dir, "events")
+    assert isinstance(ev.schema["ts"].dataType, T.TimestampType)
+    assert ev.limit(5).count() == 5
+
+
+def test_time_rollup_on_bare_session(bare_conf, sf_dir):
+    out = analytics.q_time_rollup(bare_conf, sf_dir)
+    assert out.count() > 0
+
+
+def test_sql_surface_on_bare_session(bare_conf, sf_dir):
+    out = analytics.q_sql_surface(bare_conf, sf_dir)
+    assert out.count() > 0
+
+
+def test_join_asof_on_bare_session(bare_conf, sf_dir):
+    out = relational.q_join_asof(bare_conf, sf_dir)
+    assert out.count() > 0
+
+
+def test_stream_events_on_bare_session(bare_conf, sf_dir):
+    stream = streaming.stream_events(bare_conf, f"{sf_dir}/events.parquet")
+    assert isinstance(stream.schema["ts"].dataType, T.TimestampType)
+    assert stream.isStreaming
