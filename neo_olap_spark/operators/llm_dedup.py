@@ -32,6 +32,14 @@ from neo_olap_spark.tables import load
 N_MINHASH = 16
 N_BANDS = 4  # 4 rows per band
 MAX_BUCKET_DOCS = 1024  # cap per-LSH-bucket pair expansion
+# Document-frequency cap for the EXACT inverted-index tier: a shingle
+# appearing in more than this many docs (boilerplate headers, license
+# blocks) is a stop-shingle — its posting list alone would contribute
+# df² join rows. Dropping it bounds the self-join at O(n·df_cap) and
+# only removes pairs whose similarity is carried by corpus-common
+# text. Jaccard is then computed over the FILTERED shingle sets (both
+# intersection and union), which keeps it a true Jaccard.
+MAX_SHINGLE_DF = 1024
 JACCARD_THRESHOLD = 0.2
 COSINE_THRESHOLD = 0.4
 SIMHASH_MAX_HAMMING = 8
@@ -97,16 +105,31 @@ def _shingled_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def exact_jaccard_pairs(sh_df: DataFrame, threshold: float) -> DataFrame:
+def exact_jaccard_pairs(
+    sh_df: DataFrame, threshold: float, max_df: int = MAX_SHINGLE_DF
+) -> DataFrame:
     """Ground-truth shingle-Jaccard pairs via inverted-index join:
     explode shingles, self-join on the shingle, count intersections,
     compute |A∩B| / (|A|+|B|-|A∩B|). Only pairs sharing ≥1 shingle are
-    ever materialized — the relational form of an inverted index."""
-    ex = sh_df.select(
-        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s")
+    ever materialized — the relational form of an inverted index.
+
+    Stop-shingles (document frequency > max_df) are dropped before the
+    self-join — without the cap, ONE corpus-common shingle makes the
+    join quadratic in its posting-list length. Jaccard is computed
+    over the FILTERED sets (per-shingle df and per-doc size are window
+    counts over the exploded table, shuffling on the same keys the
+    join and pair-aggregation shuffle on anyway)."""
+    from pyspark.sql.window import Window
+
+    ex = sh_df.select("doc_id", F.explode("sh").alias("s"))
+    kept = (
+        ex.withColumn("df", F.count("*").over(Window.partitionBy("s")))
+        .where(F.col("df") <= max_df)
+        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+        .drop("df")
     )
-    a = ex.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "s")
-    b = ex.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "s")
+    a = kept.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "s")
+    b = kept.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "s")
     inter = (
         a.join(b, "s")
         .where(F.col("doc_a") < F.col("doc_b"))
@@ -131,7 +154,13 @@ def exact_jaccard_pairs(sh_df: DataFrame, threshold: float) -> DataFrame:
                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
       FROM toks
     ),
-    ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+    ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    kept AS (
+      SELECT doc_id, s FROM (
+        SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM ex0
+      ) WHERE df <= {MAX_SHINGLE_DF}
+    ),
+    ex AS (SELECT doc_id, s, COUNT(*) OVER (PARTITION BY doc_id) AS n FROM kept),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter,
              ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
@@ -159,7 +188,13 @@ _NGRAM_PAIRS_CTE = f"""
                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
       FROM toks
     ),
-    ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+    ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    kept AS (
+      SELECT doc_id, s FROM (
+        SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM ex0
+      ) WHERE df <= {MAX_SHINGLE_DF}
+    ),
+    ex AS (SELECT doc_id, s, COUNT(*) OVER (PARTITION BY doc_id) AS n FROM kept),
     cnt AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter,
              ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
@@ -208,12 +243,25 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo_olap_spark.operators.graph_algos import connected_components
 
     d = load(spark, sf_dir, "documents")
-    pairs = exact_jaccard_pairs(_shingled(spark, sf_dir).persist(), JACCARD_THRESHOLD)
-    edges_df = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    nodes = d.select(F.col("doc_id").alias("node"))
-    labels = connected_components(
-        sym_edges_fn(edges_df), nodes, n_edges=edges_df.count() * 2 + 1
+    sh = _shingled(spark, sf_dir).persist()
+    # persist the pair graph: it is consumed twice (count for the
+    # shuffle-size hint, then the CC edge build) — without the cache
+    # the expensive inverted-index join would run twice
+    edges_df = (
+        exact_jaccard_pairs(sh, JACCARD_THRESHOLD)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .persist()
     )
+    nodes = d.select(F.col("doc_id").alias("node"))
+    try:
+        # connected_components runs eagerly (iterative, localCheckpointed
+        # result), so the caches are dead weight once it returns
+        labels = connected_components(
+            sym_edges_fn(edges_df), nodes, n_edges=edges_df.count() * 2 + 1
+        )
+    finally:
+        edges_df.unpersist()
+        sh.unpersist()
     return labels.select(
         F.col("node_id").alias("doc_id"), F.col("component").alias("canonical_id")
     )
@@ -329,9 +377,15 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_dedup_ngram ground truth is asserted in tests/test_llm_ops.py).
     Runs on the HASHED shingle table (_shingled_hashed) — same set
     semantics, no trigram strings. The shingle table feeds three
-    subtrees (minhash, verify-a, verify-b) — persist so shingling
-    runs once."""
-    return minhash_lsh_pairs(_shingled_hashed(spark, sf_dir).persist(), JACCARD_THRESHOLD)
+    subtrees (minhash, verify-a, verify-b) — persist so shingling runs
+    once, then localCheckpoint the (small, post-threshold) pair result
+    eagerly so the big shingle cache can be dropped before returning
+    instead of leaking across a long-lived session."""
+    sh = _shingled_hashed(spark, sf_dir).persist()
+    try:
+        return minhash_lsh_pairs(sh, JACCARD_THRESHOLD).localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str, seed: int = 42) -> DataFrame:
@@ -386,16 +440,40 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "simhash",
         F.explode(F.array(*chunk_cols)).alias("cv"),
     ).select("doc_id", "simhash", "cv.chunk", "cv.val")
-    cand = (
-        chunks.alias("x")
-        .join(chunks.alias("y"), ["chunk", "val"])
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.col("x.simhash").alias("sig_a"),
-            F.col("y.simhash").alias("sig_b"),
+    # Candidate generation by bucket pre-aggregation with a per-bucket
+    # cap — same template as minhash_lsh_pairs. A degenerate chunk
+    # value (e.g. all-zero chunks from near-empty docs) would make the
+    # naive self-join quadratic in that bucket's size; here buckets
+    # expand all-pairs only among their first MAX_BUCKET_DOCS members
+    # (sorted by doc_id, so the cap is deterministic) and every
+    # overflow member pairs with the bucket anchor (O(n) tail).
+    # Members carry (doc_id, simhash) structs so verification needs no
+    # join back; sort_array orders by doc_id (first struct field).
+    buckets = (
+        chunks.groupBy("chunk", "val")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "simhash"))
+            ).alias("docs")
         )
+        .where(F.size("docs") > 1)
+    )
+    head_pairs = (
+        "flatten(transform(slice(docs, 1, {cap}), (x, i) -> "
+        "transform(slice(docs, i + 2, least(size(docs), {cap}) - i - 1), "
+        "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+        "x.simhash AS sig_a, y.simhash AS sig_b))))"
+    ).format(cap=MAX_BUCKET_DOCS)
+    tail_pairs = (
+        "transform(slice(docs, {cap} + 1, greatest(size(docs) - {cap}, 0)), "
+        "y -> struct(docs[1].doc_id AS doc_a, y.doc_id AS doc_b, "
+        "docs[1].simhash AS sig_a, y.simhash AS sig_b))"
+    ).format(cap=MAX_BUCKET_DOCS)
+    cand = (
+        buckets.select(
+            F.explode(F.expr(f"concat({head_pairs}, {tail_pairs})")).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b", "p.sig_a", "p.sig_b")
         .distinct()
     )
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
