@@ -170,13 +170,10 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_approx_quantile")
-def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch tier of the quantile ladder: percentile_approx (a
-    mergeable quantile sketch — partials combine across partitions, so
-    the shuffle carries one sketch per group, not the data). Rows-only;
-    tests assert each approximation lands within the accuracy bound of
-    the exact rank-based q_agg_median."""
+def approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw sketch outputs (p25/median/p75 via percentile_approx) —
+    consumed by q_agg_approx_quantile and the accuracy-invariant
+    tests."""
     return (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
@@ -190,6 +187,89 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.element_at("iqr_bounds", 1), 2).alias("p25"),
             F.round(F.element_at("iqr_bounds", 2), 2).alias("p75"),
         )
+    )
+
+
+# rank slack for the sketch tolerance oracle: percentile_approx at
+# accuracy 1000 guarantees rank error <= 0.1% of n; the oracle allows
+# 1% so the gate tests the sketch's contract, not its last digit
+_QUANT_SLACK = 0.01
+_QUANT_SPECS = (("p25", 0.25), ("med", 0.5), ("p75", 0.75))
+
+
+@query(
+    "q_agg_approx_quantile",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT l_returnflag, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+    {",".join(
+        f'''
+           ROUND(MAX(CASE WHEN rn = GREATEST(1, CAST(FLOOR(({q} - {_QUANT_SLACK}) * n) AS BIGINT))
+                          THEN l_extendedprice END), 2) AS {name}_lo,
+           ROUND(MAX(CASE WHEN rn = LEAST(n, CAST(CEIL(({q} + {_QUANT_SLACK}) * n) AS BIGINT))
+                          THEN l_extendedprice END), 2) AS {name}_hi,
+           TRUE AS {name}_ok'''
+        for name, q in _QUANT_SPECS
+    )}
+    FROM ranked GROUP BY l_returnflag
+    """,
+)
+def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch tier of the quantile ladder: percentile_approx (a
+    mergeable quantile sketch — partials combine across partitions, so
+    the shuffle carries one sketch per group, not the data).
+
+    Hash-checkable via a TOLERANCE oracle: alongside each sketch we
+    emit the EXACT values at ranks (q ± 1%)·n — which DuckDB computes
+    identically — and a boolean asserting the sketch value lies between
+    them (the sketch's contract is rank error ≤ 0.1% at accuracy 1000,
+    so 1% slack tests the contract, not the last digit). The oracle
+    returns the same bounds and literal TRUEs: the hash matches iff
+    every sketch estimate is in-bounds."""
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag")
+    ranked = li.select("l_returnflag", "l_extendedprice").select(
+        "*",
+        F.row_number().over(w.orderBy("l_extendedprice")).alias("rn"),
+        F.count("*").over(w).alias("n"),
+    )
+
+    def rank_val(rank_expr):
+        return F.max(F.when(F.col("rn") == rank_expr, F.col("l_extendedprice")))
+
+    aggs = []
+    for name, q in _QUANT_SPECS:
+        lo_rn = F.greatest(F.lit(1), F.floor((q - _QUANT_SLACK) * F.col("n")))
+        hi_rn = F.least(F.col("n"), F.ceil((q + _QUANT_SLACK) * F.col("n")))
+        aggs += [
+            F.round(rank_val(lo_rn), 2).alias(f"{name}_lo"),
+            F.round(rank_val(hi_rn), 2).alias(f"{name}_hi"),
+        ]
+    bounds = ranked.groupBy("l_returnflag").agg(*aggs)
+    sketch = approx_quantile_sketch(spark, sf_dir).withColumnsRenamed(
+        {"approx_med_price": "med_est", "p25": "p25_est", "p75": "p75_est"}
+    )
+    joined = bounds.join(sketch, "l_returnflag")
+    return joined.select(
+        "l_returnflag",
+        *[
+            c
+            for name, _ in _QUANT_SPECS
+            for c in (
+                F.col(f"{name}_lo"),
+                F.col(f"{name}_hi"),
+                F.col(f"{name}_est")
+                .between(F.col(f"{name}_lo"), F.col(f"{name}_hi"))
+                .alias(f"{name}_ok"),
+            )
+        ],
     )
 
 
@@ -438,17 +518,9 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_hll")
-def q_agg_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch tier of count-distinct: Apache DataSketches HLL via
-    hll_sketch_agg. The sketch is MERGEABLE — partials combine across
-    partitions and across time windows, so the shuffle carries one
-    ~KB sketch per group instead of the distinct key set, and
-    incremental pipelines can union yesterday's sketch with today's
-    (hll_union) without re-reading history. Exact countDistinct on the
-    same rows is returned alongside for the accuracy invariant test
-    (HLL lgK=12 ⇒ ~1.6% standard error). Rows-only: sketch estimates
-    aren't reproducible in DuckDB."""
+def hll_sketch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw HLL estimates alongside exact countDistinct — consumed by
+    q_agg_hll and the accuracy-invariant tests."""
     li = load(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
@@ -463,6 +535,38 @@ def q_agg_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hll_parts").cast("long").alias("hll_parts"),
             F.col("exact_parts").cast("long").alias("exact_parts"),
         )
+    )
+
+
+@query(
+    "q_agg_hll",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS hll_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch tier of count-distinct: Apache DataSketches HLL via
+    hll_sketch_agg. The sketch is MERGEABLE — partials combine across
+    partitions and across time windows, so the shuffle carries one
+    ~KB sketch per group instead of the distinct key set, and
+    incremental pipelines can union yesterday's sketch with today's
+    (hll_union) without re-reading history.
+
+    Hash-checkable via a TOLERANCE oracle: the output carries the
+    exact distinct count (cross-checked by DuckDB) plus a boolean
+    asserting the HLL estimate lands within ±5 σ-ish of it (lgK=12 ⇒
+    ~1.6% standard error; envelope 8% relative or ±3 absolute). The
+    oracle emits literal TRUE, so the hash matches iff the sketch
+    honors its error bound."""
+    counts = hll_sketch_counts(spark, sf_dir)
+    envelope = F.greatest(0.08 * F.col("exact_parts"), F.lit(3.0))
+    return counts.select(
+        "l_returnflag",
+        "exact_parts",
+        (F.abs(F.col("hll_parts") - F.col("exact_parts")) <= envelope).alias("hll_ok"),
     )
 
 

@@ -78,11 +78,15 @@ def test_stratified_sample_rates_and_determinism(spark, sf_dir):
 
 
 def test_hll_estimate_within_error_bound(spark, sf_dir):
-    rows = queries()["q_agg_hll"](spark, sf_dir).collect()
+    from neo_olap_spark.operators.analytics import hll_sketch_counts
+
+    rows = hll_sketch_counts(spark, sf_dir).collect()
     assert rows
     for r in rows:
         # lgK=12 => ~1.6% standard error; 5-sigma-ish envelope
         assert abs(r.hll_parts - r.exact_parts) <= max(0.08 * r.exact_parts, 3), r
+    # the registered key folds that envelope into its tolerance oracle
+    assert all(r.hll_ok for r in queries()["q_agg_hll"](spark, sf_dir).collect())
 
 
 def test_limit_bearing_keys_are_deterministic(spark, sf_dir):
@@ -97,9 +101,11 @@ def test_limit_bearing_keys_are_deterministic(spark, sf_dir):
 
 
 def test_approx_quantile_within_bound_of_exact(spark, sf_dir):
+    from neo_olap_spark.operators.analytics import approx_quantile_sketch
+
     approx = {
         r.l_returnflag: r.approx_med_price
-        for r in queries()["q_agg_approx_quantile"](spark, sf_dir).collect()
+        for r in approx_quantile_sketch(spark, sf_dir).collect()
     }
     exact = {
         r.l_returnflag: r.med_price
@@ -111,6 +117,9 @@ def test_approx_quantile_within_bound_of_exact(spark, sf_dir):
         # a 2% relative envelope is comfortably loose
         assert abs(approx[flag] - med) / med < 0.02
     # p25 <= median <= p75 sanity
-    rows = queries()["q_agg_approx_quantile"](spark, sf_dir).collect()
+    rows = approx_quantile_sketch(spark, sf_dir).collect()
     for r in rows:
         assert r.p25 <= r.approx_med_price <= r.p75
+    # the registered key folds the rank bounds into its tolerance oracle
+    for r in queries()["q_agg_approx_quantile"](spark, sf_dir).collect():
+        assert r.p25_ok and r.med_ok and r.p75_ok, r
