@@ -21,6 +21,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 _ROUND_RE = re.compile(r"^round=(\d+)$")
+_TMP_ROUND_RE = re.compile(r"^_tmp_round=\d+$")
 
 
 def round_dir(base: str, step: int) -> str:
@@ -46,8 +47,16 @@ def write_round(dfs: dict[str, DataFrame], base: str, step: int) -> None:
     every table landed — latest_round never matches a partial
     snapshot, so an interrupted writer resumes from the previous
     intact round."""
-    tmp = Path(base) / f"_tmp_round={step}"
-    shutil.rmtree(tmp, ignore_errors=True)
+    base_p = Path(base)
+    if base_p.is_dir():
+        # drop ALL stale staging dirs, not just this step's: a crash
+        # mid-snapshot followed by a resume with different
+        # steps_per_round would otherwise orphan its _tmp_round=<n>
+        # forever (no later write ever targets that exact step)
+        for d in base_p.iterdir():
+            if _TMP_ROUND_RE.match(d.name):
+                shutil.rmtree(d, ignore_errors=True)
+    tmp = base_p / f"_tmp_round={step}"
     for name, df in dfs.items():
         df.write.mode("overwrite").parquet(str(tmp / name))
     final = Path(round_dir(base, step))

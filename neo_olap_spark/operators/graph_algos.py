@@ -299,12 +299,18 @@ def _walk_setup(spark: SparkSession, sf_dir: str, n_walkers: int, seed: int):
         n_nodes = tele_nodes.count()
     else:
         tele_nodes = None
+    # the windowed set is bounded by n_walkers (TopN-pruned before the
+    # window), so one partition is fine at any SF; the constant
+    # partition key only declares that explicitly instead of tripping
+    # WindowExec's "No Partition Defined" warning
     walkers = (
         nodes_all.withColumn("h", F.xxhash64(F.col("node"), F.lit(seed)))
         .orderBy("h")
         .limit(n_walkers)
         .select(
-            (F.row_number().over(W.orderBy("h")) - 1).alias("walker_id"),
+            (F.row_number().over(W.partitionBy(F.lit(0)).orderBy("h")) - 1).alias(
+                "walker_id"
+            ),
             F.col("node"),
             F.lit(0).alias("step"),
         )

@@ -3,10 +3,16 @@
 Each writes a dimension table out in the interchange format, reads it
 back with an explicit schema, and returns the full content — so the
 oracle hash-match proves the roundtrip is lossless, not just countable.
+
+The roundtrip directories are temp space: each query materializes the
+read-back rows (dimension tables — bounded small) and deletes its
+directory before returning, so repeated verification runs don't
+accumulate disk.
 """
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -16,14 +22,25 @@ from neo_olap_spark.sources import read_csv, read_json, write_csv, write_json
 from neo_olap_spark.tables import load
 
 
+def _materialize_and_clean(df: DataFrame, tmp_root: str) -> DataFrame:
+    """Collect the (small, dimension-sized) read-back result so the
+    temp directory can be deleted immediately; rebuild a DataFrame
+    with the identical schema for the caller."""
+    spark = df.sparkSession
+    try:
+        return spark.createDataFrame(df.collect(), df.schema)
+    finally:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+
+
 @query("q_source_csv", oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation")
 def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV sink + source roundtrip of the nation dim (explicit schema,
     header on; quoting handles embedded delimiters)."""
     n = load(spark, sf_dir, "nation")
-    out = tempfile.mkdtemp(prefix="neo_olap_csv_") + "/nation"
-    write_csv(n, out)
-    return read_csv(spark, out, n.schema)
+    root = tempfile.mkdtemp(prefix="neo_olap_csv_")
+    write_csv(n, root + "/nation")
+    return _materialize_and_clean(read_csv(spark, root + "/nation", n.schema), root)
 
 
 @query("q_source_json", oracle="SELECT r_regionkey, r_name FROM region")
@@ -31,9 +48,9 @@ def q_source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines sink + source roundtrip of the region dim (explicit
     schema — inference would be an extra full pass at scale)."""
     r = load(spark, sf_dir, "region")
-    out = tempfile.mkdtemp(prefix="neo_olap_json_") + "/region"
-    write_json(r, out)
-    return read_json(spark, out, r.schema)
+    root = tempfile.mkdtemp(prefix="neo_olap_json_")
+    write_json(r, root + "/region")
+    return _materialize_and_clean(read_json(spark, root + "/region", r.schema), root)
 
 
 @query(
@@ -47,6 +64,8 @@ def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
     )
-    out = tempfile.mkdtemp(prefix="neo_olap_orc_") + "/supplier"
-    s.write.mode("overwrite").orc(out)
-    return spark.read.schema(s.schema).orc(out)
+    root = tempfile.mkdtemp(prefix="neo_olap_orc_")
+    s.write.mode("overwrite").orc(root + "/supplier")
+    return _materialize_and_clean(
+        spark.read.schema(s.schema).orc(root + "/supplier"), root
+    )

@@ -69,15 +69,22 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Parquet replaces the reference's length-prefixed binary int files:
     columnar, compressed, splittable across executors.
     """
+    import shutil
+
     li = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 1000)
-    out = tempfile.mkdtemp(prefix="neo_olap_roundtrip_") + "/li"
-    li.write.mode("overwrite").parquet(out)
-    back = spark.read.parquet(out)
-    return back.agg(
-        F.count("*").alias("n_rows"),
-        F.sum("l_orderkey").alias("sum_key"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-    )
+    root = tempfile.mkdtemp(prefix="neo_olap_roundtrip_")
+    try:
+        li.write.mode("overwrite").parquet(root + "/li")
+        back = spark.read.parquet(root + "/li")
+        agg = back.agg(
+            F.count("*").alias("n_rows"),
+            F.sum("l_orderkey").alias("sum_key"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        # one-row result: materialize so the temp dir can go now
+        return spark.createDataFrame(agg.collect(), agg.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

@@ -117,3 +117,22 @@ def test_partial_snapshot_is_invisible(spark, sf_dir, ckpt_dir):
     # final dir does not
     (pathlib.Path(ckpt_dir) / "_tmp_round=8" / "frontier").mkdir(parents=True)
     assert latest_round(ckpt_dir) == 4
+
+
+def test_stale_staging_swept_on_next_write(spark, sf_dir, ckpt_dir):
+    """An orphaned staging dir from a crashed run with a DIFFERENT
+    round size must be deleted by the next snapshot, not accumulate
+    forever (no later write ever targets that exact step)."""
+    import pathlib
+
+    # crashed run staged round 3 (steps_per_round the resume won't use)
+    (pathlib.Path(ckpt_dir) / "_tmp_round=3" / "frontier").mkdir(parents=True)
+    resumable_random_walk_counts(
+        spark, sf_dir, ckpt_dir, steps_per_round=4, max_rounds=1, **ARGS
+    )
+    leftovers = [
+        p.name
+        for p in pathlib.Path(ckpt_dir).iterdir()
+        if p.name.startswith("_tmp_round=")
+    ]
+    assert leftovers == []
