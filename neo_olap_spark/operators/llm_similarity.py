@@ -84,6 +84,51 @@ def q_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(e, e.where(F.col("vec_id") < N_QUERIES), TOP_K)
 
 
+KMEANS_SAMPLE_CAP = 10_000
+KMEANS_ITERS = 10
+
+
+def _kmeans_centroids(
+    corpus_n: DataFrame,
+    n_cells: int,
+    seed: int,
+    sample_cap: int = KMEANS_SAMPLE_CAP,
+    n_iters: int = KMEANS_ITERS,
+):
+    """Spherical k-means centroids, fit driver-side on a deterministic
+    hash-sample (the sample_cap vectors with the lowest xxhash64).
+
+    The collect is bounded at O(sample_cap), never O(corpus) — the
+    at-scale shape: a fixed-size sample fits a codebook the whole
+    corpus is then quantized against distributedly. Determinism: init
+    = the first n_cells sample vectors in hash order, fixed Lloyd
+    iteration count, argmax ties to the lowest cell index. Returns a
+    list of unit-norm centroid rows (cell, cent, cent_n=1.0).
+    """
+    import numpy as np
+
+    sample = (
+        corpus_n.withColumn("h", F.xxhash64("vec_id", F.lit(seed)))
+        .orderBy("h")
+        .limit(sample_cap)
+        .select("embedding")
+        .collect()
+    )
+    X = np.stack([r.embedding for r in sample]).astype(np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    C = X[: min(n_cells, len(X))].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    C[c] = v / nv
+    return [(i + 1, [float(x) for x in C[i]], 1.0) for i in range(len(C))]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries_df: DataFrame,
@@ -91,29 +136,42 @@ def ivf_topk(
     n_cells: int = N_CELLS,
     n_probe: int = N_PROBE,
     seed: int = 42,
+    centroids: str = "kmeans",
 ) -> DataFrame:
-    """IVF-style ANN: centroids = the n_cells corpus vectors with the
-    lowest xxhash64 (deterministic sampling — at scale: k-means fit on
-    a sample); every vector is assigned to its nearest centroid; a
-    query probes its n_probe nearest cells and brute-forces only those.
+    """IVF-style ANN: a centroid codebook coarse-quantizes the corpus;
+    every vector is assigned to its nearest centroid; a query probes
+    its n_probe nearest cells and brute-forces only those.
+
+    centroids="kmeans" (default) fits a spherical k-means codebook on
+    a bounded deterministic sample (_kmeans_centroids) — better cell
+    balance and recall than raw sampling at equal n_probe (asserted in
+    tests/test_llm_ops.py). centroids="hash" keeps the cheaper tier:
+    the n_cells corpus vectors with the lowest xxhash64.
     """
     from neo_olap_spark.functions import dot, norm
 
+    spark = corpus.sparkSession
     # norms precomputed per vector/centroid once — cosine() would
     # re-fold both norms per PAIR (see brute_force_topk)
     corpus_n = corpus.select(
         "vec_id", "embedding", norm(F.col("embedding")).alias("vn")
     )
-    cents = (
-        corpus_n.withColumn("h", F.xxhash64("vec_id", F.lit(seed)))
-        .orderBy("h")
-        .limit(n_cells)
-        .select(
-            F.row_number().over(W.orderBy("h")).alias("cell"),
-            F.col("embedding").alias("cent"),
-            F.col("vn").alias("cent_n"),
+    if centroids == "kmeans":
+        cents = spark.createDataFrame(
+            _kmeans_centroids(corpus_n, n_cells, seed),
+            "cell int, cent array<double>, cent_n double",
         )
-    )
+    else:
+        cents = (
+            corpus_n.withColumn("h", F.xxhash64("vec_id", F.lit(seed)))
+            .orderBy("h")
+            .limit(n_cells)
+            .select(
+                F.row_number().over(W.orderBy("h")).alias("cell"),
+                F.col("embedding").alias("cent"),
+                F.col("vn").alias("cent_n"),
+            )
+        )
     # assign corpus vectors to nearest centroid (cells broadcast twice:
     # once for assignment, once for probing — both tiny)
     sim_to_cent = dot(F.col("embedding"), F.col("cent")) / (F.col("vn") * F.col("cent_n"))

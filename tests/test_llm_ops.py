@@ -83,9 +83,26 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 5)
     exact = {(r.query_id, r.vec_id) for r in brute_force_topk(e, q, 10).collect()}
-    approx = {(r.query_id, r.vec_id) for r in ivf_topk(e, q, 10).collect()}
-    # ANN with 4/16 probes should still find a reasonable share of true top-10
-    assert len(approx & exact) / len(exact) >= 0.3
+
+    def recall(mode):
+        got = {
+            (r.query_id, r.vec_id)
+            for r in ivf_topk(e, q, 10, centroids=mode).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r_kmeans, r_hash = recall("kmeans"), recall("hash")
+    # ANN with 4/16 probes should still find a reasonable share of true
+    # top-10, and the fitted codebook must not be worse than raw
+    # sampling at equal n_probe (measured 0.62 vs 0.46 at sf0.001,
+    # 0.48 vs 0.48 at sf0.01)
+    assert r_kmeans >= 0.45
+    assert r_kmeans >= r_hash
+
+    # deterministic codebook: identical result sets across runs
+    a = sorted(map(tuple, ivf_topk(e, q, 10).collect()))
+    b = sorted(map(tuple, ivf_topk(e, q, 10).collect()))
+    assert a == b
 
 
 def test_multimodal_decode_shape(spark, sf_dir):
