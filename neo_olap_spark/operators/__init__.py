@@ -5,6 +5,7 @@ from neo_olap_spark.operators import (  # noqa: F401
     graph_algos,
     io_sources,
     llm_dedup,
+    llm_pipeline,
     llm_similarity,
     llm_text,
     multimodal,

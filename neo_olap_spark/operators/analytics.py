@@ -115,6 +115,36 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form ROLLUP/CUBE desugar
+    to): per-status totals, per-priority totals, and the grand total
+    in ONE shuffle — Spark expands the grouping sets map-side, so the
+    aggregate is still a single exchange rather than three scans
+    unioned. NULL group markers are coalesced to 'ALL' so the oracle
+    hash is null-order-proof."""
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("q_gs_orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total
+        FROM q_gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
     "q_agg_salted",
     oracle="""
     SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS cnt

@@ -1,0 +1,248 @@
+"""Training-data pipeline operators beyond per-document scoring:
+benchmark decontamination, mixture sampling, context-window packing,
+and embedding quantization (north star surface — the stages a 100 TB
+corpus passes through between raw scrape and training shards).
+
+All oracle-checked. Scale notes per operator; the common theme is that
+every stage is a declarative plan (expressions + one bounded shuffle),
+never a driver-side loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from neo_olap_spark.functions import shingles, ws_tokens
+from neo_olap_spark.registry import query
+from neo_olap_spark.tables import load
+
+# every doc_id divisible by BENCH_MOD plays the "held-out benchmark";
+# the rest is the training corpus to be decontaminated against it
+BENCH_MOD = 50
+CONTAM_THRESHOLD = 0.2
+
+# deterministic per-language mixture rates (per-mille, integer compare
+# so Spark and DuckDB agree bit-for-bit)
+MIX_RATES_PM = {"en": 1000, "es": 500, "de": 250, "fr": 100}
+MIX_HASH_A, MIX_HASH_M = 1_000_003, 1000
+
+CONTEXT_TOKENS = 512  # packing target window
+
+QUANT_BITS_MAX = 127  # symmetric int8
+
+
+_DECON_SHINGLE_CTE = """
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+      FROM toks WHERE len(t) >= 3
+    )
+"""
+
+
+@query(
+    "q_text_decontaminate",
+    oracle=f"""
+    WITH
+    {_DECON_SHINGLE_CTE},
+    bench AS (
+      SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % {BENCH_MOD} = 0
+    ),
+    corpus AS (
+      SELECT doc_id, len(shingles) AS n_shingles, unnest(shingles) AS s
+      FROM sh WHERE doc_id % {BENCH_MOD} <> 0
+    ),
+    hits AS (
+      SELECT c.doc_id, ANY_VALUE(c.n_shingles) AS n_shingles,
+             COUNT(b.s) AS n_contaminated
+      FROM corpus c LEFT JOIN bench b ON c.s = b.s
+      GROUP BY c.doc_id
+    )
+    SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_contaminated AS BIGINT) AS n_contaminated,
+           ROUND(n_contaminated * 1.0 / n_shingles, 4) AS contam_ratio,
+           n_contaminated * 1.0 / n_shingles >= {CONTAM_THRESHOLD} AS flagged
+    FROM hits
+    """,
+)
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs whose 3-gram
+    shingle overlap with a held-out benchmark set (doc_id % BENCH_MOD
+    == 0) exceeds CONTAM_THRESHOLD — the standard eval-leakage gate a
+    training pipeline runs before sharding.
+
+    Scale shape: the benchmark shingle set is orders of magnitude
+    smaller than the corpus (it's an eval suite), so the membership
+    probe is a broadcast LEFT join against the distinct benchmark
+    shingles; the corpus side stays one explode + one groupBy(doc_id)
+    — no corpus self-join anywhere."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", ws_tokens(F.col("text")).alias("t")).where(
+        F.size("t") >= 3
+    )
+    sh = toks.select("doc_id", shingles(F.col("t")).alias("sh"))
+    bench = (
+        sh.where(F.col("doc_id") % BENCH_MOD == 0)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+        .withColumn("is_bench", F.lit(1))
+    )
+    corpus = sh.where(F.col("doc_id") % BENCH_MOD != 0).select(
+        "doc_id", F.size("sh").alias("n_shingles"), F.explode("sh").alias("s")
+    )
+    hits = (
+        corpus.join(F.broadcast(bench), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_shingles").alias("n_shingles"),
+            F.count("is_bench").alias("n_contaminated"),
+        )
+    )
+    ratio = F.col("n_contaminated") / F.col("n_shingles")
+    return hits.select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_contaminated").cast("long").alias("n_contaminated"),
+        F.round(ratio, 4).alias("contam_ratio"),
+        (ratio >= CONTAM_THRESHOLD).alias("flagged"),
+    )
+
+
+def _mix_keep_sql() -> str:
+    rate = " ".join(
+        f"WHEN lang = '{lg}' THEN {pm}" for lg, pm in MIX_RATES_PM.items()
+    )
+    return (
+        f"(doc_id * {MIX_HASH_A} + 7) % {MIX_HASH_M} < (CASE {rate} ELSE 0 END)"
+    )
+
+
+@query(
+    "q_mix_sample",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_mix_keep_sql()}
+    """,
+)
+def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture sampling: downsample each language to a target
+    rate (MIX_RATES_PM, per-mille) with a DETERMINISTIC per-doc keep
+    decision — an integer hash of doc_id compared against the rate, so
+    reruns and both engines select the identical subset (seeded
+    rand() would not be reproducible across engines).
+
+    Scale shape: a pure per-row predicate on the scan — no shuffle,
+    no per-language pass; rebalancing a 100 TB corpus's language mix
+    is one filter."""
+    d = load(spark, sf_dir, "documents")
+    rate = F.lit(0)
+    for lg, pm in reversed(MIX_RATES_PM.items()):
+        rate = F.when(F.col("lang") == lg, F.lit(pm)).otherwise(rate)
+    keep = ((F.col("doc_id") * MIX_HASH_A + 7) % MIX_HASH_M) < rate
+    return d.where(keep).select("doc_id", "lang")
+
+
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    ),
+    b AS (
+      SELECT source, CAST(FLOOR((cum - n_tokens) / {CONTEXT_TOKENS}) AS BIGINT) AS bin,
+             doc_id, n_tokens
+      FROM c
+    )
+    SELECT source, bin, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM b GROUP BY source, bin
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: assign documents (in deterministic
+    doc_id order, per source) to training windows of CONTEXT_TOKENS by
+    cumulative token count — each doc lands in the bin its starting
+    offset falls into, the streaming-friendly packing a shard writer
+    uses.
+
+    Scale shape: the running sum is windowed PER SOURCE, so packing
+    parallelizes across sources instead of funneling the corpus
+    through one global cumsum partition; within a source the window
+    is one sort-based pass."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "source", "doc_id", F.size(ws_tokens(F.col("text"))).alias("n_tokens")
+    )
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    b = c.select(
+        "source",
+        F.floor((F.col("cum") - F.col("n_tokens")) / CONTEXT_TOKENS).alias("bin"),
+        "doc_id",
+        "n_tokens",
+    )
+    return b.groupBy("source", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+@query(
+    "q_embed_quantize",
+    oracle=f"""
+    WITH m AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+      FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND(max_abs / {QUANT_BITS_MAX}, 6) AS scale,
+           array_to_string(
+             list_transform(embedding, x ->
+               CAST(FLOOR(CAST(x AS DOUBLE) * {QUANT_BITS_MAX} / max_abs + 0.5) AS BIGINT)),
+             ',') AS q_csv
+    FROM m WHERE max_abs > 0
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization: per vector, scale =
+    max|x|/127 and q_i = floor(x_i·127/max|x| + 0.5) — the 4×
+    shrink an embedding store applies before ANN serving. floor(x+.5)
+    instead of round() because the engines' round-half rules differ;
+    the quantized vector is emitted as a CSV string so the oracle
+    hash covers every component exactly.
+
+    Scale shape: pure per-row expressions over the scan — no shuffle,
+    no UDF; the transform stays in whole-stage codegen."""
+    e = load(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")  # noqa: E731
+    m = e.select(
+        "vec_id",
+        "embedding",
+        F.array_max(F.transform("embedding", lambda x: F.abs(xd(x)))).alias("max_abs"),
+    ).where(F.col("max_abs") > 0)
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(xd(x) * QUANT_BITS_MAX / F.col("max_abs") + 0.5).cast("long"),
+    )
+    return m.select(
+        "vec_id",
+        F.round(F.col("max_abs") / QUANT_BITS_MAX, 6).alias("scale"),
+        F.concat_ws(",", F.transform(q, lambda v: v.cast("string"))).alias("q_csv"),
+    )

@@ -237,6 +237,39 @@ def test_compact_parquet_reduces_files(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_mix_sample_is_pure_scan_filter(q):
+    # mixture sampling must be a per-row predicate on the scan — no
+    # shuffle, no join, no aggregation anywhere in the plan
+    p = plan_str(q("q_mix_sample"), mode="simple")
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "Aggregate" not in p
+
+
+def test_embed_quantize_is_shuffle_free(q):
+    # int8 quantization is per-row expression work over the scan
+    p = plan_str(q("q_embed_quantize"), mode="simple")
+    assert "Exchange" not in p
+    assert "Join" not in p
+
+
+def test_decontaminate_broadcasts_benchmark(q):
+    # the benchmark shingle set is the small side: broadcast membership
+    # probe, never a sort-merge or cartesian of the corpus
+    p = plan_str(q("q_text_decontaminate"), mode="simple")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_pack_sequences_partitions_by_source(q):
+    # the packing cumsum must window per source (parallel across
+    # sources), not via a global single-partition window
+    p = plan_str(q("q_pack_sequences"), mode="simple")
+    assert "Window" in p
+    assert "SinglePartition" not in p
+
+
 def test_every_oracle_query_analyzes(q):
     # every registered key at least builds a resolvable plan
     for key in REGISTRY:
