@@ -601,6 +601,39 @@ def q_agg_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_agg_hll_union",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS merged_ok
+    FROM lineitem
+    """,
+)
+def q_agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sketch pipeline: sketch two halves of lineitem
+    independently (yesterday's shard / today's shard), merge the
+    binary sketches with hll_union_agg, estimate — the mergeability
+    property that lets a 100 TB pipeline maintain rolling distinct
+    counts without re-reading history. Tolerance oracle: exact
+    distinct count (cross-checked) + a boolean asserting the MERGED
+    estimate still honors the HLL error envelope."""
+    li = load(spark, sf_dir, "lineitem")
+    halves = (
+        li.withColumn("half", F.pmod("l_orderkey", F.lit(2)))
+        .groupBy("half")
+        .agg(F.hll_sketch_agg("l_partkey", F.lit(12)).alias("sk"))
+    )
+    merged = halves.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = li.agg(F.countDistinct("l_partkey").alias("exact_parts"))
+    envelope = F.greatest(0.08 * F.col("exact_parts"), F.lit(3.0))
+    return merged.crossJoin(exact).select(
+        F.col("exact_parts").cast("long").alias("exact_parts"),
+        (F.abs(F.col("est") - F.col("exact_parts")) <= envelope).alias("merged_ok"),
+    )
+
+
+@query(
     "q_agg_median",
     oracle="""
     WITH r AS (

@@ -388,6 +388,36 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.unpersist()
 
 
+@query("q_dedup_near_clusters")
+def q_dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clusters from the APPROXIMATE tier: connected components
+    over the MinHash-LSH pair graph — the shape that actually runs at
+    100 TB, where the exact inverted-index tier is only the bounded
+    ground-truth check. Every doc maps to its cluster's minimum doc_id.
+
+    Rows-only (xxhash64 minhashes aren't reproducible in DuckDB), but
+    structurally invariant-checked in tests: LSH pairs are a subset of
+    the exact pair graph (candidates are verified with true Jaccard),
+    so these clusters must REFINE q_dedup_clusters' exact clusters."""
+    from neo_olap_spark.graph import symmetrize
+    from neo_olap_spark.operators.graph_algos import connected_components
+
+    d = load(spark, sf_dir, "documents")
+    sh = _shingled_hashed(spark, sf_dir).persist()
+    try:
+        pairs = minhash_lsh_pairs(sh, JACCARD_THRESHOLD).localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    nodes = d.select(F.col("doc_id").alias("node"))
+    labels = connected_components(
+        symmetrize(edges), nodes, n_edges=edges.count() * 2 + 1
+    )
+    return labels.select(
+        F.col("node_id").alias("doc_id"), F.col("component").alias("canonical_id")
+    )
+
+
 def simhash_signatures(spark: SparkSession, sf_dir: str, seed: int = 42) -> DataFrame:
     """64-bit SimHash per document: per token, xxhash64 gives 64 bits;
     each bit votes ±1; the signature is the sign vector packed into a

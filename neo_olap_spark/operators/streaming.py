@@ -181,6 +181,18 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _copy_events_parquet(spark: SparkSession, sf_dir: str, dest_dir: str) -> None:
+    """Copy events.parquet into a stream-source directory. Routed
+    through the same nanos guard as tables.load so the copy read works
+    under ANY SparkSession (events.ts is TIMESTAMP(NANOS))."""
+    from neo_olap_spark.tables import _enable_nanos_as_long
+
+    _enable_nanos_as_long(spark)
+    spark.read.parquet(f"{sf_dir}/events.parquet").write.mode("overwrite").parquet(
+        dest_dir
+    )
+
+
 def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
     """Structured Streaming source over a directory of events parquet.
 
@@ -275,9 +287,7 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events_dir = tempfile.mkdtemp(prefix="neo_olap_ssjoin_")
     try:
-        spark.read.parquet(f"{sf_dir}/events.parquet").write.mode("overwrite").parquet(
-            events_dir
-        )
+        _copy_events_parquet(spark, sf_dir, events_dir)
         name = _fresh_sink_name("t_ssjoin")
         run_stream_once(
             streaming_interval_join(spark, events_dir), name, output_mode="append"
@@ -310,9 +320,7 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events_dir = tempfile.mkdtemp(prefix="neo_olap_ssjoin_outer_")
     try:
-        spark.read.parquet(f"{sf_dir}/events.parquet").write.mode("overwrite").parquet(
-            events_dir
-        )
+        _copy_events_parquet(spark, sf_dir, events_dir)
         name = _fresh_sink_name("t_ssjoin_outer")
         run_stream_once(
             streaming_interval_join_outer(spark, events_dir), name, output_mode="append"
@@ -495,9 +503,7 @@ def q_stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     provider_key = "spark.sql.streaming.stateStore.providerClass"
     prev_provider = spark.conf.get(provider_key, None)
     try:
-        spark.read.parquet(f"{sf_dir}/events.parquet").write.mode("overwrite").parquet(
-            events_dir
-        )
+        _copy_events_parquet(spark, sf_dir, events_dir)
         spark.conf.set(provider_key, ROCKSDB_PROVIDER)
         name = _fresh_sink_name("t_tws")
         run_stream_once(streaming_type_counts(spark, events_dir), name, output_mode="update")
@@ -585,9 +591,7 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events_dir = tempfile.mkdtemp(prefix="neo_olap_enrich_")
     try:
-        spark.read.parquet(f"{sf_dir}/events.parquet").write.mode("overwrite").parquet(
-            events_dir
-        )
+        _copy_events_parquet(spark, sf_dir, events_dir)
         name = _fresh_sink_name("t_enrich")
         customer = load(spark, sf_dir, "customer")
         run_stream_once(
@@ -620,9 +624,7 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events_dir = tempfile.mkdtemp(prefix="neo_olap_stateful_")
     try:
-        spark.read.parquet(f"{sf_dir}/events.parquet").write.mode("overwrite").parquet(
-            events_dir
-        )
+        _copy_events_parquet(spark, sf_dir, events_dir)
         name = _fresh_sink_name("t_stateful")
         run_stream_once(streaming_user_stats(spark, events_dir), name, output_mode="update")
         mem = spark.table(name)

@@ -105,6 +105,23 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert a == b
 
 
+def test_near_clusters_refine_exact_clusters(spark, sf_dir):
+    """LSH pairs are Jaccard-verified, so the LSH pair graph is a
+    subgraph of the exact pair graph — every approximate cluster must
+    sit entirely inside one exact cluster (refinement), and canonical
+    ids must be cluster minima over the full doc set."""
+    from neo_olap_spark.registry import queries
+
+    qs = queries()
+    near = {r.doc_id: r.canonical_id for r in qs["q_dedup_near_clusters"](spark, sf_dir).collect()}
+    exact = {r.doc_id: r.canonical_id for r in qs["q_dedup_clusters"](spark, sf_dir).collect()}
+    assert set(near) == set(exact)  # every doc labeled
+    for doc, canon in near.items():
+        assert canon <= doc
+        # same near-cluster => same exact-cluster
+        assert exact[doc] == exact[canon], (doc, canon)
+
+
 def test_multimodal_decode_shape(spark, sf_dir):
     m = multimodal_table(spark, sf_dir)
     out = decode_multimodal(m)

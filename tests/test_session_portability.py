@@ -52,3 +52,10 @@ def test_stream_events_on_bare_session(bare_conf, sf_dir):
     stream = streaming.stream_events(bare_conf, f"{sf_dir}/events.parquet")
     assert isinstance(stream.schema["ts"].dataType, T.TimestampType)
     assert stream.isStreaming
+
+
+def test_stream_query_copy_path_on_bare_session(bare_conf, sf_dir):
+    # the q_stream_* wrappers copy events.parquet into a temp stream
+    # source — that read must also survive a session without the conf
+    out = streaming.q_stream_join(bare_conf, sf_dir)
+    assert out.count() >= 0
