@@ -13,4 +13,5 @@ from neo_olap_spark.operators import (  # noqa: F401
     relational,
     scalars,
     streaming,
+    subqueries,
 )

@@ -668,3 +668,125 @@ def q_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.round(F.min("l_extendedprice"), 2).alias("med_price"))
     )
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap, in micros
+
+
+@query(
+    "q_sessionize",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, event_id, ts, value,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > {SESSION_GAP_US}
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM g
+    )
+    SELECT user_id, session_seq,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM s
+    GROUP BY user_id, session_seq
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: split each user's event stream into
+    sessions at >30-minute inactivity gaps (the batch twin of
+    q_stream_session's session windows).
+
+    Gap detection, session numbering (running sum of gap flags), and
+    the per-session rollup all share ONE partitioning on user_id: the
+    two window functions and the final groupBy reuse a single
+    Exchange, so the whole operator is one shuffle end-to-end at any
+    scale. Gaps compare integer microseconds (timestampdiff vs DuckDB
+    epoch_us) — no float time arithmetic, engine-exact; timestampdiff
+    handles both TIMESTAMP and the TIMESTAMP_NTZ that Spark 4.1 reads
+    parquet TIMESTAMP(NANOS, adjusted=false) as, and NTZ wall-time
+    arithmetic is session-TZ-independent. Tie-break on event_id makes
+    session assignment deterministic for same-ts rows.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr("timestampdiff(MICROSECOND, _prev_ts, ts)")
+    is_new = F.when(F.col("_prev_ts").isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    return (
+        ev.withColumn("_prev_ts", F.lag("ts").over(w))
+        .withColumn("session_seq", F.sum(is_new).over(w))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "q_time_gap_fill",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hr, ROUND(SUM(value), 2) AS v
+      FROM events GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    bounds AS (SELECT user_id, MIN(hr) AS lo, MAX(hr) AS hi FROM hourly GROUP BY user_id),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+      FROM bounds
+    ),
+    j AS (
+      SELECT g.user_id, g.hr, h.v
+      FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr
+    )
+    SELECT user_id, CAST(epoch(hr) AS BIGINT) AS hr_epoch,
+           LAST_VALUE(v IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY hr ROWS UNBOUNDED PRECEDING) AS v_filled,
+           v IS NULL AS is_gap
+    FROM j
+    """,
+)
+def q_time_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: hourly per-user rollup, densified to
+    a gap-free hourly grid (per-user min..max hour) with forward-fill
+    of missing buckets — the resample + ffill step every feature
+    pipeline runs before windowed model inputs.
+
+    Scale shape: the rollup, the bounds, the grid explode, the join
+    and the fill window are ALL keyed on user_id, so the plan is one
+    logical partitioning reused end-to-end; the grid is generated
+    distributed (sequence + explode per user — never a driver-side
+    calendar). Gap buckets are bounded by each user's own time span,
+    so a 100 TB corpus densifies per-user, not globally."""
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.round(F.sum("value"), 2).alias("v"))
+    )
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("hr").alias("lo"), F.max("hr").alias("hi")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hr"),
+    )
+    j = grid.join(hourly, ["user_id", "hr"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return j.select(
+        "user_id",
+        F.col("hr").cast("timestamp").cast("long").alias("hr_epoch"),
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        F.col("v").isNull().alias("is_gap"),
+    )

@@ -361,3 +361,177 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("fp"),
     )
+
+
+# PII patterns — conservative syntax shared verbatim by Java regex
+# (Spark) and RE2 (DuckDB): no lookaround, no backreferences.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def _pii_oracle() -> str:
+    # deterministically inject PII (the synthetic corpus has none),
+    # then count + redact — identical construction on the Spark side
+    return f"""
+    WITH p AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' mail u' || CAST(doc_id AS VARCHAR) || '@' || source || '.example.com'
+                     ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                          || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' ssn ' || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0')
+                          || '-' || lpad(CAST(doc_id % 90 + 10 AS VARCHAR), 2, '0')
+                          || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END AS full_text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(full_text, '{EMAIL_RE}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(full_text, '{SSN_RE}')) AS BIGINT) AS n_ssn,
+           CAST(len(regexp_extract_all(full_text, '{PHONE_RE}')) AS BIGINT) AS n_phone,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(full_text, '{EMAIL_RE}', '[EMAIL]', 'g'),
+               '{SSN_RE}', '[SSN]', 'g'),
+             '{PHONE_RE}', '[PHONE]', 'g') AS redacted
+    FROM p
+    """
+
+
+@query("q_text_pii", oracle=_pii_oracle())
+def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction: count and mask emails, SSNs, and
+    phone numbers. The corpus is synthetic word-salad with no real
+    PII, so both engines first inject deterministic PII derived from
+    (doc_id, source) — the operator under test is the regex
+    count/redact pass, which is what a 100 TB pipeline runs.
+
+    Pure per-row projection: zero shuffles, runs fused into the scan
+    inside whole-stage codegen. Redaction order (email, SSN, phone) is
+    fixed and identical in both engines; the three patterns are
+    mutually non-overlapping by construction (3-2-4 vs 3-3-4 digit
+    groups, '@' anchor)."""
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def pad(expr, n):
+        return F.lpad(expr.cast("string"), n, "0")
+
+    email = F.when(
+        did % 3 == 0,
+        F.concat(F.lit(" mail u"), did.cast("string"), F.lit("@"),
+                 F.col("source"), F.lit(".example.com")),
+    ).otherwise("")
+    phone = F.when(
+        did % 5 == 0,
+        F.concat(F.lit(" call 555-"), pad(did % 1000, 3), F.lit("-"),
+                 pad(did % 10000, 4)),
+    ).otherwise("")
+    ssn = F.when(
+        did % 7 == 0,
+        F.concat(F.lit(" ssn "), pad(did % 900 + 100, 3), F.lit("-"),
+                 pad(did % 90 + 10, 2), F.lit("-"), pad(did % 10000, 4)),
+    ).otherwise("")
+    full = F.concat(F.col("text"), email, phone, ssn)
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(full, F.lit(EMAIL_RE), F.lit("[EMAIL]")),
+            F.lit(SSN_RE), F.lit("[SSN]")),
+        F.lit(PHONE_RE), F.lit("[PHONE]"))
+    return d.select(
+        "doc_id",
+        F.regexp_count(full, F.lit(EMAIL_RE)).cast("long").alias("n_email"),
+        F.regexp_count(full, F.lit(SSN_RE)).cast("long").alias("n_ssn"),
+        F.regexp_count(full, F.lit(PHONE_RE)).cast("long").alias("n_phone"),
+        red.alias("redacted"),
+    )
+
+
+@query(
+    "q_text_repetition",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    stats AS (
+      SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct
+      FROM t
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM t WHERE len(toks) >= 2
+    ),
+    cnt AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram),
+    top AS (SELECT doc_id, MAX(c) AS top_c FROM cnt GROUP BY doc_id)
+    SELECT s.doc_id,
+           CAST(s.n_tokens AS BIGINT) AS n_tokens,
+           ROUND(1.0 - CAST(s.n_distinct AS DOUBLE) / s.n_tokens, 4) AS dup_frac,
+           CAST(COALESCE(top.top_c, 0) AS BIGINT) AS top_bigram_n,
+           ROUND(CAST(COALESCE(top.top_c, 0) AS DOUBLE)
+                 / GREATEST(s.n_tokens - 1, 1), 4) AS top_bigram_frac
+    FROM stats s LEFT JOIN top USING (doc_id)
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality scoring (Gopher/C4-style): duplicate-
+    token fraction and the fraction of bigram slots taken by the
+    single most-frequent bigram — the standard boilerplate/spam
+    signals a corpus filter thresholds on.
+
+    Shape: per-doc projections plus ONE shuffle (bigram counts keyed
+    on (doc_id, bigram), map-side partial aggregation first), then a
+    per-doc max that reuses the doc_id clustering. The token array is
+    localCheckpoint-barriered before the bigram lambda indexes into it
+    (see NEXT.md: computed-array lambdas re-inline their upstream per
+    element — the barrier keeps bigram construction O(n) per doc)."""
+    d = load(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", ws_tokens(F.col("text")).alias("toks"))
+        .localCheckpoint()
+    )
+    stats = toks.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+    )
+    idx = bounded_sequence(F.size("toks") - 1)
+    bigrams = toks.where(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("toks", i.cast("int")),
+                    F.element_at("toks", (i + 1).cast("int")),
+                ),
+            )
+        ).alias("bigram"),
+    )
+    top = (
+        bigrams.groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    return stats.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tokens"), 4)
+        .alias("dup_frac"),
+        F.coalesce(F.col("top_c"), F.lit(0)).cast("long").alias("top_bigram_n"),
+        F.round(
+            F.coalesce(F.col("top_c"), F.lit(0)).cast("double")
+            / F.greatest(F.col("n_tokens") - 1, F.lit(1)),
+            4,
+        ).alias("top_bigram_frac"),
+    )

@@ -196,20 +196,16 @@ def _copy_events_parquet(spark: SparkSession, sf_dir: str, dest_dir: str) -> Non
 def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
     """Structured Streaming source over a directory of events parquet.
 
-    Mirrors tables.load's nanos handling: ts arrives as long nanos
-    (spark.sql.legacy.parquet.nanosAsLong) and is converted to a
+    Mirrors tables.load's nanos handling: ts arrives as long nanos or
+    TIMESTAMP_NTZ depending on Spark version and is normalized to a
     proper timestamp before any windowing.
     """
-    from neo_olap_spark.tables import _enable_nanos_as_long
+    from neo_olap_spark.tables import _enable_nanos_as_long, _normalize_events_ts
 
     _enable_nanos_as_long(spark)
     static = spark.read.parquet(events_dir)
     stream = spark.readStream.schema(static.schema).parquet(events_dir)
-    if isinstance(stream.schema["ts"].dataType, T.LongType):
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    return stream
+    return _normalize_events_ts(stream)
 
 
 def run_stream_once(

@@ -35,8 +35,37 @@ def _enable_nanos_as_long(spark: SparkSession) -> None:
     factory sets it at build time (session.py), but callers (the driver
     harness, notebooks) may hand us a bare SparkSession — the conf is
     runtime-settable, so set it here at read time.
+
+    The session time zone is pinned to UTC at the same point: every
+    events operator (and its DuckDB oracle twin) treats the stored
+    wall-clock as UTC, so epoch projections and timestamp rendering
+    must not drift with the host's zone.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Canonicalize events.ts to TimestampType (micros, UTC wall).
+
+    Depending on Spark version and how the parquet was written, the
+    nanos column surfaces as LongType (nanosAsLong pre-4.1 behavior) or
+    TIMESTAMP_NTZ (Spark 4.1 reads NANOS/isAdjustedToUTC=false natively,
+    truncated to micros). Every downstream operator assumes one type;
+    normalize here so they never see the difference. The NTZ→timestamp
+    cast is wall-preserving because the session TZ is pinned to UTC in
+    ``_enable_nanos_as_long``.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        # integer division: double division loses precision at 1e18 nanos
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(dt, T.TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -47,15 +76,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         _enable_nanos_as_long(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts is parquet TIMESTAMP(NANOS) read as long nanos
-        # (spark.sql.legacy.parquet.nanosAsLong); convert to a proper
-        # timestamp (micros precision, session TZ = UTC).
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
-
-        if isinstance(df.schema["ts"].dataType, T.LongType):
-            # integer division: double division loses precision at 1e18 nanos
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = _normalize_events_ts(df)
     return df
 
 

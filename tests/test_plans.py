@@ -275,3 +275,26 @@ def test_every_oracle_query_analyzes(q):
     for key in REGISTRY:
         df = q(key)
         assert df.schema is not None
+
+
+def test_sessionize_single_exchange(q):
+    # gap windows + session rollup must share ONE partitioning on
+    # user_id: exactly one Exchange in the whole plan
+    p = plan_str(q("q_sessionize"), "simple")
+    assert p.count("Exchange") == 1, f"expected exactly 1 Exchange:\n{p}"
+
+
+def test_subquery_scalar_broadcasts_one_row(q):
+    # the scalar aggregate ships as a broadcast, never a shuffle of the
+    # probe side
+    df = q("q_subquery_scalar")
+    assert_in_plan(df, "BroadcastNestedLoopJoin")
+    assert_not_in_plan(df, "SortMergeJoin")
+
+
+def test_subquery_correlated_is_decorrelated(q):
+    # decorrelation: one Exchange on the correlation key, reused by the
+    # window aggregate AND the final groupBy
+    p = plan_str(q("q_subquery_correlated"), "simple")
+    assert p.count("Exchange") == 1, f"expected exactly 1 Exchange:\n{p}"
+    assert "Window" in p
