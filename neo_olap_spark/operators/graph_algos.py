@@ -851,61 +851,19 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_triangle_count",
-    oracle="""
-    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-    e AS (
-      SELECT DISTINCT a.p AS u, b.p AS v
-      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
-    ),
-    tri AS (
-      SELECT 1 AS one
-      FROM e e1
-      JOIN e e2 ON e1.v = e2.u
-      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
-    )
-    SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
-           CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles
-    """,
-)
-def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle counting on the part co-purchase graph (parts are
-    adjacent when some order contains both).
+def oriented_triangle_count(pairs: DataFrame) -> tuple[int, int]:
+    """(n_edges, n_triangles) of an undirected graph given as canonical
+    ``(u, v)`` pairs with u < v, one row per edge.
 
-    Spark side runs the degree-oriented algorithm: each undirected
-    edge is directed from its lower-(degree, id) endpoint to the
-    higher one, wedges are pairs of out-neighbors of a common source,
-    and a wedge closes iff the oriented edge between its endpoints
-    exists. Orientation bounds every out-degree by O(sqrt(m)), so the
-    wedge join is O(m^1.5) worst-case instead of sum-of-squared-hub-
-    degrees — THE difference between finishing and not at 100 TB (a
-    part appearing in 1M orders contributes ~0 oriented wedges instead
-    of 10^12 raw ones). The oracle counts the same triangles with the
-    simple id-ordered formulation (orientation-invariant total).
-
-    Three shuffles total: pair generation (groupBy order), degree
-    count (groupBy node), and the wedge/closure joins on node keys.
-    Reference analog: whole-graph structural analytics in the R1/R2
-    family (Runner.java:40-56 edge-list model).
+    Degree-oriented counting: each undirected edge is directed from its
+    lower-(degree, id) endpoint to the higher one, wedges are pairs of
+    out-neighbors of a common source, and a wedge closes iff the
+    oriented edge between its endpoints exists. Orientation bounds
+    every out-degree by O(sqrt(m)), so the wedge join is O(m^1.5)
+    worst-case instead of sum-of-squared-hub-degrees — a hub node in
+    1M edges contributes ~0 oriented wedges instead of 10^12 raw ones.
     """
-    li = load(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
-    # canonical undirected edges u < v
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .distinct()
-        .persist()
-    )
+    pairs = pairs.persist()
     deg = (
         pairs.select(F.col("u").alias("node"))
         .unionAll(pairs.select(F.col("v").alias("node")))
@@ -942,6 +900,56 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge_cnt = pairs.count()
     pairs.unpersist()
     oriented.unpersist()
+    return edge_cnt, tri_cnt
+
+
+@query(
+    "q_triangle_count",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    ),
+    tri AS (
+      SELECT 1 AS one
+      FROM e e1
+      JOIN e e2 ON e1.v = e2.u
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the part co-purchase graph (parts are
+    adjacent when some order contains both), via the degree-oriented
+    core in ``oriented_triangle_count`` — the plan that survives hub
+    nodes at 100 TB. The oracle counts the same triangles with the
+    simple id-ordered formulation (the total is orientation-invariant).
+
+    Three shuffles total: pair generation (groupBy order), degree
+    count (groupBy node), and the wedge/closure joins on node keys.
+    Reference analog: whole-graph structural analytics in the R1/R2
+    family (Runner.java:40-56 edge-list model).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    # canonical undirected edges u < v
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+    edge_cnt, tri_cnt = oriented_triangle_count(pairs)
     return spark.createDataFrame(
         [(edge_cnt, tri_cnt)], "n_edges long, n_triangles long"
     )

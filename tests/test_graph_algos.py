@@ -109,3 +109,29 @@ def test_connected_components_fixture(spark):
     nodes = spark.createDataFrame([(i,) for i in [0, 1, 2, 10, 11, 20]], "node long")
     got = {r.node_id: r.component for r in connected_components(sym, nodes).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 20: 20}
+
+
+def test_triangle_count_planted_graphs(spark):
+    from itertools import combinations
+
+    from neo_olap_spark.operators.graph_algos import oriented_triangle_count
+
+    # 5-clique (C(5,3)=10 triangles) ∪ disjoint 4-path (0 triangles)
+    # ∪ one extra triangle sharing no edges with either
+    clique = list(combinations(range(5), 2))
+    path = [(10, 11), (11, 12), (12, 13), (13, 14)]
+    tri = [(20, 21), (20, 22), (21, 22)]
+    pairs = spark.createDataFrame(clique + path + tri, "u long, v long")
+    n_edges, n_tri = oriented_triangle_count(pairs)
+    assert n_edges == len(clique) + len(path) + len(tri)
+    assert n_tri == 10 + 0 + 1
+
+
+def test_triangle_count_hub_star(spark):
+    # a star (hub 0 with 50 leaves) has many raw wedges but ZERO
+    # triangles; degree orientation must return 0, not blow up
+    from neo_olap_spark.operators.graph_algos import oriented_triangle_count
+
+    pairs = spark.createDataFrame([(0, i) for i in range(1, 51)], "u long, v long")
+    n_edges, n_tri = oriented_triangle_count(pairs)
+    assert (n_edges, n_tri) == (50, 0)
