@@ -14,4 +14,5 @@ from neo_olap_spark.operators import (  # noqa: F401
     scalars,
     streaming,
     subqueries,
+    warehouse,
 )

@@ -1,0 +1,185 @@
+"""Warehouse-lifecycle operators: SCD2 dimension builds, funnel
+analysis, and incremental aggregate maintenance — the shapes a
+production warehouse runs around the core query surface.
+
+All oracle-checked. The common scale theme: each operator is keyed on
+one entity column (customer / user / group key), so every stage reuses
+a single partitioning and the plans hold at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from neo_olap_spark.registry import query
+from neo_olap_spark.tables import load
+
+
+@query(
+    "q_scd2_build",
+    oracle="""
+    SELECT o_custkey,
+           CAST(epoch(o_orderdate) AS BIGINT) AS valid_from,
+           CAST(epoch(LEAD(o_orderdate) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) AS BIGINT)
+             AS valid_to,
+           ROUND(o_totalprice, 2) AS price,
+           LEAD(o_orderdate) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NULL
+             AS is_current
+    FROM orders
+    """,
+)
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: turn a change log
+    (orders per customer) into validity intervals — each row is valid
+    from its own date until the next change, the latest row is open
+    (NULL valid_to, is_current=true).
+
+    One window over (custkey, date, orderkey) = one shuffle; the
+    orderkey tie-break makes interval assignment deterministic for
+    same-date changes. This is the standard dimension-history
+    materialization every warehouse maintains; at 100 TB it
+    partitions by the dimension key and never compares rows across
+    customers."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        # NTZ-safe epoch projection: cast through timestamp (session TZ
+        # is UTC) — the repo-wide pattern for date columns
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("valid_from"),
+        nxt.cast("timestamp").cast("long").alias("valid_to"),
+        F.round("o_totalprice", 2).alias("price"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT u.user_id,
+           CASE WHEN p.user_id IS NOT NULL THEN 3
+                WHEN c.user_id IS NOT NULL THEN 2
+                WHEN s.user_id IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_stage
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN s ON u.user_id = s.user_id
+    LEFT JOIN c ON u.user_id = c.user_id
+    LEFT JOIN p ON u.user_id = p.user_id
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: per user, the furthest stage reached
+    in signup -> click -> purchase where each step must occur strictly
+    AFTER the previous step's first occurrence (the product-analytics
+    staple; SQL needs three dependent aggregations, which is why
+    match_recognize exists — this is the join-decomposed form).
+
+    Every stage (the three firsts and the final assembly) is keyed on
+    user_id: one Exchange establishes the partitioning and the
+    per-stage joins/aggregations reuse it. The event scan is read per
+    stage with the event_type filter pushed down, so each pass touches
+    only its own slice."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .where(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    users = ev.select("user_id").distinct()
+    return (
+        users.join(s, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("t_purchase").isNotNull(), 3)
+            .when(F.col("t_click").isNotNull(), 2)
+            .when(F.col("t_signup").isNotNull(), 1)
+            .otherwise(0)
+            .alias("funnel_stage"),
+        )
+    )
+
+
+# incremental-maintenance split point: ship dates before/after this are
+# the "already materialized base" vs the "newly arrived delta"
+INCR_SPLIT_DATE = "1997-01-01"
+
+
+@query(
+    "q_incremental_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the base partition (shipdate
+    < split) is aggregated once as the 'materialized view'; the delta
+    partition arrives later and only ITS partial aggregate is computed
+    and merged (count/sum are mergeable, so merge = groupBy-sum over
+    the union of partials). The oracle recomputes over the full table
+    — proving the incremental path yields the identical view, which is
+    the whole contract of continuous-aggregate systems.
+
+    At 100 TB this is the difference between re-scanning the world and
+    scanning only the new partition: the merge input is two tiny
+    partial-aggregate relations, never raw rows. The split predicate
+    pushes down to both scans (disjoint row groups)."""
+    li = load(spark, sf_dir, "lineitem")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count("*").alias("p_n"),
+            F.sum("l_quantity").alias("p_qty"),
+            F.sum("l_extendedprice").alias("p_price"),
+        )
+
+    base = partial(li.where(F.col("l_shipdate") < INCR_SPLIT_DATE))
+    delta = partial(li.where(F.col("l_shipdate") >= INCR_SPLIT_DATE))
+    return (
+        base.unionByName(delta)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("p_n").alias("n_rows"),
+            F.round(F.sum("p_qty"), 2).alias("sum_qty"),
+            F.round(F.sum("p_price"), 2).alias("sum_price"),
+        )
+    )
