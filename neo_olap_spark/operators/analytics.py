@@ -790,3 +790,52 @@ def q_time_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(w).alias("v_filled"),
         F.col("v").isNull().alias("is_gap"),
     )
+
+
+# SQL text shared verbatim by Spark and DuckDB (date literals as
+# strings: each engine coerces to its own timestamp flavor)
+TPCH_Q1_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate <= '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+TPCH_Q6_SQL = """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+@query("q_sql_tpch_q1", oracle=TPCH_Q1_SQL)
+def q_sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary) through the SQL-text path — THE
+    canonical scan-heavy aggregate. Plan: one pass over lineitem with
+    the shipdate filter pushed to the parquet reader, map-side partial
+    aggregation into 6 tiny groups. The oracle is the same SQL text
+    run by DuckDB, so the check also proves SQL-dialect portability."""
+    from neo_olap_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(TPCH_Q1_SQL)
+
+
+@query("q_sql_tpch_q6", oracle=TPCH_Q6_SQL)
+def q_sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue) through the SQL-text path — the
+    canonical selective filter-aggregate. All four predicates push to
+    the scan (date range prunes row groups via min/max stats); the
+    aggregate is a single scalar, so the query is scan-bound — at
+    100 TB its cost is exactly the bytes the filters let through."""
+    from neo_olap_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(TPCH_Q6_SQL)

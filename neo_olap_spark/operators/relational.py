@@ -870,3 +870,37 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "orders").sampleBy(
         "o_orderpriority", fractions=STRATA_FRACTIONS, seed=42
     )
+
+
+SAMPLE_HASH_K = 100
+
+
+@query(
+    "q_sample_hash",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price
+    FROM orders
+    ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+    LIMIT {SAMPLE_HASH_K}
+    """,
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-k sampling: order by a cryptographic hash of
+    the key and take the first k — reproducible across engines, runs,
+    and partitionings (unlike seeded Bernoulli sampling, whose output
+    is engine-specific; those stay as the rows-only q_sample keys).
+    This is how a pipeline pins an audit sample or a stable eval split.
+
+    Plans as TakeOrderedAndProject on the hash expression: a true
+    streaming top-K per partition + k-way driver merge, never a global
+    sort — the same scale shape as q_topn. md5 agrees byte-for-byte
+    between Spark and DuckDB (hex lowercase), and the o_orderkey
+    tie-break makes the order total even under hash collisions."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price")
+        )
+        .orderBy(F.md5(F.col("o_orderkey").cast("string")), "o_orderkey")
+        .limit(SAMPLE_HASH_K)
+    )

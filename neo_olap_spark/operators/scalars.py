@@ -286,3 +286,61 @@ def q_scalar_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bucket"),
         F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias("status_label"),
     )
+
+
+# URL-part extraction regexes — same syntax in Java regex and RE2.
+# Group 1 of each is the part. Applied to URLs constructed
+# deterministically from document metadata (the corpus has no URL
+# column; the operator under test is the parsing, which is what a
+# crawl pipeline runs on every record).
+URL_HOST_RE = r"^https?://([^/?#]+)"
+URL_PATH_RE = r"^https?://[^/?#]+(/[^?#]*)"
+URL_QPARAM_RE = r"[?&]ref=([^&#]*)"
+
+
+@query(
+    "q_scalar_url",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.org/docs/' || CAST(doc_id AS VARCHAR)
+             || CASE WHEN doc_id % 4 = 0 THEN '?ref=' || lang || '&page=2' ELSE '' END
+             AS url
+      FROM documents
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, '{URL_HOST_RE}', 1) AS host,
+           regexp_extract(url, '{URL_PATH_RE}', 1) AS path,
+           CASE WHEN regexp_matches(url, '{URL_QPARAM_RE}')
+                THEN regexp_extract(url, '{URL_QPARAM_RE}', 1) ELSE NULL END AS ref_param,
+           regexp_replace(url, '\\?.*$', '') AS url_canonical
+    FROM u
+    """,
+)
+def q_scalar_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL family: host/path/query-param extraction and canonicalization
+    (query-string strip) — the normalize step a crawl dedup runs before
+    URL-level exact dedup. Pure per-row regex projections: zero
+    shuffles, fused into the scan. Spark's empty-match regexp_extract
+    returns '' where DuckDB returns NULL on no-match, so the no-match
+    case is made explicit with a guard on both sides."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.org/docs/"),
+        F.col("doc_id").cast("string"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("?ref="), F.col("lang"), F.lit("&page=2")),
+        ).otherwise(""),
+    )
+    has_ref = url.rlike(URL_QPARAM_RE)
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        F.regexp_extract(url, URL_HOST_RE, 1).alias("host"),
+        F.regexp_extract(url, URL_PATH_RE, 1).alias("path"),
+        F.when(has_ref, F.regexp_extract(url, URL_QPARAM_RE, 1)).alias("ref_param"),
+        F.regexp_replace(url, r"\?.*$", "").alias("url_canonical"),
+    )
