@@ -691,7 +691,8 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap, in micros
       FROM g
     )
     SELECT user_id, session_seq,
-           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_epoch,
+           CAST(floor(epoch(MAX(ts))) AS BIGINT) AS session_end_epoch,
            COUNT(*) AS n_events,
            ROUND(SUM(value), 2) AS total_value
     FROM s
@@ -723,8 +724,10 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("session_seq", F.sum(is_new).over(w))
         .groupBy("user_id", "session_seq")
         .agg(
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
+            # epoch BIGINT, never raw timestamps (repo rule: driver
+            # hash canon must not depend on datetime dtype rendering)
+            F.min("ts").cast("long").alias("session_start_epoch"),
+            F.max("ts").cast("long").alias("session_end_epoch"),
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 2).alias("total_value"),
         )

@@ -535,3 +535,89 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("top_bigram_frac"),
     )
+
+
+@query(
+    "q_text_bigram_lm",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM t WHERE len(toks) >= 2
+    ),
+    pairs AS (SELECT doc_id, bigram, split_part(bigram, ' ', 1) AS w1 FROM bg),
+    c2 AS (SELECT bigram, COUNT(*) AS n2 FROM pairs GROUP BY bigram),
+    c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, SUM(n2) AS n1 FROM c2 GROUP BY 1),
+    v AS (
+      SELECT COUNT(DISTINCT tok) AS vocab
+      FROM (SELECT unnest(toks) AS tok FROM t)
+    ),
+    scored AS (
+      SELECT p.doc_id,
+             ln(CAST(c2.n2 + 1 AS DOUBLE) / (c1.n1 + v.vocab)) AS logp
+      FROM pairs p JOIN c2 USING (bigram) JOIN c1 USING (w1) CROSS JOIN v
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(logp), 4) AS avg_logp
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language-model scoring (the cheap tier of a
+    perplexity quality filter): add-one-smoothed ln P(w2|w1) under the
+    corpus's own bigram distribution, averaged per document. Low
+    scores = improbable word sequences = gibberish/boilerplate — the
+    KenLM-filter shape without an external model artifact.
+
+    Scale shape: the bigram count table is the only big intermediate
+    (bounded by observed-bigram cardinality, not corpus size) and both
+    count joins are equi-joins on bigram/head keys with map-side
+    partial aggregation feeding them; the vocab scalar broadcasts.
+    The token array is localCheckpoint-barriered before the bigram
+    lambda (NEXT.md landmine #1)."""
+    d = load(spark, sf_dir, "documents")
+    toks_df = d.select("doc_id", ws_tokens(F.col("text")).alias("toks")).localCheckpoint()
+    idx = bounded_sequence(F.size("toks") - 1)
+    pairs = toks_df.where(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("toks", i.cast("int")),
+                    F.element_at("toks", (i + 1).cast("int")),
+                ),
+            )
+        ).alias("bigram"),
+    ).withColumn("w1", F.expr("split_part(bigram, ' ', 1)"))
+    c2 = pairs.groupBy("bigram").agg(F.count("*").alias("n2"))
+    c1 = (
+        c2.withColumn("w1", F.expr("split_part(bigram, ' ', 1)"))
+        .groupBy("w1")
+        .agg(F.sum("n2").alias("n1"))
+    )
+    vocab = (
+        toks_df.select(F.explode("toks").alias("tok"))
+        .agg(F.countDistinct("tok").alias("vocab"))
+    )
+    scored = (
+        pairs.join(c2, "bigram")
+        .join(c1, "w1")
+        .join(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log((F.col("n2") + 1).cast("double") / (F.col("n1") + F.col("vocab"))).alias(
+                "logp"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.avg("logp"), 4).alias("avg_logp"),
+    )

@@ -298,3 +298,28 @@ def test_subquery_correlated_is_decorrelated(q):
     p = plan_str(q("q_subquery_correlated"), "simple")
     assert p.count("Exchange") == 1, f"expected exactly 1 Exchange:\n{p}"
     assert "Window" in p
+
+
+def test_sql_tpch_q6_pushes_all_filters(q):
+    # all four predicates must reach the parquet reader
+    df = q("q_sql_tpch_q6")
+    p = plan_str(df)
+    assert "PushedFilters:" in p
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "LessThan(l_quantity,24.0)" in p, p[:2000]
+
+
+def test_sample_hash_is_topk(q):
+    # deterministic hash sample must plan as streaming top-K, not a
+    # global sort of the whole table
+    df = q("q_sample_hash")
+    assert_in_plan(df, "TakeOrderedAndProject")
+    assert_not_in_plan(df, "Exchange rangepartitioning")
+
+
+def test_incremental_agg_pushes_split_predicate(q):
+    # base and delta scans must each push their shipdate bound, so the
+    # delta pass reads only new row groups
+    p = plan_str(q("q_incremental_agg"))
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "LessThan(l_shipdate" in p
