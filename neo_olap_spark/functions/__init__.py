@@ -61,3 +61,22 @@ def bounded_sequence(n: Column, lo: int = 1) -> Column:
     return F.when(n >= lo, F.sequence(F.lit(lo), n)).otherwise(
         F.array().cast("array<int>")
     )
+
+
+def bigrams(tokens: Column) -> Column:
+    """Adjacent-pair bigram strings of a token array — NON-distinct
+    (occurrence counts matter for repetition / LM scoring), unlike
+    ``shingles``. Empty for arrays shorter than 2.
+
+    The caller must barrier the token array (``localCheckpoint``)
+    before this lambda indexes into it: computed-array lambdas
+    re-inline their upstream per element (NEXT.md landmine #1)."""
+    idx = bounded_sequence(F.size(tokens) - 1)
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(tokens, i.cast("int")),
+            F.element_at(tokens, (i + 1).cast("int")),
+        ),
+    )

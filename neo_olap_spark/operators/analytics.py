@@ -346,7 +346,7 @@ def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the top-10 is deterministic on both engines."""
     from neo_olap_spark.tables import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, names=("customer", "orders", "lineitem"))
     return spark.sql(TPCH_Q3_SQL)
 
 
@@ -763,12 +763,15 @@ def q_time_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     of missing buckets — the resample + ffill step every feature
     pipeline runs before windowed model inputs.
 
-    Scale shape: the rollup, the bounds, the grid explode, the join
-    and the fill window are ALL keyed on user_id, so the plan is one
-    logical partitioning reused end-to-end; the grid is generated
-    distributed (sequence + explode per user — never a driver-side
-    calendar). Gap buckets are bounded by each user's own time span,
-    so a 100 TB corpus densifies per-user, not globally."""
+    Scale shape: the grid is generated distributed (sequence + explode
+    per user off the bounds aggregate — never a driver-side calendar),
+    and every shuffle is keyed by the entity: bounds on user_id,
+    hourly rollup on (user_id, hour). At test scale the hourly side
+    broadcasts into the grid and the fill window reuses the grid's
+    user_id partitioning with only a local sort (3 exchanges total,
+    none global); at 100 TB the join becomes an SMJ on (user_id,
+    hour) plus one re-exchange to user_id for the fill — still
+    per-user work bounded by each user's own time span."""
     ev = load(spark, sf_dir, "events")
     hourly = (
         ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hr"))
@@ -827,7 +830,7 @@ def q_sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     run by DuckDB, so the check also proves SQL-dialect portability."""
     from neo_olap_spark.tables import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, names=("lineitem",))
     return spark.sql(TPCH_Q1_SQL)
 
 
@@ -840,5 +843,5 @@ def q_sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB its cost is exactly the bytes the filters let through."""
     from neo_olap_spark.tables import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, names=("lineitem",))
     return spark.sql(TPCH_Q6_SQL)

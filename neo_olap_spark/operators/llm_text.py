@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from neo_olap_spark.functions import bounded_sequence, ws_tokens
+from neo_olap_spark.functions import bigrams, bounded_sequence, ws_tokens
 from neo_olap_spark.registry import query
 from neo_olap_spark.tables import load
 
@@ -453,22 +453,41 @@ def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_text_repetition",
-    oracle="""
-    WITH t AS (
+
+# tokenize + bigram-explode shared by the repetition and bigram-LM
+# scorers — one Spark helper and one oracle CTE so the two can't drift
+_BIGRAM_CTE = """
+    t AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
       FROM documents
-    ),
-    stats AS (
-      SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct
-      FROM t
     ),
     bg AS (
       SELECT doc_id,
              unnest(list_transform(range(1, len(toks)),
                                    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
       FROM t WHERE len(toks) >= 2
+    )
+"""
+
+
+def _doc_bigrams(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(tokens-per-doc, exploded-bigrams-per-doc). The token array is
+    localCheckpoint-barriered before the bigram lambda indexes into it
+    (NEXT.md landmine #1)."""
+    toks_df = d.select("doc_id", ws_tokens(F.col("text")).alias("toks")).localCheckpoint()
+    bigrams_df = toks_df.where(F.size("toks") >= 2).select(
+        "doc_id", F.explode(bigrams(F.col("toks"))).alias("bigram")
+    )
+    return toks_df, bigrams_df
+
+
+@query(
+    "q_text_repetition",
+    oracle=f"""
+    WITH {_BIGRAM_CTE},
+    stats AS (
+      SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct
+      FROM t
     ),
     cnt AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram),
     top AS (SELECT doc_id, MAX(c) AS top_c FROM cnt GROUP BY doc_id)
@@ -494,31 +513,14 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see NEXT.md: computed-array lambdas re-inline their upstream per
     element — the barrier keeps bigram construction O(n) per doc)."""
     d = load(spark, sf_dir, "documents")
-    toks = (
-        d.select("doc_id", ws_tokens(F.col("text")).alias("toks"))
-        .localCheckpoint()
-    )
+    toks, bigrams_df = _doc_bigrams(d)
     stats = toks.select(
         "doc_id",
         F.size("toks").cast("long").alias("n_tokens"),
         F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
     )
-    idx = bounded_sequence(F.size("toks") - 1)
-    bigrams = toks.where(F.size("toks") >= 2).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at("toks", i.cast("int")),
-                    F.element_at("toks", (i + 1).cast("int")),
-                ),
-            )
-        ).alias("bigram"),
-    )
     top = (
-        bigrams.groupBy("doc_id", "bigram")
+        bigrams_df.groupBy("doc_id", "bigram")
         .agg(F.count("*").alias("c"))
         .groupBy("doc_id")
         .agg(F.max("c").alias("top_c"))
@@ -539,17 +541,8 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_text_bigram_lm",
-    oracle="""
-    WITH t AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-      FROM documents
-    ),
-    bg AS (
-      SELECT doc_id,
-             unnest(list_transform(range(1, len(toks)),
-                                   i -> toks[i] || ' ' || toks[i + 1])) AS bigram
-      FROM t WHERE len(toks) >= 2
-    ),
+    oracle=f"""
+    WITH {_BIGRAM_CTE},
     pairs AS (SELECT doc_id, bigram, split_part(bigram, ' ', 1) AS w1 FROM bg),
     c2 AS (SELECT bigram, COUNT(*) AS n2 FROM pairs GROUP BY bigram),
     c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, SUM(n2) AS n1 FROM c2 GROUP BY 1),
@@ -581,21 +574,8 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     The token array is localCheckpoint-barriered before the bigram
     lambda (NEXT.md landmine #1)."""
     d = load(spark, sf_dir, "documents")
-    toks_df = d.select("doc_id", ws_tokens(F.col("text")).alias("toks")).localCheckpoint()
-    idx = bounded_sequence(F.size("toks") - 1)
-    pairs = toks_df.where(F.size("toks") >= 2).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at("toks", i.cast("int")),
-                    F.element_at("toks", (i + 1).cast("int")),
-                ),
-            )
-        ).alias("bigram"),
-    ).withColumn("w1", F.expr("split_part(bigram, ' ', 1)"))
+    toks_df, bigrams_df = _doc_bigrams(d)
+    pairs = bigrams_df.withColumn("w1", F.expr("split_part(bigram, ' ', 1)"))
     c2 = pairs.groupBy("bigram").agg(F.count("*").alias("n2"))
     c1 = (
         c2.withColumn("w1", F.expr("split_part(bigram, ' ', 1)"))

@@ -36,12 +36,21 @@ def _enable_nanos_as_long(spark: SparkSession) -> None:
     harness, notebooks) may hand us a bare SparkSession — the conf is
     runtime-settable, so set it here at read time.
 
-    The session time zone is pinned to UTC at the same point: every
-    events operator (and its DuckDB oracle twin) treats the stored
-    wall-clock as UTC, so epoch projections and timestamp rendering
-    must not drift with the host's zone.
+    The session time zone is pinned separately for EVERY load (not just
+    events) — see ``_pin_utc``.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def _pin_utc(spark: SparkSession) -> None:
+    """Pin the session time zone to UTC before any table read.
+
+    Every operator (and its DuckDB oracle twin) treats stored
+    wall-clock values as UTC; date-epoch projections like
+    ``o_orderdate.cast("timestamp").cast("long")`` go through the
+    session zone, so on a bare non-UTC driver session they would drift
+    by the zone offset. Pinning here — at read time, for all tables,
+    not only events — makes the engine session-portable."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
@@ -72,6 +81,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table from a scale-factor directory."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    _pin_utc(spark)
     if name == "events":
         _enable_nanos_as_long(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -84,7 +94,12 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLES}
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every table as a temp view so SQL-path queries work."""
-    for name in TABLES:
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> None:
+    """Register tables as temp views so SQL-path queries work.
+
+    Pass ``names`` to register only what a query references — the
+    default registers all tables (the general SQL entry point)."""
+    for name in names:
         load(spark, sf_dir, name).createOrReplaceTempView(name)

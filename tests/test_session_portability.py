@@ -59,3 +59,38 @@ def test_stream_query_copy_path_on_bare_session(bare_conf, sf_dir):
     # source — that read must also survive a session without the conf
     out = streaming.q_stream_join(bare_conf, sf_dir)
     assert out.count() >= 0
+
+
+def test_scd2_epoch_is_tz_proof(spark, sf_dir):
+    """Date-epoch projections must not drift when the caller's session
+    zone isn't UTC: load() pins UTC at read time for EVERY table, so
+    q_scd2_build under a New-York session equals its DuckDB oracle."""
+    from neo_olap_spark.registry import REGISTRY, queries
+    from neo_olap_spark.testing import assert_parity
+
+    queries()
+    tz_key = "spark.sql.session.timeZone"
+    prev = spark.conf.get(tz_key)
+    try:
+        spark.conf.set(tz_key, "America/New_York")
+        q = REGISTRY["q_scd2_build"]
+        assert_parity(q.fn(spark, sf_dir), q.oracle, sf_dir)
+        # load() must have re-pinned UTC
+        assert spark.conf.get(tz_key) == "UTC"
+    finally:
+        spark.conf.set(tz_key, prev)
+
+
+def test_sessionize_epoch_is_tz_proof(spark, sf_dir):
+    from neo_olap_spark.registry import REGISTRY, queries
+    from neo_olap_spark.testing import assert_parity
+
+    queries()
+    tz_key = "spark.sql.session.timeZone"
+    prev = spark.conf.get(tz_key)
+    try:
+        spark.conf.set(tz_key, "America/New_York")
+        q = REGISTRY["q_sessionize"]
+        assert_parity(q.fn(spark, sf_dir), q.oracle, sf_dir)
+    finally:
+        spark.conf.set(tz_key, prev)
