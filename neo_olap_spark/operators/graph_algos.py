@@ -219,6 +219,27 @@ def dense_index(df: DataFrame, col_name: str, n_parts: int = 32) -> DataFrame:
     )
 
 
+
+def _numbered_sample(
+    df: DataFrame, n: int, order_col: str, idx_name: str
+) -> DataFrame:
+    """The n lowest-``order_col`` rows, numbered 0..n-1.
+
+    The set is bounded by n (TopN-pruned before numbering), so the
+    numbering runs in ONE sorted partition via
+    ``monotonically_increasing_id`` — no WindowExec at all. A
+    ``partitionBy(lit(0))`` window does NOT silence Spark's "no
+    partition defined" warning: Catalyst constant-folds the foldable
+    partition key away and plans an unpartitioned window anyway."""
+    return (
+        df.orderBy(order_col)
+        .limit(n)
+        .coalesce(1)
+        .sortWithinPartitions(order_col)
+        .withColumn(idx_name, F.monotonically_increasing_id())
+    )
+
+
 def _teleport_address_space(spark: SparkSession, sf_dir: str):
     """The teleport address map idx ∈ [0, n_nodes) → node id.
 
@@ -299,21 +320,14 @@ def _walk_setup(spark: SparkSession, sf_dir: str, n_walkers: int, seed: int):
         n_nodes = tele_nodes.count()
     else:
         tele_nodes = None
-    # the windowed set is bounded by n_walkers (TopN-pruned before the
-    # window), so one partition is fine at any SF; the constant
-    # partition key only declares that explicitly instead of tripping
-    # WindowExec's "No Partition Defined" warning
     walkers = (
-        nodes_all.withColumn("h", F.xxhash64(F.col("node"), F.lit(seed)))
-        .orderBy("h")
-        .limit(n_walkers)
-        .select(
-            (F.row_number().over(W.partitionBy(F.lit(0)).orderBy("h")) - 1).alias(
-                "walker_id"
-            ),
-            F.col("node"),
-            F.lit(0).alias("step"),
+        _numbered_sample(
+            nodes_all.withColumn("h", F.xxhash64(F.col("node"), F.lit(seed))),
+            n_walkers,
+            "h",
+            "walker_id",
         )
+        .select("walker_id", "node", F.lit(0).alias("step"))
         .localCheckpoint()
     )
     return adj, (tele_nodes, node_of_idx), n_nodes, walkers
@@ -540,18 +554,14 @@ def betweenness_sample(
 
         # Deterministic pair sampling: lowest hash ranks, a from one
         # half, b from the other (hash-disjoint salts).
-        a_nodes = (
-            nodes.withColumn("h", F.xxhash64("node", F.lit(seed)))
-            .orderBy("h")
-            .limit(n_pairs)
-            .select((F.row_number().over(W.orderBy("h")) - 1).alias("pair_id"), F.col("node"))
-        )
-        b_nodes = (
-            nodes.withColumn("h", F.xxhash64("node", F.lit(seed + 1)))
-            .orderBy("h")
-            .limit(n_pairs)
-            .select((F.row_number().over(W.orderBy("h")) - 1).alias("pair_id"), F.col("node"))
-        )
+        a_nodes = _numbered_sample(
+            nodes.withColumn("h", F.xxhash64("node", F.lit(seed))),
+            n_pairs, "h", "pair_id",
+        ).select("pair_id", "node")
+        b_nodes = _numbered_sample(
+            nodes.withColumn("h", F.xxhash64("node", F.lit(seed + 1))),
+            n_pairs, "h", "pair_id",
+        ).select("pair_id", "node")
         pairs = (
             a_nodes.alias("a")
             .join(b_nodes.alias("b"), "pair_id")

@@ -162,12 +162,16 @@ def ivf_topk(
             "cell int, cent array<double>, cent_n double",
         )
     else:
+        # n_cells rows: number them in one sorted partition (no
+        # unpartitioned WindowExec — see graph_algos._numbered_sample)
         cents = (
             corpus_n.withColumn("h", F.xxhash64("vec_id", F.lit(seed)))
             .orderBy("h")
             .limit(n_cells)
+            .coalesce(1)
+            .sortWithinPartitions("h")
             .select(
-                F.row_number().over(W.orderBy("h")).alias("cell"),
+                (F.monotonically_increasing_id() + 1).cast("int").alias("cell"),
                 F.col("embedding").alias("cent"),
                 F.col("vn").alias("cent_n"),
             )
