@@ -80,3 +80,26 @@ def bigrams(tokens: Column) -> Column:
             F.element_at(tokens, (i + 1).cast("int")),
         ),
     )
+
+
+def numbered_sample(df, n: int, order_col: str, idx_name: str):
+    """The n lowest-``order_col`` rows of ``df``, numbered 0..n-1 as
+    IntegerType (int, not long: seeded trajectories hash the id with
+    xxhash64, which is TYPE-sensitive — int-vs-bigint ids produce
+    different hashes and silently different "deterministic" runs).
+
+    The set is bounded by n (TopN-pruned before numbering), so the
+    numbering runs in ONE sorted partition via
+    ``monotonically_increasing_id`` — no WindowExec at all. A
+    ``partitionBy(lit(0))`` window does NOT silence Spark's "no
+    partition defined" warning: Catalyst constant-folds the foldable
+    partition key away and plans an unpartitioned window anyway.
+    ``coalesce(1)`` is load-bearing: it is what makes
+    monotonically_increasing_id start at 0 with no partition offsets."""
+    return (
+        df.orderBy(order_col)
+        .limit(n)
+        .coalesce(1)
+        .sortWithinPartitions(order_col)
+        .withColumn(idx_name, F.monotonically_increasing_id().cast("int"))
+    )

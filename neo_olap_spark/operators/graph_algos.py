@@ -21,6 +21,7 @@ from pyspark.sql.window import Window as W
 
 from contextlib import contextmanager
 
+from neo_olap_spark.functions import numbered_sample as _numbered_sample
 from neo_olap_spark.graph import edges, symmetrize
 from neo_olap_spark.registry import query
 from neo_olap_spark.tables import load
@@ -218,26 +219,6 @@ def dense_index(df: DataFrame, col_name: str, n_parts: int = 32) -> DataFrame:
         .select(col_name, "idx")
     )
 
-
-
-def _numbered_sample(
-    df: DataFrame, n: int, order_col: str, idx_name: str
-) -> DataFrame:
-    """The n lowest-``order_col`` rows, numbered 0..n-1.
-
-    The set is bounded by n (TopN-pruned before numbering), so the
-    numbering runs in ONE sorted partition via
-    ``monotonically_increasing_id`` — no WindowExec at all. A
-    ``partitionBy(lit(0))`` window does NOT silence Spark's "no
-    partition defined" warning: Catalyst constant-folds the foldable
-    partition key away and plans an unpartitioned window anyway."""
-    return (
-        df.orderBy(order_col)
-        .limit(n)
-        .coalesce(1)
-        .sortWithinPartitions(order_col)
-        .withColumn(idx_name, F.monotonically_increasing_id())
-    )
 
 
 def _teleport_address_space(spark: SparkSession, sf_dir: str):

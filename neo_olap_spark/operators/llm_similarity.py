@@ -148,7 +148,7 @@ def ivf_topk(
     tests/test_llm_ops.py). centroids="hash" keeps the cheaper tier:
     the n_cells corpus vectors with the lowest xxhash64.
     """
-    from neo_olap_spark.functions import dot, norm
+    from neo_olap_spark.functions import dot, norm, numbered_sample
 
     spark = corpus.sparkSession
     # norms precomputed per vector/centroid once — cosine() would
@@ -162,19 +162,13 @@ def ivf_topk(
             "cell int, cent array<double>, cent_n double",
         )
     else:
-        # n_cells rows: number them in one sorted partition (no
-        # unpartitioned WindowExec — see graph_algos._numbered_sample)
-        cents = (
-            corpus_n.withColumn("h", F.xxhash64("vec_id", F.lit(seed)))
-            .orderBy("h")
-            .limit(n_cells)
-            .coalesce(1)
-            .sortWithinPartitions("h")
-            .select(
-                (F.monotonically_increasing_id() + 1).cast("int").alias("cell"),
-                F.col("embedding").alias("cent"),
-                F.col("vn").alias("cent_n"),
-            )
+        cents = numbered_sample(
+            corpus_n.withColumn("h", F.xxhash64("vec_id", F.lit(seed))),
+            n_cells, "h", "_cell0",
+        ).select(
+            (F.col("_cell0") + 1).alias("cell"),
+            F.col("embedding").alias("cent"),
+            F.col("vn").alias("cent_n"),
         )
     # assign corpus vectors to nearest centroid (cells broadcast twice:
     # once for assignment, once for probing — both tiny)
