@@ -904,3 +904,45 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.md5(F.col("o_orderkey").cast("string")), "o_orderkey")
         .limit(SAMPLE_HASH_K)
     )
+
+
+@query(
+    "q_window_ratio",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderstatus, o_orderpriority,
+             ROUND(SUM(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    )
+    SELECT o_orderstatus, o_orderpriority, revenue,
+           ROUND(revenue / SUM(revenue) OVER (PARTITION BY o_orderstatus), 4)
+             AS share_of_status,
+           ROUND(revenue / SUM(revenue) OVER (), 4) AS share_of_total
+    FROM g
+    """,
+)
+def q_window_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total windows (ratio_to_report): each group's revenue
+    as a share of its status stratum and of the grand total — the
+    standard contribution-analysis shape.
+
+    Both denominators run over the ALREADY-AGGREGATED relation (15
+    rows), not the base table: the only full-data shuffle is the
+    groupBy. The grand total is a broadcast 1-row aggregate (the
+    q_subquery_scalar pattern) rather than an unpartitioned window —
+    same value, no single-partition WindowExec."""
+    o = load(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w_status = W.partitionBy("o_orderstatus")
+    total = g.agg(F.sum("revenue").alias("_tot"))
+    return g.join(F.broadcast(total)).select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w_status), 4).alias(
+            "share_of_status"
+        ),
+        F.round(F.col("revenue") / F.col("_tot"), 4).alias("share_of_total"),
+    )
