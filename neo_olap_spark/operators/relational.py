@@ -946,3 +946,71 @@ def q_window_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.col("revenue") / F.col("_tot"), 4).alias("share_of_total"),
     )
+
+
+@query(
+    "q_join_asof_nearest",
+    oracle="""
+    SELECT event_id, user_id, nearest_orderkey FROM (
+      SELECT e.event_id, e.user_id, o.o_orderkey AS nearest_orderkey,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY abs(epoch_us(e.ts) - epoch_us(CAST(o.o_orderdate AS TIMESTAMP))),
+                        o.o_orderdate, o.o_orderkey DESC) AS rn
+      FROM events e LEFT JOIN orders o ON e.user_id = o.o_custkey
+    ) WHERE rn = 1
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-event as-of join: each event matched to the user's
+    closest order in TIME, either direction (ties -> the earlier
+    order; same-date ties -> max orderkey). The oracle's theta join
+    materializes every (event, order) pair per user — quadratic; here
+    the backward and forward candidates come from TWO running windows
+    over ONE unioned, user_id-partitioned relation (the q_join_asof
+    union-and-window trick, run in both sort directions over the same
+    Exchange), then a pure-expression argmin picks the winner.
+    O(n log n) per user, no pair blow-up."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(None).cast("long").alias("okey"),
+        F.lit(0).alias("is_order"),
+        "event_id",
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("t"),
+        F.col("o_orderkey").alias("okey"),
+        F.lit(1).alias("is_order"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    ostruct = F.when(
+        F.col("is_order") == 1,
+        F.struct(F.col("t").alias("ot"), F.col("okey").alias("ok")),
+    )
+    w_back = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("t"), F.col("is_order").desc(), F.col("okey"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_fwd = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("t").desc(), F.col("is_order").desc(), F.col("okey"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    res = (
+        ev.unionByName(o)
+        .withColumn("cb", F.last(ostruct, ignorenulls=True).over(w_back))
+        .withColumn("cf", F.last(ostruct, ignorenulls=True).over(w_fwd))
+        .where(F.col("is_order") == 0)
+    )
+    diff_b = F.expr("timestampdiff(MICROSECOND, cb.ot, t)")
+    diff_f = F.expr("timestampdiff(MICROSECOND, t, cf.ot)")
+    nearest = (
+        F.when(F.col("cb").isNull(), F.col("cf.ok"))
+        .when(F.col("cf").isNull(), F.col("cb.ok"))
+        .when(diff_f < diff_b, F.col("cf.ok"))
+        .otherwise(F.col("cb.ok"))  # smaller-or-tied backward: earlier date wins
+    )
+    return res.select("event_id", "user_id", nearest.alias("nearest_orderkey"))
