@@ -944,3 +944,72 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(edge_cnt, tri_cnt)], "n_edges long, n_triangles long"
     )
+
+
+def k_core(sym_edges: DataFrame, k: int, max_iters: int = 100) -> DataFrame:
+    """Nodes of the k-core: the maximal subgraph where every node has
+    degree >= k, by iterative peeling — drop under-degree nodes,
+    recompute degrees on the induced subgraph, repeat to fixpoint.
+
+    ``sym_edges`` must be symmetrized (src, dst). Each round is two
+    bounded shuffles (a semi join filtering edges to survivors and a
+    degree groupBy), both keyed on node ids; survivors localCheckpoint
+    per round so plans stay flat. Rounds are bounded by the
+    degeneracy-peeling depth (tiny in practice — degree distributions
+    collapse geometrically), with max_iters as the safety rail.
+    Returns (node_id,). Raises instead of returning a partial answer
+    if the fixpoint isn't reached — same contract as
+    connected_components.
+    """
+    spark = sym_edges.sparkSession
+    edges_p = sym_edges.persist()
+    survivors = (
+        edges_p.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    )
+    n_prev = survivors.count()
+    converged = False
+    for _ in range(max_iters):
+        alive = edges_p.join(
+            survivors.hint("broadcast") if n_prev <= 1_000_000 else survivors,
+            edges_p.src == survivors.node,
+            "left_semi",
+        )
+        alive = alive.join(
+            survivors.withColumnRenamed("node", "dnode").hint("broadcast")
+            if n_prev <= 1_000_000
+            else survivors.withColumnRenamed("node", "dnode"),
+            alive.dst == F.col("dnode"),
+            "left_semi",
+        )
+        deg = alive.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+        nxt = deg.where(F.col("deg") >= k).select("node").localCheckpoint()
+        n_next = nxt.count()
+        if n_next == n_prev:
+            converged = True
+            survivors = nxt
+            break
+        survivors, n_prev = nxt, n_next
+        if n_next == 0:
+            converged = True
+            break
+    edges_p.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"k_core({k}) did not reach a fixpoint in {max_iters} rounds"
+        )
+    return survivors.select(F.col("node").alias("node_id"))
+
+
+@query("q_graph_kcore")
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the derived graph (rows-only: peeling is an
+    anti-monotone fixpoint, not expressible as a recursive CTE;
+    invariants pinned on planted graphs in tests — path graphs peel to
+    nothing, cycles and cliques survive whole, pendant tails fall off).
+    Reference analog: whole-graph structural analytics (R1/R2 family).
+    """
+    from neo_olap_spark.graph import edge_count_estimate
+
+    sym = symmetrize(edges(spark, sf_dir))
+    with _loop_shuffle_partitions(spark, edge_count_estimate(spark, sf_dir)):
+        return k_core(sym, k=2)

@@ -135,3 +135,25 @@ def test_triangle_count_hub_star(spark):
     pairs = spark.createDataFrame([(0, i) for i in range(1, 51)], "u long, v long")
     n_edges, n_tri = oriented_triangle_count(pairs)
     assert (n_edges, n_tri) == (50, 0)
+
+
+def test_k_core_planted_graphs(spark):
+    from neo_olap_spark.operators.graph_algos import k_core
+
+    # path 0-1-2-3-4: 2-core is empty (endpoints peel, cascade inward)
+    path = _edges(spark, [(i, i + 1) for i in range(4)])
+    assert k_core(path, 2).count() == 0
+
+    # 5-cycle: every node has degree 2 — the whole cycle survives
+    cycle = _edges(spark, [(i, (i + 1) % 5) for i in range(5)])
+    assert {r.node_id for r in k_core(cycle, 2).collect()} == set(range(5))
+
+    # 4-clique with a pendant tail 100-101: tail peels, clique stays;
+    # the clique is also the 3-core but not a 4-core
+    from itertools import combinations
+
+    clique = list(combinations(range(4), 2))
+    g = _edges(spark, clique + [(0, 100), (100, 101)])
+    assert {r.node_id for r in k_core(g, 2).collect()} == {0, 1, 2, 3}
+    assert {r.node_id for r in k_core(g, 3).collect()} == {0, 1, 2, 3}
+    assert k_core(g, 4).count() == 0
