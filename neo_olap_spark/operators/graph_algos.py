@@ -842,11 +842,14 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def oriented_triangle_count(pairs: DataFrame) -> tuple[int, int]:
-    """(n_edges, n_triangles) of an undirected graph given as canonical
-    ``(u, v)`` pairs with u < v, one row per edge.
+def oriented_triangles(pairs: DataFrame) -> DataFrame:
+    """Triangle rows ``(ta, tb, tc)`` of an undirected graph given as
+    canonical ``(u, v)`` pairs with u < v, one row per edge — each
+    triangle exactly once (vertex order follows the degree
+    orientation, not ids). localCheckpointed before the internal
+    caches are dropped, so callers can reuse it freely.
 
-    Degree-oriented counting: each undirected edge is directed from its
+    Degree-oriented enumeration: each undirected edge is directed from its
     lower-(degree, id) endpoint to the higher one, wedges are pairs of
     out-neighbors of a common source, and a wedge closes iff the
     oriented edge between its endpoints exists. Orientation bounds
@@ -884,14 +887,26 @@ def oriented_triangle_count(pairs: DataFrame) -> tuple[int, int]:
     wedges = e1.join(
         e2,
         (F.col("e1.src") == F.col("e2.src")) & (F.col("e1.dk") < F.col("e2.dk")),
-    ).select(F.col("e1.dst").alias("wb"), F.col("e2.dst").alias("wc"))
-    tri_cnt = wedges.join(
-        e3, (F.col("wb") == F.col("e3.src")) & (F.col("wc") == F.col("e3.dst"))
-    ).count()
-    edge_cnt = pairs.count()
+    ).select(
+        F.col("e1.src").alias("ta"),
+        F.col("e1.dst").alias("wb"),
+        F.col("e2.dst").alias("wc"),
+    )
+    tris = (
+        wedges.join(
+            e3, (F.col("wb") == F.col("e3.src")) & (F.col("wc") == F.col("e3.dst"))
+        )
+        .select("ta", F.col("wb").alias("tb"), F.col("wc").alias("tc"))
+        .localCheckpoint()
+    )
     pairs.unpersist()
     oriented.unpersist()
-    return edge_cnt, tri_cnt
+    return tris
+
+
+def oriented_triangle_count(pairs: DataFrame) -> tuple[int, int]:
+    """(n_edges, n_triangles) via ``oriented_triangles``."""
+    return pairs.count(), oriented_triangles(pairs).count()
 
 
 @query(
@@ -924,23 +939,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analog: whole-graph structural analytics in the R1/R2
     family (Runner.java:40-56 edge-list model).
     """
-    li = load(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
-    # canonical undirected edges u < v
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .distinct()
-    )
-    edge_cnt, tri_cnt = oriented_triangle_count(pairs)
+    edge_cnt, tri_cnt = oriented_triangle_count(_copurchase_pairs(spark, sf_dir))
     return spark.createDataFrame(
         [(edge_cnt, tri_cnt)], "n_edges long, n_triangles long"
     )
@@ -1013,3 +1012,100 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = symmetrize(edges(spark, sf_dir))
     with _loop_shuffle_partitions(spark, edge_count_estimate(spark, sf_dir)):
         return k_core(sym, k=2)
+
+
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical u < v part co-purchase edges (shared by the triangle
+    and clustering-coefficient queries)."""
+    li = load(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "q_graph_clustering",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e1.v = e2.u
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    credit AS (
+      SELECT node, COUNT(*) AS n_tri
+      FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+      GROUP BY node
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS deg
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+      GROUP BY node
+    )
+    SELECT d.node AS node_id,
+           CAST(d.deg AS BIGINT) AS degree,
+           CAST(COALESCE(credit.n_tri, 0) AS BIGINT) AS n_triangles,
+           ROUND(CASE WHEN d.deg >= 2
+                      THEN CAST(COALESCE(credit.n_tri, 0) * 2 AS DOUBLE)
+                           / (d.deg * (d.deg - 1))
+                      ELSE 0.0 END, 4) AS clustering_coeff
+    FROM deg d LEFT JOIN credit ON d.node = credit.node
+    """,
+)
+def q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient on the co-purchase graph:
+    triangles through the node over C(degree, 2) — the standard
+    local-density measure. Triangle enumeration reuses the
+    degree-oriented core (O(m^1.5) bound); node credit is one explode
+    + groupBy over the triangle rows; degrees come from the edge list.
+    All keyed on node id — at 100 TB this is three node-keyed
+    shuffles downstream of the bounded wedge join."""
+    pairs = _copurchase_pairs(spark, sf_dir).persist()
+    tris = oriented_triangles(pairs)
+    credit = (
+        tris.select(
+            F.explode(F.array(F.col("ta"), F.col("tb"), F.col("tc"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    out = (
+        deg.join(credit, "node", "left")
+        .select(
+            F.col("node").alias("node_id"),
+            F.col("deg").cast("long").alias("degree"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_triangles"),
+            F.round(
+                F.when(
+                    F.col("deg") >= 2,
+                    (F.coalesce(F.col("n_tri"), F.lit(0)) * 2).cast("double")
+                    / (F.col("deg") * (F.col("deg") - 1)),
+                ).otherwise(0.0),
+                4,
+            ).alias("clustering_coeff"),
+        )
+    )
+    pairs.unpersist()
+    return out
