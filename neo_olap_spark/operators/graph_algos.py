@@ -533,14 +533,23 @@ def betweenness_sample(
         sym = sym0.repartition("src").persist()
         nodes = all_nodes(spark, sf_dir).distinct()
 
-        # Deterministic pair sampling: lowest hash ranks, a from one
-        # half, b from the other (hash-disjoint salts).
+        # Deterministic pair sampling: lowest md5-hex ranks with
+        # seed-salted inputs (disjoint salts for the a and b draws).
+        # md5 over the stringified id, not xxhash64, so the DuckDB
+        # oracle reproduces the exact sample cross-engine (the same
+        # technique as q_sample_hash; both engines emit lowercase hex
+        # and sort it identically).
         a_nodes = _numbered_sample(
-            nodes.withColumn("h", F.xxhash64("node", F.lit(seed))),
+            nodes.withColumn(
+                "h", F.md5(F.concat(F.col("node").cast("string"), F.lit(f"#b{seed}")))
+            ),
             n_pairs, "h", "pair_id",
         ).select("pair_id", "node")
         b_nodes = _numbered_sample(
-            nodes.withColumn("h", F.xxhash64("node", F.lit(seed + 1))),
+            nodes.withColumn(
+                "h",
+                F.md5(F.concat(F.col("node").cast("string"), F.lit(f"#b{seed + 1}"))),
+            ),
             n_pairs, "h", "pair_id",
         ).select("pair_id", "node")
         pairs = (
@@ -551,50 +560,154 @@ def betweenness_sample(
             .localCheckpoint()
         )
 
-        fwd = bfs_distances(
-            sym,
-            pairs.select(F.col("pair_id").alias("tag"), F.col("a").alias("node")),
-            max_depth,
-            count_paths=True,
-        )
-        bwd = bfs_distances(
-            sym,
-            pairs.select(F.col("pair_id").alias("tag"), F.col("b").alias("node")),
-            max_depth,
-            count_paths=True,
-        )
-
-        # dist(a,b) per pair = forward distance at b (if reached in depth)
-        pb_end = pairs.select(F.col("pair_id").alias("ptag"), F.col("b").alias("pb"))
-        d_ab = (
-            fwd.join(pb_end, (fwd.node == pb_end.pb) & (fwd.tag == pb_end.ptag))
-            .select(F.col("tag"), F.col("dist").alias("d_ab"))
-        )
-
-        f = fwd.select(F.col("tag"), F.col("node"), F.col("dist").alias("da"), F.col("npaths").alias("pa"))
-        g = bwd.select(F.col("tag").alias("tag2"), F.col("node").alias("node2"),
-                       F.col("dist").alias("db"), F.col("npaths").alias("pb"))
-        on_path = (
-            f.join(g, (f.tag == g.tag2) & (f.node == g.node2))
-            .join(d_ab, "tag")
-            .where(F.col("da") + F.col("db") == F.col("d_ab"))
-            .join(pairs.select(F.col("pair_id").alias("tag"), "a", "b"), "tag")
-            .where((F.col("node") != F.col("a")) & (F.col("node") != F.col("b")))
-            .select("node", (F.col("pa") * F.col("pb")).alias("path_count"))
-        )
-        result = on_path.groupBy(F.col("node").alias("node_id")).agg(
-            F.sum("path_count").alias("cnt")
-        )
+        result = betweenness_pair_counts(sym, pairs, max_depth)
         # fwd/bwd BFS outputs are localCheckpointed; drop the edge cache
         sym.unpersist()
         return result
 
 
-@query("q_betweenness_sample")
+def betweenness_pair_counts(
+    sym: DataFrame, pairs: DataFrame, max_depth: int
+) -> DataFrame:
+    """Interior-node shortest-path counts for explicit (pair_id, a, b)
+    pairs over a symmetrized edge list — the Brandes fwd/bwd counting
+    core of ``betweenness_sample``, split out so planted-graph tests
+    can drive it with hand-built pairs. Returns (node_id, cnt)."""
+    fwd = bfs_distances(
+        sym,
+        pairs.select(F.col("pair_id").alias("tag"), F.col("a").alias("node")),
+        max_depth,
+        count_paths=True,
+    )
+    bwd = bfs_distances(
+        sym,
+        pairs.select(F.col("pair_id").alias("tag"), F.col("b").alias("node")),
+        max_depth,
+        count_paths=True,
+    )
+
+    # dist(a,b) per pair = forward distance at b (if reached in depth)
+    pb_end = pairs.select(F.col("pair_id").alias("ptag"), F.col("b").alias("pb"))
+    d_ab = (
+        fwd.join(pb_end, (fwd.node == pb_end.pb) & (fwd.tag == pb_end.ptag))
+        .select(F.col("tag"), F.col("dist").alias("d_ab"))
+    )
+
+    f = fwd.select(F.col("tag"), F.col("node"), F.col("dist").alias("da"), F.col("npaths").alias("pa"))
+    g = bwd.select(F.col("tag").alias("tag2"), F.col("node").alias("node2"),
+                   F.col("dist").alias("db"), F.col("npaths").alias("pb"))
+    on_path = (
+        f.join(g, (f.tag == g.tag2) & (f.node == g.node2))
+        .join(d_ab, "tag")
+        .where(F.col("da") + F.col("db") == F.col("d_ab"))
+        .join(pairs.select(F.col("pair_id").alias("tag"), "a", "b"), "tag")
+        .where((F.col("node") != F.col("a")) & (F.col("node") != F.col("b")))
+        .select("node", (F.col("pa") * F.col("pb")).alias("path_count"))
+    )
+    return on_path.groupBy(F.col("node").alias("node_id")).agg(
+        F.sum("path_count").alias("cnt")
+    )
+
+
+def _betweenness_oracle(n_pairs: int, max_depth: int, seed: int) -> str:
+    """DuckDB twin of betweenness_sample: the BFS depth is a small
+    fixed constant, so Brandes path counting unrolls into plain
+    (non-recursive) per-level CTEs — walk counts along strictly
+    distance-increasing paths, read off at each node's first-arrival
+    level, ARE the shortest-path counts (any d-step walk reaching a
+    node at distance d must increase distance every step). DuckDB 1.0
+    recursive CTEs cannot aggregate in the recursive arm, so the
+    recursive formulation q_shortest_path_len uses cannot carry
+    npaths; the unroll can."""
+
+    def levels(prefix: str, src_col: str) -> str:
+        parts = [
+            f"{prefix}0 AS (SELECT pair_id AS tag, {src_col} AS node,"
+            " CAST(1 AS BIGINT) AS np FROM pairs)"
+        ]
+        for d in range(1, max_depth + 1):
+            parts.append(
+                f"{prefix}{d} AS (SELECT tag, sym.dst AS node,"
+                f" CAST(SUM(np) AS BIGINT) AS np FROM {prefix}{d - 1}"
+                f" JOIN sym ON {prefix}{d - 1}.node = sym.src"
+                " GROUP BY tag, sym.dst)"
+            )
+        union = " UNION ALL ".join(
+            f"SELECT tag, node, {d} AS d, np FROM {prefix}{d}"
+            for d in range(max_depth + 1)
+        )
+        parts.append(f"{prefix}l AS ({union})")
+        parts.append(
+            f"{prefix}m AS (SELECT tag, node, MIN(d) AS dist"
+            f" FROM {prefix}l GROUP BY tag, node)"
+        )
+        parts.append(
+            f"{prefix}w AS (SELECT l.tag, l.node, m.dist, l.np"
+            f" FROM {prefix}l l JOIN {prefix}m m"
+            " ON l.tag = m.tag AND l.node = m.node AND l.d = m.dist)"
+        )
+        return ",\n    ".join(parts)
+
+    return f"""
+    WITH e AS (
+      SELECT o_custkey AS src, {_ORD} + o_orderkey AS dst FROM orders
+      UNION ALL
+      SELECT {_ORD} + l_orderkey AS src, {_PRT} + l_partkey AS dst
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    ),
+    sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+    nodes AS (
+      SELECT c_custkey AS node FROM customer
+      UNION ALL SELECT {_ORD} + o_orderkey FROM orders
+      UNION ALL SELECT {_PRT} + p_partkey FROM part
+    ),
+    an AS (
+      SELECT rn AS pair_id, node FROM (
+        SELECT node, ROW_NUMBER() OVER (
+          ORDER BY md5(CAST(node AS VARCHAR) || '#b{seed}')) AS rn
+        FROM nodes
+      ) WHERE rn <= {n_pairs}
+    ),
+    bn AS (
+      SELECT rn AS pair_id, node FROM (
+        SELECT node, ROW_NUMBER() OVER (
+          ORDER BY md5(CAST(node AS VARCHAR) || '#b{seed + 1}')) AS rn
+        FROM nodes
+      ) WHERE rn <= {n_pairs}
+    ),
+    pairs AS (
+      SELECT an.pair_id, an.node AS a, bn.node AS b
+      FROM an JOIN bn ON an.pair_id = bn.pair_id
+      WHERE an.node <> bn.node
+    ),
+    {levels("f", "a")},
+    {levels("g", "b")},
+    dab AS (
+      SELECT fw.tag, fw.dist AS d_ab FROM fw
+      JOIN pairs ON fw.tag = pairs.pair_id AND fw.node = pairs.b
+    ),
+    onp AS (
+      SELECT fw.node, fw.np * gw.np AS pc
+      FROM fw
+      JOIN gw ON fw.tag = gw.tag AND fw.node = gw.node
+      JOIN dab ON fw.tag = dab.tag
+      JOIN pairs ON fw.tag = pairs.pair_id
+      WHERE fw.dist + gw.dist = dab.d_ab
+        AND fw.node <> pairs.a AND fw.node <> pairs.b
+    )
+    SELECT node AS node_id, CAST(SUM(pc) AS BIGINT) AS cnt
+    FROM onp GROUP BY node
+    """
+
+
+@query("q_betweenness_sample", oracle=_betweenness_oracle(6, 5, 42))
 def q_betweenness_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R2: sampled betweenness interior-node counts (rows-only;
-    invariants — path-graph middle node maximal, determinism — in
-    tests/test_graph_algos.py)."""
+    """R2: sampled betweenness interior-node counts. The md5-salted
+    pair sample is reproduced exactly by the oracle (cross-engine
+    deterministic); the oracle unrolls Brandes counting into
+    fixed-depth CTEs — see _betweenness_oracle. Invariants
+    (path-graph middle node maximal, determinism) stay pinned in
+    tests/test_graph_algos.py."""
     return betweenness_sample(spark, sf_dir, n_pairs=6, max_depth=5, seed=42)
 
 
@@ -912,7 +1025,13 @@ def oriented_triangle_count(pairs: DataFrame) -> tuple[int, int]:
 @query(
     "q_triangle_count",
     oracle="""
-    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    WITH op AS (
+      SELECT o, p FROM (
+        SELECT l_orderkey AS o, l_partkey AS p,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      ) WHERE rn <= 1024
+    ),
     e AS (
       SELECT DISTINCT a.p AS u, b.p AS v
       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
@@ -1014,11 +1133,37 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         return k_core(sym, k=2)
 
 
+# Cap on distinct parts considered per order in the co-purchase edge
+# builder. The basket self-join is quadratic in parts-per-order: one
+# degenerate 100k-item basket yields ~5e9 pairs from a single key. Keep
+# the MAX_BASKET_PARTS lowest part ids per order (deterministic, and
+# DuckDB-reproducible for the oracle), bounding the join at
+# O(orders * cap^2 / 2) worst-case. TPC-H baskets are <=7 lines, so at
+# any tested SF the cap is invisible — it exists for the degenerate
+# tail at 100x, the same shape MAX_SHINGLE_DF guards in llm_dedup.
+MAX_BASKET_PARTS = 1024
+
+
 def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical u < v part co-purchase edges (shared by the triangle
-    and clustering-coefficient queries)."""
+    and clustering-coefficient queries). Baskets are truncated to the
+    ``MAX_BASKET_PARTS`` lowest part ids per order before the pair
+    self-join — see the cap note above. The row_number window and the
+    self-join share one Exchange on l_orderkey, so the cap adds no
+    extra shuffle."""
     li = load(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
+    op = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("l_orderkey").orderBy("l_partkey")
+            ),
+        )
+        .where(F.col("rn") <= MAX_BASKET_PARTS)
+        .drop("rn")
+    )
     a, b = op.alias("a"), op.alias("b")
     return (
         a.join(
@@ -1037,7 +1182,13 @@ def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_graph_clustering",
     oracle="""
-    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    WITH op AS (
+      SELECT o, p FROM (
+        SELECT l_orderkey AS o, l_partkey AS p,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      ) WHERE rn <= 1024
+    ),
     e AS (
       SELECT DISTINCT a.p AS u, b.p AS v
       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
@@ -1076,7 +1227,11 @@ def q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     + groupBy over the triangle rows; degrees come from the edge list.
     All keyed on node id — at 100 TB this is three node-keyed
     shuffles downstream of the bounded wedge join."""
-    pairs = _copurchase_pairs(spark, sf_dir).persist()
+    # localCheckpoint (eager) rather than persist/unpersist: the result
+    # is consumed lazily after this function returns, so an unpersist
+    # here would drop the cache before first use and recompute the
+    # basket self-join for both the degree and triangle branches.
+    pairs = _copurchase_pairs(spark, sf_dir).localCheckpoint()
     tris = oriented_triangles(pairs)
     credit = (
         tris.select(
@@ -1107,5 +1262,4 @@ def q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
-    pairs.unpersist()
     return out

@@ -36,10 +36,14 @@ def _enable_nanos_as_long(spark: SparkSession) -> None:
     harness, notebooks) may hand us a bare SparkSession — the conf is
     runtime-settable, so set it here at read time.
 
-    The session time zone is pinned separately for EVERY load (not just
-    events) — see ``_pin_utc``.
+    Also pins the session time zone to UTC (``_pin_utc``): every caller
+    that needs the nanos guard is about to read events.ts, whose
+    NTZ→timestamp normalization is wall-preserving only under a UTC
+    session. Folding the pin here means streaming readers
+    (streaming.stream_events) that bypass ``load`` still get it.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _pin_utc(spark)
 
 
 def _pin_utc(spark: SparkSession) -> None:
@@ -62,8 +66,10 @@ def _normalize_events_ts(df: DataFrame) -> DataFrame:
     TIMESTAMP_NTZ (Spark 4.1 reads NANOS/isAdjustedToUTC=false natively,
     truncated to micros). Every downstream operator assumes one type;
     normalize here so they never see the difference. The NTZ→timestamp
-    cast is wall-preserving because the session TZ is pinned to UTC in
-    ``_enable_nanos_as_long``.
+    cast is wall-preserving because the session TZ is pinned to UTC by
+    ``_pin_utc`` — invoked both from ``load`` and from
+    ``_enable_nanos_as_long``, so every batch and streaming events read
+    is covered before this cast runs.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T

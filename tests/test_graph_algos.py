@@ -157,3 +157,77 @@ def test_k_core_planted_graphs(spark):
     assert {r.node_id for r in k_core(g, 2).collect()} == {0, 1, 2, 3}
     assert {r.node_id for r in k_core(g, 3).collect()} == {0, 1, 2, 3}
     assert k_core(g, 4).count() == 0
+
+
+def test_k_core_power_law_hub_survives(spark):
+    """Skewed fixture the symmetric graphs don't distinguish: a hub
+    with 50 pendant leaves AND 4 clique neighbors. Peeling must strip
+    the pendant fringe without cascading through the hub — its clique
+    support keeps it in every core the clique is in."""
+    from itertools import combinations
+
+    from neo_olap_spark.operators.graph_algos import k_core
+
+    clique = list(combinations(range(4), 2))          # 4-clique 0..3
+    spokes = [(100, c) for c in range(4)]             # hub 100 -> clique
+    fringe = [(100, 200 + i) for i in range(50)]      # 50 pendant leaves
+    g = _edges(spark, clique + spokes + fringe)
+    # 2-core: fringe peels, hub + clique stay
+    assert {r.node_id for r in k_core(g, 2).collect()} == {0, 1, 2, 3, 100}
+    # 4-core: clique nodes have 3 clique + 1 hub edges, hub has 4 —
+    # exactly degree 4 each, all survive; 5-core is empty
+    assert {r.node_id for r in k_core(g, 4).collect()} == {0, 1, 2, 3, 100}
+    assert k_core(g, 5).count() == 0
+
+
+def test_betweenness_star_hub_dominates(spark):
+    """Power-law extreme: a star. Every leaf-to-leaf shortest path has
+    exactly one interior node — the hub — so it must be the ONLY node
+    credited, once per pair."""
+    from neo_olap_spark.operators.graph_algos import betweenness_pair_counts
+
+    sym = _edges(spark, [(0, k) for k in range(1, 21)])
+    pairs = spark.createDataFrame(
+        [(0, 1, 2), (1, 3, 4), (2, 5, 6)], "pair_id int, a long, b long"
+    )
+    got = {r.node_id: r.cnt for r in betweenness_pair_counts(sym, pairs, 4).collect()}
+    assert got == {0: 3}
+
+
+def test_betweenness_double_bridge_path_counts(spark):
+    """Barbell with a 2-wide waist: 2-{0,1}-5-{10,11}-12. Four shortest
+    paths, bridge node 5 on all of them, each waist node on two —
+    the bridge strictly dominates and the counts are the Brandes
+    products, not just 0/1 flags."""
+    from neo_olap_spark.operators.graph_algos import betweenness_pair_counts
+
+    edges = [(2, 0), (2, 1), (0, 5), (1, 5), (5, 10), (5, 11), (10, 12), (11, 12)]
+    sym = _edges(spark, edges)
+    pairs = spark.createDataFrame([(0, 2, 12)], "pair_id int, a long, b long")
+    got = {r.node_id: r.cnt for r in betweenness_pair_counts(sym, pairs, 6).collect()}
+    assert got == {0: 2, 1: 2, 5: 4, 10: 2, 11: 2}
+
+
+def test_copurchase_basket_cap(spark, monkeypatch, tmp_path):
+    """A degenerate mega-basket must be truncated to MAX_BASKET_PARTS
+    lowest part ids before the pair self-join — bounding the quadratic
+    blowup — while normal baskets pair in full."""
+    from itertools import combinations
+
+    from neo_olap_spark.operators import graph_algos
+
+    mega = [(1, p) for p in range(100)]              # one 100-part order
+    normal = [(2, p) for p in (500, 501, 502)]       # a 3-part order
+    dup = [(2, 500)]                                 # duplicate line: must not double-pair
+    spark.createDataFrame(
+        mega + normal + dup, "l_orderkey long, l_partkey long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+
+    monkeypatch.setattr(graph_algos, "MAX_BASKET_PARTS", 8)
+    pairs = graph_algos._copurchase_pairs(spark, str(tmp_path)).collect()
+    got = {(r.u, r.v) for r in pairs}
+    want = {(u, v) for u, v in combinations(range(8), 2)} | {
+        (500, 501), (500, 502), (501, 502)
+    }
+    # capped: C(8,2)+C(3,2)=31 pairs, only the 8 LOWEST mega part ids
+    assert got == want

@@ -94,3 +94,22 @@ def test_sessionize_epoch_is_tz_proof(spark, sf_dir):
         assert_parity(q.fn(spark, sf_dir), q.oracle, sf_dir)
     finally:
         spark.conf.set(tz_key, prev)
+
+
+def test_stream_events_pins_utc_on_nonutc_session(spark, sf_dir):
+    """ADVICE r2 (medium): stream_events normalizes events.ts via the
+    session-TZ-sensitive NTZ->timestamp cast. On a bare NON-UTC driver
+    session every streaming timestamp would drift by the zone offset;
+    the nanos guard now folds in the UTC pin, so building a stream
+    source must re-pin the zone even when no tables.load ran first."""
+    from neo_olap_spark.operators.streaming import stream_events
+
+    tz_key = "spark.sql.session.timeZone"
+    prev = spark.conf.get(tz_key)
+    try:
+        spark.conf.set(tz_key, "America/New_York")
+        stream = stream_events(spark, f"{sf_dir}/events.parquet")
+        assert spark.conf.get(tz_key) == "UTC"
+        assert stream.isStreaming
+    finally:
+        spark.conf.set(tz_key, prev)
