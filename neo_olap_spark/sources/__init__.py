@@ -76,14 +76,24 @@ def compact_parquet(
     ~target-sized files. A streaming sink or per-batch writer leaves
     one file per trigger; a year of 1-minute micro-batches is 500k
     tiny files, and at 100 TB the driver spends longer listing them
-    than reading them. Rewrite = one metadata count (parquet
-    row-group stats, no data scan) + one coalesce write — no shuffle:
-    coalesce merges input splits in place. Returns the file count
-    written."""
+    than reading them. The row count is one metadata read (parquet
+    row-group stats, no data scan). Returns the file count written.
+
+    Single-file output uses ``coalesce(1)`` (merges input splits in
+    place, no shuffle). Multi-file output uses ``repartition`` — a
+    full round-robin shuffle, deliberately: coalesce only glues
+    adjacent input splits, so skewed inputs (one 10 GB file among
+    thousands of 1 MB ones) come back out skewed, and the whole point
+    of compaction is even scan splits. One extra shuffle at write time
+    buys balanced files for every future read."""
     df = spark.read.parquet(src)
     n_rows = df.count()
     n_files = max(1, (n_rows + target_rows_per_file - 1) // target_rows_per_file)
-    df.coalesce(n_files).write.mode("overwrite").parquet(dst)
+    if n_files == 1:
+        df = df.coalesce(1)
+    else:
+        df = df.repartition(n_files)
+    df.write.mode("overwrite").parquet(dst)
     import glob
 
     return len(glob.glob(f"{dst}/part-*.parquet"))

@@ -105,6 +105,44 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert a == b
 
 
+def test_ivf_sq8_recall_matches_full_precision(spark, sf_dir):
+    """The quantized tier (int8 cell scan + full-precision rescore of a
+    4·k pool) must not lose recall vs the full-precision IVF scan at
+    equal n_probe: the pool is 4× the answer size, so int8 ranking
+    error has to displace a true neighbor past 4·k candidates to hurt
+    — and the rescore step restores exact similarities for everything
+    it keeps."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.vec_id) for r in brute_force_topk(e, q, 10).collect()}
+
+    full = {(r.query_id, r.vec_id) for r in ivf_topk(e, q, 10).collect()}
+    sq8_rows = ivf_topk(e, q, 10, quantized=True).collect()
+    sq8 = {(r.query_id, r.vec_id) for r in sq8_rows}
+
+    r_full = len(full & exact) / len(exact)
+    r_sq8 = len(sq8 & exact) / len(exact)
+    # same tolerance as the kmeans-vs-hash assertion; allow the int8
+    # pool to miss at most a sliver vs the full-precision scan
+    assert r_sq8 >= 0.45
+    assert r_sq8 >= r_full - 0.05
+
+    # rescore is FULL precision: every reported similarity must agree
+    # exactly with the brute-force similarity for that pair
+    bf = {
+        (r.query_id, r.vec_id): r.cos_sim
+        for r in brute_force_topk(e, q, 50).collect()
+    }
+    for r in sq8_rows:
+        if (r.query_id, r.vec_id) in bf:
+            assert r.cos_sim == bf[(r.query_id, r.vec_id)]
+
+    # deterministic: identical result sets across runs
+    a = sorted(map(tuple, sq8_rows))
+    b = sorted(map(tuple, ivf_topk(e, q, 10, quantized=True).collect()))
+    assert a == b
+
+
 def test_near_clusters_refine_exact_clusters(spark, sf_dir):
     """LSH pairs are Jaccard-verified, so the LSH pair graph is a
     subgraph of the exact pair graph — every approximate cluster must

@@ -237,6 +237,43 @@ def test_compact_parquet_reduces_files(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_compact_parquet_balances_skewed_input(spark, sf_dir):
+    """Skewed part files (one huge + many tiny) must come out BALANCED:
+    multi-file compaction repartitions (round-robin shuffle) instead of
+    coalescing, which would only glue adjacent splits and preserve the
+    skew. Output file sizes must agree within ±20%."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from neo_olap_spark.sources import compact_parquet
+    from neo_olap_spark.tables import load
+
+    base = tempfile.mkdtemp(prefix="neo_olap_compact_skew_")
+    src, dst = f"{base}/src", f"{base}/dst"
+    try:
+        o = load(spark, sf_dir, "orders")
+        n = o.count()
+        # 90% of rows in one part file, the rest sprinkled over 20
+        o.repartitionByRange(
+            21, F.when(F.col("o_orderkey") % 10 < 9, 0).otherwise(F.col("o_orderkey") % 100)
+        ).write.parquet(src)
+        sizes_in = sorted(
+            os.path.getsize(p) for p in glob.glob(f"{src}/part-*.parquet")
+        )
+        assert sizes_in[-1] > 3 * sizes_in[0], "fixture should be skewed"
+        n_files = compact_parquet(spark, src, dst, target_rows_per_file=n // 4 + 1)
+        assert n_files == 4
+        sizes = [os.path.getsize(p) for p in glob.glob(f"{dst}/part-*.parquet")]
+        assert max(sizes) <= 1.2 * min(sizes), f"unbalanced output: {sizes}"
+        assert spark.read.parquet(dst).count() == n
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_mix_sample_is_pure_scan_filter(q):
     # mixture sampling must be a per-row predicate on the scan — no
     # shuffle, no join, no aggregation anywhere in the plan
