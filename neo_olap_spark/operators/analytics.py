@@ -845,3 +845,344 @@ def q_sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, names=("lineitem",))
     return spark.sql(TPCH_Q6_SQL)
+
+
+TPCH_Q4_SQL = """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= '1996-07-01' AND o_orderdate < '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+"""
+
+TPCH_Q10_SQL = """
+    SELECT c_custkey, c_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           ROUND(c_acctbal, 2) AS acctbal
+    FROM customer, orders, lineitem
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= '1996-10-01' AND o_orderdate < '1997-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+TPCH_Q14_SQL = """
+    SELECT ROUND(100.00 * SUM(CASE WHEN p_type = 'PROMO'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0 END)
+           / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= '1997-03-01' AND l_shipdate < '1997-04-01'
+"""
+
+TPCH_Q19_SQL = """
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND ((p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 5
+            AND l_quantity BETWEEN 1 AND 11)
+        OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 10
+            AND l_quantity BETWEEN 10 AND 20)
+        OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 15
+            AND l_quantity BETWEEN 20 AND 30))
+"""
+
+TPCH_Q5_SQL = """
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= '1995-01-01' AND o_orderdate < '1998-01-01'
+    GROUP BY n_name
+"""
+
+
+@query("q_sql_tpch_q4", oracle=TPCH_Q4_SQL)
+def q_sql_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking, adapted to this schema's
+    columns: late = any line shipped after the order date). The EXISTS
+    decorrelates to a LEFT SEMI join on o_orderkey — at 100 TB that is
+    one shuffle of the filtered quarter of orders against lineitem,
+    with the date filter pushed to the orders scan. Shared SQL text
+    with the DuckDB oracle proves dialect portability."""
+    from neo_olap_spark.tables import register_views
+
+    register_views(spark, sf_dir, names=("orders", "lineitem"))
+    return spark.sql(TPCH_Q4_SQL)
+
+
+@query("q_sql_tpch_q10", oracle=TPCH_Q10_SQL)
+def q_sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item revenue, top 20 customers). The plan
+    to want: date filter pushed to the orders scan, returnflag filter
+    to lineitem, two key-joins, then TakeOrderedAndProject for the
+    LIMIT — no global sort materializes. ORDER BY the ROUNDED revenue
+    with a c_custkey tie-break keeps the LIMIT deterministic
+    cross-engine (raw-double ordering could flip equal-looking
+    rows)."""
+    from neo_olap_spark.tables import register_views
+
+    register_views(spark, sf_dir, names=("customer", "orders", "lineitem"))
+    return spark.sql(TPCH_Q10_SQL)
+
+
+@query("q_sql_tpch_q14", oracle=TPCH_Q14_SQL)
+def q_sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promo revenue share): selective month filter on the
+    fact scan, join to part (broadcast-able dim), conditional
+    aggregation — one shuffle-free broadcast join plus a scalar agg."""
+    from neo_olap_spark.tables import register_views
+
+    register_views(spark, sf_dir, names=("lineitem", "part"))
+    return spark.sql(TPCH_Q14_SQL)
+
+
+@query("q_sql_tpch_q19", oracle=TPCH_Q19_SQL)
+def q_sql_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (disjunctive brand/size/quantity predicates). The
+    per-branch part predicates can't prune the fact scan, but the
+    broadcast hash join + codegen'd OR evaluation keeps it one pass
+    over lineitem; Catalyst extracts the common p_partkey join key
+    from under the OR."""
+    from neo_olap_spark.tables import register_views
+
+    register_views(spark, sf_dir, names=("lineitem", "part"))
+    return spark.sql(TPCH_Q19_SQL)
+
+
+@query("q_join_multiway", oracle=TPCH_Q5_SQL)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local-supplier revenue) DataFrame-first — the 6-way
+    join written the way a 100 TB plan should run: nation⋈region
+    pre-reduced and BROADCAST (a few rows), supplier and customer
+    broadcast against the facts (dim tables), so the only real
+    shuffle is lineitem⋈orders on orderkey; the c_nationkey =
+    s_nationkey "local" predicate is evaluated post-join, codegen'd.
+    Oracle: the classic SQL formulation (TPCH_Q5_SQL)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    asia_nations = n.join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    ).select("n_nationkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(STDDEV_SAMP(l_quantity), 6) AS std_qty,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS cov_qty_price,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-moments pack per group: avg / sample stddev /
+    sample covariance / correlation — the profiling aggregates a
+    feature-engineering pass runs. All are single-pass partial-
+    aggregable (sum, sum of squares, cross products) so the plan is
+    one map-side-combined shuffle into 3 groups; rounding absorbs the
+    engines' accumulation-order float differences (~1e-12 relative at
+    this scale, far below the rounded digit)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qty_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+    )
+
+
+@query(
+    "q_agg_argmax",
+    oracle="""
+    SELECT l_returnflag,
+           MAX_BY(l_orderkey,
+                  LPAD(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS VARCHAR), 14, '0')
+                  || '#' || LPAD(CAST(l_orderkey AS VARCHAR), 14, '0')) AS top_order,
+           ROUND(MAX(l_extendedprice), 2) AS top_price,
+           MIN_BY(l_orderkey,
+                  LPAD(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS VARCHAR), 14, '0')
+                  || '#' || LPAD(CAST(l_orderkey AS VARCHAR), 14, '0')) AS bottom_order,
+           ROUND(MIN(l_extendedprice), 2) AS bottom_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax aggregation) with a DETERMINISTIC
+    composite ordinal: price alone ties (many lines share a price) and
+    each engine would keep an arbitrary winner, so the winner must be
+    total-ordered. Zero-padded fixed-width cents + '#' + zero-padded
+    orderkey compares lexicographically exactly like the (price,
+    orderkey) tuple — unpadded digit strings would not ('9.5' >
+    '10.2'). Partial-aggregable (max_by merges map-side), one shuffle
+    into 3 groups."""
+    li = load(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    ordinal = F.concat_ws(
+        "#",
+        F.lpad(cents.cast("string"), 14, "0"),
+        F.lpad(F.col("l_orderkey").cast("string"), 14, "0"),
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.max_by("l_orderkey", ordinal).alias("top_order"),
+        F.round(F.max("l_extendedprice"), 2).alias("top_price"),
+        F.min_by("l_orderkey", ordinal).alias("bottom_order"),
+        F.round(F.min("l_extendedprice"), 2).alias("bottom_price"),
+    )
+
+
+@query(
+    "q_events_json",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column path: extract a typed field from the
+    JSON props payload and aggregate it per event type — the
+    schema-on-read pattern for event streams whose payload evolves
+    faster than the table schema. get_json_object stays JVM-side
+    (Jackson, codegen'd); at 100 TB prefer promoting hot JSON fields
+    to real columns at ingest, which this query's plan (extract fused
+    into the scan, one small-key shuffle) makes cheap to do lazily."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+    )
+
+
+@query(
+    "q_agg_percentile_exact",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+           ROUND(quantile_cont(l_quantity, 0.50), 6) AS p50,
+           ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT linear-interpolation percentiles per group (Spark
+    `percentile` ≡ DuckDB `quantile_cont` semantics) — the precise
+    complement to the approx_percentile sketch key. Exact percentiles
+    need the group's values together (a sort per group); at 100 TB
+    use q_agg_approx_quantile unless the contract demands exactness —
+    that trade is the point of having both keys."""
+    li = load(spark, sf_dir, "lineitem")
+    pcts = F.expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pcts.alias("p"), F.count("*").alias("n_rows"))
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("p", 1), 6).alias("p25"),
+            F.round(F.element_at("p", 2), 6).alias("p50"),
+            F.round(F.element_at("p", 3), 6).alias("p75"),
+            "n_rows",
+        )
+    )
+
+
+HIST_BIN_WIDTH = 50_000.0
+
+
+@query(
+    "q_agg_histogram",
+    oracle=f"""
+    SELECT CAST(FLOOR(o_totalprice / {HIST_BIN_WIDTH}) AS BIGINT) AS bin,
+           COUNT(*) AS n_orders,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders
+    GROUP BY bin
+    """,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram by arithmetic binning — the distribution
+    profile pass. The bin expression is a pure projection, so the
+    whole query is one map-side-combined shuffle whose key space is
+    the bin count, not the row count; bin boundaries are exact integer
+    floors, so both engines bucket identically (no width_bucket
+    edge-semantics dependence)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.withColumn(
+            "bin", F.floor(F.col("o_totalprice") / HIST_BIN_WIDTH).cast("long")
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+@query(
+    "q_agg_collect_sorted",
+    oracle="""
+    SELECT o_orderpriority,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set + canonical ordering, emitted as CSV: array-valued
+    aggregation is only hash-stable if the collection order is
+    canonicalized (collect_set order is partition-arrival
+    nondeterministic in BOTH engines — sort_array fixes it). The
+    distinct set per group is bounded by the status domain, so state
+    stays tiny no matter the row count."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("o_orderstatus"))).alias(
+            "statuses"
+        ),
+        F.count("*").alias("n_orders"),
+    )

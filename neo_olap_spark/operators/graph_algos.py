@@ -1263,3 +1263,35 @@ def q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+from neo_olap_spark.graph import ORACLE_SYM_EDGES as _ORACLE_SYM  # noqa: E402
+
+
+@query(
+    "q_graph_degree_hist",
+    oracle=_ORACLE_SYM
+    + """
+    SELECT deg AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY src)
+    GROUP BY deg
+    """,
+)
+def q_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution histogram of the derived graph — the
+    first diagnostic a graph pipeline computes (it decides salting,
+    hub handling, and orientation thresholds for everything
+    downstream; the reference prints exactly this kind of summary
+    after its degree pass, OlapRunner.java:55-58).
+
+    Two shuffles, both with map-side partials: degree per node, then
+    node-count per degree. The second aggregate's key space is the
+    distinct degree set — tiny even at 100 TB (degree distributions
+    are heavy-tailed, not wide)."""
+    from neo_olap_spark.graph import degrees, edges as _edges
+
+    return (
+        degrees(_edges(spark, sf_dir))
+        .groupBy(F.col("degree"))
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+    )

@@ -141,11 +141,69 @@ def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     no per-language pass; rebalancing a 100 TB corpus's language mix
     is one filter."""
     d = load(spark, sf_dir, "documents")
+    return d.where(_mix_keep_expr()).select("doc_id", "lang")
+
+
+def _mix_keep_expr():
+    """Spark twin of _mix_keep_sql: deterministic per-doc keep
+    predicate for the language-mixture rates."""
     rate = F.lit(0)
     for lg, pm in reversed(MIX_RATES_PM.items()):
         rate = F.when(F.col("lang") == lg, F.lit(pm)).otherwise(rate)
-    keep = ((F.col("doc_id") * MIX_HASH_A + 7) % MIX_HASH_M) < rate
-    return d.where(keep).select("doc_id", "lang")
+    return ((F.col("doc_id") * MIX_HASH_A + 7) % MIX_HASH_M) < rate
+
+
+PRETRAIN_MIN_TOKENS = 5
+
+
+@query(
+    "q_pipeline_pretrain",
+    oracle=f"""
+    WITH canon AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+    kept AS (
+      SELECT d.doc_id, d.source, d.lang,
+             len(regexp_split_to_array(trim(d.text), '\\s+')) AS n_tokens
+      FROM documents d JOIN canon USING (doc_id)
+      WHERE {_mix_keep_sql()}
+    )
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(CEIL(SUM(n_tokens) * 1.0 / {CONTEXT_TOKENS}) AS BIGINT) AS n_shards
+    FROM kept
+    WHERE n_tokens >= {PRETRAIN_MIN_TOKENS}
+    GROUP BY source, lang
+    """,
+)
+def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pretraining shard-prep pipeline END TO END: exact dedup
+    (keep the canonical min-id copy per text) ∘ language-mixture
+    sampling (deterministic hash keep) ∘ length gate ∘ per-(source,
+    lang) shard accounting (docs, tokens, CONTEXT_TOKENS-sized shard
+    count). One query — the point is that the whole corpus-to-shards
+    path stays a single declarative plan.
+
+    Scale shape: the dedup groupBy(text) is the only wide stage over
+    full documents (at 100 TB, group on a fingerprint hash instead of
+    raw text — q_text_fingerprint is that operator); the mixture and
+    length gates are per-row predicates fused into the scan; the final
+    rollup shuffles only (source, lang, n_tokens) triples with
+    map-side partials."""
+    d = load(spark, sf_dir, "documents")
+    canon = d.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    kept = (
+        d.join(canon, "doc_id")
+        .where(_mix_keep_expr())
+        .select(
+            "source", "lang", F.size(ws_tokens(F.col("text"))).alias("n_tokens")
+        )
+        .where(F.col("n_tokens") >= PRETRAIN_MIN_TOKENS)
+    )
+    return kept.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.ceil(F.sum("n_tokens") / CONTEXT_TOKENS).cast("long").alias("n_shards"),
+    )
 
 
 @query(

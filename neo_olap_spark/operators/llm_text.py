@@ -601,3 +601,52 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_bigrams"),
         F.round(F.avg("logp"), 4).alias("avg_logp"),
     )
+
+
+LEV_PREFIX = 80  # chars compared per pair — bounds the O(n*m) DP cell count
+
+
+@query(
+    "q_text_levenshtein",
+    oracle=f"""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(substr(a.text, 1, {LEV_PREFIX}),
+                            substr(b.text, 1, {LEV_PREFIX})) AS BIGINT) AS edit_dist,
+           ROUND(1.0 - levenshtein(substr(a.text, 1, {LEV_PREFIX}),
+                                   substr(b.text, 1, {LEV_PREFIX}))
+                 * 1.0 / GREATEST(length(substr(a.text, 1, {LEV_PREFIX})),
+                                  length(substr(b.text, 1, {LEV_PREFIX})), 1),
+                 4) AS sim
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def q_text_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification tier: exact Levenshtein (and its
+    normalized similarity) over candidate pairs — here the adjacent-id
+    pairing as a deterministic oracle-friendly candidate set; in the
+    full pipeline the candidates come from the LSH/SimHash tiers and
+    this is the final precise filter.
+
+    Scale shape: cost is pairs × LEV_PREFIX² DP cells, linear in the
+    candidate count — the quadratic blowup lives in candidate
+    GENERATION, which the capped LSH tiers already bound. The prefix
+    cap bounds the per-pair cost exactly like MAX_SHINGLE_DF bounds
+    the join. Both engines compute codepoint-level distance, so the
+    oracle matches on any text."""
+    d = load(spark, sf_dir, "documents")
+    a = d.select(F.col("doc_id").alias("doc_a"), F.substring("text", 1, LEV_PREFIX).alias("ta"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.substring("text", 1, LEV_PREFIX).alias("tb"))
+    lev = F.levenshtein("ta", "tb")
+    return (
+        a.join(b, F.col("doc_b") == F.col("doc_a") + 1)
+        .select(
+            "doc_a",
+            "doc_b",
+            lev.cast("long").alias("edit_dist"),
+            F.round(
+                1.0
+                - lev / F.greatest(F.length("ta"), F.length("tb"), F.lit(1)),
+                4,
+            ).alias("sim"),
+        )
+    )

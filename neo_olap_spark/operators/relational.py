@@ -757,6 +757,56 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_window_first_last",
+    oracle="""
+    SELECT l_orderkey, first_part, last_part, second_part, n_lines
+    FROM (
+      SELECT l_orderkey,
+             FIRST_VALUE(l_partkey) OVER w AS first_part,
+             LAST_VALUE(l_partkey) OVER w AS last_part,
+             NTH_VALUE(l_partkey, 2) OVER w AS second_part,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n_lines,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity) AS rn
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_orderkey
+                   ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ) WHERE rn = 1
+    """,
+)
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation windows over a FULL frame: first_value / last_value /
+    nth_value per order, reduced to one row per order via row_number.
+    last_value needs the explicit unbounded-following frame (the
+    default frame ends at CURRENT ROW, a classic silent-wrong-answer).
+    The ORDER BY tuple (linenumber, partkey, suppkey, quantity) is
+    unique in the generated data, and the projected value is part of
+    the tuple, so ties could never change the output anyway. All four
+    windows share one partitioning — a single Exchange + sort."""
+    li = load(spark, sf_dir, "lineitem")
+    order_cols = ["l_linenumber", "l_partkey", "l_suppkey", "l_quantity"]
+    frame = (
+        W.partitionBy("l_orderkey")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    seq = W.partitionBy("l_orderkey").orderBy(*order_cols)
+    return (
+        li.select(
+            "l_orderkey",
+            F.first("l_partkey").over(frame).alias("first_part"),
+            F.last("l_partkey").over(frame).alias("last_part"),
+            F.nth_value("l_partkey", 2).over(frame).alias("second_part"),
+            F.count("*").over(frame).cast("long").alias("n_lines"),
+            F.row_number().over(seq).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sort / limit / top-K
 # ---------------------------------------------------------------------------
