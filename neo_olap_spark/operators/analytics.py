@@ -1186,3 +1186,107 @@ def q_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n_orders"),
     )
+
+
+HH_FRACTION = 2_000  # heavy hitter = support > n / HH_FRACTION
+
+
+@query(
+    "q_agg_heavy_hitters",
+    oracle=f"""
+    SELECT l_partkey,
+           COUNT(*) AS n_lines,
+           ROUND(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM lineitem), 6) AS support
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING COUNT(*) > (SELECT COUNT(*) FROM lineitem) * 1.0 / {HH_FRACTION}
+    """,
+)
+def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters: keys whose support exceeds n/HH_FRACTION —
+    the ground-truth version of a Misra-Gries / Space-Saving sketch
+    pass. Plan: one map-side-combined groupBy, one scalar total
+    (computed once, broadcast into the HAVING filter). At 100 TB run
+    the sketch first and this exact pass only over the sketch's
+    candidate set — the two-phase shape this key's filter mirrors."""
+    li = load(spark, sf_dir, "lineitem")
+    total = li.agg(F.count("*").alias("n_total"))
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("n_lines"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("n_lines") > F.col("n_total") / HH_FRACTION)
+        .select(
+            "l_partkey",
+            "n_lines",
+            F.round(F.col("n_lines") / F.col("n_total"), 6).alias("support"),
+        )
+    )
+
+
+@query(
+    "q_agg_bool",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT_IF(o_totalprice > 100000) AS BIGINT) AS n_large,
+           BOOL_AND(o_totalprice > 1000) AS all_over_1k,
+           BOOL_OR(o_orderstatus = 'F') AS any_finished,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family: count_if / bool_and (every) /
+    bool_or (any) per group — the assertion-style rollups data-quality
+    monitors run. All partial-aggregable, one shuffle into 5 groups."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_large"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+DOWNSAMPLE_HOURS = 6
+
+
+@query(
+    "q_time_downsample",
+    oracle=f"""
+    SELECT event_type,
+           CAST(FLOOR(epoch(ts) / ({DOWNSAMPLE_HOURS} * 3600)) AS BIGINT) AS bucket,
+           COUNT(*) AS n_events,
+           FLOOR(AVG(value) * 10000 + 0.5) / 10000 AS avg_value,
+           FLOOR(MIN(value) * 10000 + 0.5) / 10000 AS min_value,
+           FLOOR(MAX(value) * 10000 + 0.5) / 10000 AS max_value
+    FROM events
+    GROUP BY event_type, bucket
+    """,
+)
+def q_time_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series time-bucket downsampling (6-hour buckets of each
+    event type): the count/avg/min/max envelope a monitoring or
+    feature pipeline stores instead of raw points. Arithmetic
+    epoch-division bucketing (engine-portable, no calendar functions
+    in the key); one shuffle on the (series, bucket) composite key —
+    the hypertable continuous-aggregate shape, computable
+    incrementally because every aggregate here is mergeable."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "bucket",
+            F.floor(F.col("ts").cast("long") / (DOWNSAMPLE_HOURS * 3600)).cast("long"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            # floor(x*1e4+.5)/1e4, not round(): an avg of k values can
+            # land EXACTLY on a half (e.g. 55.12125) and the engines'
+            # round-half rules differ — same fix as q_embed_quantize
+            (F.floor(F.avg("value") * 10000 + 0.5) / 10000).alias("avg_value"),
+            (F.floor(F.min("value") * 10000 + 0.5) / 10000).alias("min_value"),
+            (F.floor(F.max("value") * 10000 + 0.5) / 10000).alias("max_value"),
+        )
+    )

@@ -1018,7 +1018,11 @@ def oriented_triangles(pairs: DataFrame) -> DataFrame:
 
 
 def oriented_triangle_count(pairs: DataFrame) -> tuple[int, int]:
-    """(n_edges, n_triangles) via ``oriented_triangles``."""
+    """(n_edges, n_triangles) via ``oriented_triangles``. The edge
+    list is materialized eagerly ONCE (localCheckpoint) — the naive
+    form would execute the upstream pair-builder twice: once for the
+    edge count action and again inside the triangle machinery."""
+    pairs = pairs.localCheckpoint()
     return pairs.count(), oriented_triangles(pairs).count()
 
 

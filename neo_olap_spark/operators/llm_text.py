@@ -650,3 +650,47 @@ def q_text_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sim"),
         )
     )
+
+
+TOP_NGRAMS = 50
+
+
+@query(
+    "q_text_ngram_stats",
+    oracle=f"""
+    WITH {_BIGRAM_CTE},
+    cnt AS (SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram),
+    ranked AS (
+      SELECT bigram, n, ROW_NUMBER() OVER (ORDER BY n DESC, bigram) AS rnk
+      FROM cnt
+    )
+    SELECT bigram, CAST(n AS BIGINT) AS n, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {TOP_NGRAMS}
+    """,
+)
+def q_text_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-N bigram frequency table — the vocabulary /
+    collocation statistics a tokenizer-training or boilerplate-
+    detection pass starts from. One (bigram) shuffle with map-side
+    partials, then a rank cut; the (count desc, bigram) tie-break
+    makes the top-N total-ordered, so the LIMIT is deterministic
+    cross-engine. At 100 TB the count table is bounded by the distinct
+    bigram vocabulary, not the corpus size."""
+    from neo_olap_spark.functions import numbered_sample
+
+    d = load(spark, sf_dir, "documents")
+    _, bigrams_df = _doc_bigrams(d)
+    cnt = bigrams_df.groupBy("bigram").agg(F.count("*").alias("n"))
+    # total order: n desc, bigram asc — encode as a single sortable
+    # key for numbered_sample (it orders ascending): (-n, bigram)
+    ranked = numbered_sample(
+        cnt.withColumn("negn", -F.col("n")).withColumn("k", F.struct("negn", "bigram")),
+        TOP_NGRAMS,
+        "k",
+        "rnk0",
+    )
+    return ranked.select(
+        "bigram",
+        F.col("n").cast("long").alias("n"),
+        (F.col("rnk0") + 1).cast("long").alias("rnk"),
+    )
