@@ -1290,3 +1290,92 @@ def q_time_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.max("value") * 10000 + 0.5) / 10000).alias("max_value"),
         )
     )
+
+
+Z_THRESHOLD = 3.0
+
+
+@query(
+    "q_anomaly_zscore",
+    oracle=f"""
+    WITH stats AS (
+      SELECT event_type,
+             AVG(value) AS mu,
+             STDDEV_SAMP(value) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND(e.value, 4) AS value,
+           ROUND((e.value - s.mu) / s.sigma, 3) AS zscore
+    FROM events e JOIN stats s USING (event_type)
+    WHERE ABS((e.value - s.mu) / s.sigma) > {Z_THRESHOLD}
+    """,
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection per series: flag events more than
+    Z_THRESHOLD sample deviations from their type's mean — the
+    first-line anomaly monitor over any metric stream. Two-pass shape
+    (tiny per-type stats, then a broadcast join back over the scan)
+    rather than a window: a window would shuffle EVERY row into
+    per-type partitions; the stats aggregate is partial-aggregable and
+    the rejoin is broadcast — the full pass stays embarrassingly
+    parallel at 100 TB."""
+    ev = load(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .where(F.abs(z) > Z_THRESHOLD)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round(z, 3).alias("zscore"),
+        )
+    )
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id,
+             MIN(CAST(FLOOR(epoch(ts) / 604800) AS BIGINT)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(FLOOR(epoch(e.ts) / 604800) AS BIGINT) - f.cohort_week AS week_offset
+      FROM events e JOIN first_seen f USING (user_id)
+    )
+    SELECT cohort_week, week_offset, COUNT(*) AS n_users
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-active week,
+    counted per (cohort, weeks-since-first) cell — THE product-
+    analytics query. Plan: one groupBy(user) for first-seen, one
+    user-keyed join back (both sides already hashed on user_id — a
+    single Exchange each), a distinct on (user, cohort, offset), and
+    a small-key rollup. Arithmetic week bucketing (epoch // 604800)
+    keeps both engines calendar-free."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "week", F.floor(F.col("ts").cast("long") / 604800).cast("long")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_users")
+    )
