@@ -360,3 +360,53 @@ def test_incremental_agg_pushes_split_predicate(q):
     p = plan_str(q("q_incremental_agg"))
     assert "GreaterThanOrEqual(l_shipdate" in p
     assert "LessThan(l_shipdate" in p
+
+
+def test_tpch_q10_topk_streams(q):
+    # LIMIT 20 over the ordered revenue must plan as streaming top-K,
+    # never a global sort of every customer group
+    df = q("q_sql_tpch_q10")
+    assert_in_plan(df, "TakeOrderedAndProject")
+    assert_not_in_plan(df, "Exchange rangepartitioning")
+
+
+def test_multiway_join_broadcasts_dims(q):
+    # TPC-H Q5 DataFrame form: supplier/customer/nation⋈region are all
+    # broadcast — the fact table shuffles at most once (orderkey)
+    df = q("q_join_multiway")
+    p = plan_str(df)
+    assert p.count("BroadcastHashJoin") >= 3, p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_anomaly_zscore_is_broadcast_two_pass(q):
+    # stats side is 4 rows — must rejoin via broadcast, not a window
+    # (a window would shuffle every event into per-type partitions)
+    df = q("q_anomaly_zscore")
+    assert_in_plan(df, "BroadcastHashJoin")
+    assert_not_in_plan(df, "Window")
+    assert_not_in_plan(df, "SortMergeJoin")
+
+
+def test_downsample_single_exchange(q):
+    # arithmetic bucketing fuses into the scan: one shuffle total
+    p = plan_str(q("q_time_downsample"), mode="simple")
+    assert p.count("Exchange") == 1, p
+
+
+def test_histogram_single_exchange(q):
+    p = plan_str(q("q_agg_histogram"), mode="simple")
+    assert p.count("Exchange") == 1, p
+
+
+def test_heavy_hitters_broadcasts_total(q):
+    # the scalar total joins in via broadcast; no sort-merge anywhere
+    df = q("q_agg_heavy_hitters")
+    assert_not_in_plan(df, "SortMergeJoin")
+
+
+def test_first_last_single_window_exchange(q):
+    # all four navigation windows share one partitioning: one Exchange
+    p = plan_str(q("q_window_first_last"), mode="simple")
+    assert p.count("Exchange") == 1, p
