@@ -312,3 +312,46 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("max_abs") / QUANT_BITS_MAX, 6).alias("scale"),
         F.concat_ws(",", F.transform(q, lambda v: v.cast("string"))).alias("q_csv"),
     )
+
+
+@query(
+    "q_embed_stats",
+    oracle="""
+    WITH n AS (
+      SELECT label,
+             sqrt(list_aggregate(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm,
+             len(embedding) AS dim
+      FROM embeddings
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(MIN(dim) AS BIGINT) AS min_dim,
+           CAST(MAX(dim) AS BIGINT) AS max_dim,
+           FLOOR(AVG(nrm) * 10000 + 0.5) / 10000 AS avg_norm,
+           FLOOR(MIN(nrm) * 10000 + 0.5) / 10000 AS min_norm,
+           FLOOR(MAX(nrm) * 10000 + 0.5) / 10000 AS max_norm
+    FROM n GROUP BY label
+    """,
+)
+def q_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-store health profile per label: vector counts,
+    dimension bounds (a ragged store is a broken store), and the norm
+    envelope (collapsed or exploding norms are the first symptom of a
+    bad encoder run). Norms accumulate left-to-right in double on both
+    engines (the repo's shared fold discipline), so the floor-rounded
+    stats hash-match; one scan, one small-key shuffle."""
+    from neo_olap_spark.functions import norm
+
+    e = load(spark, sf_dir, "embeddings")
+    n = e.select(
+        "label", norm(F.col("embedding")).alias("nrm"), F.size("embedding").alias("dim")
+    )
+    return n.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.min("dim").cast("long").alias("min_dim"),
+        F.max("dim").cast("long").alias("max_dim"),
+        (F.floor(F.avg("nrm") * 10000 + 0.5) / 10000).alias("avg_norm"),
+        (F.floor(F.min("nrm") * 10000 + 0.5) / 10000).alias("min_norm"),
+        (F.floor(F.max("nrm") * 10000 + 0.5) / 10000).alias("max_norm"),
+    )

@@ -1064,3 +1064,43 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("cb.ok"))  # smaller-or-tied backward: earlier date wins
     )
     return res.select("event_id", "user_id", nearest.alias("nearest_orderkey"))
+
+
+STRATA_K = 20  # exact sample size per stratum
+
+
+@query(
+    "q_sample_exact_stratified",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderkey, o_custkey
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_custkey,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= {STRATA_K}
+    """,
+)
+def q_sample_exact_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k-per-stratum deterministic sampling: the k lowest
+    md5-of-key rows within every group — the balanced eval-split /
+    per-source audit-sample primitive a training-data pipeline needs
+    (sampleBy gives only APPROXIMATE per-stratum counts, and seeded
+    Bernoulli output is engine-specific; both stay as the rows-only
+    q_sample keys).
+
+    Plan: rank-then-filter compiles to WindowGroupLimit — at most k
+    rows per stratum survive each partial phase before the single
+    group-keyed Exchange, so the shuffle carries O(k·strata), not the
+    table."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), "o_orderkey"
+    )
+    return (
+        o.select("o_orderpriority", "o_orderkey", "o_custkey")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= STRATA_K)
+        .drop("rn")
+    )
