@@ -868,11 +868,60 @@ def resumable_pagerank(
         return state.select(F.col("node").alias("node_id"), F.round("rank", 6).alias("rank"))
 
 
-@query("q_pagerank")
+def _pagerank_oracle(n_iters: int, damping: float) -> str:
+    """DuckDB twin of the fixed-iteration power method: PageRank's
+    FIXPOINT is not CTE-expressible, but q_pagerank runs a FIXED
+    n_iters — so, like the betweenness oracle, the recurrence unrolls
+    into plain per-iteration CTEs (rank join edges, groupBy dst,
+    damped update; dangling nodes get the same self-loops). Verified
+    drift between the engines' summation orders after 8 iterations is
+    ~1e-13 — six rounded decimals match exactly at every tested SF."""
+    parts = [
+        f"""
+    e AS (
+      SELECT o_custkey AS src, {_ORD} + o_orderkey AS dst FROM orders
+      UNION ALL
+      SELECT {_ORD} + l_orderkey AS src, {_PRT} + l_partkey AS dst
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    ),
+    sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+    nodes AS (
+      SELECT c_custkey AS node FROM customer
+      UNION ALL SELECT {_ORD} + o_orderkey FROM orders
+      UNION ALL SELECT {_PRT} + p_partkey FROM part
+    ),
+    dg AS (SELECT src AS node, COUNT(*) AS d FROM sym GROUP BY src),
+    base AS (SELECT n.node, COALESCE(dg.d, 0) AS d
+             FROM nodes n LEFT JOIN dg ON n.node = dg.node),
+    e2 AS (SELECT src, dst FROM sym
+           UNION ALL SELECT node AS src, node AS dst FROM base WHERE d = 0),
+    st AS (SELECT node, GREATEST(d, 1) AS deg FROM base),
+    r0 AS (SELECT node, deg, CAST(1.0 AS DOUBLE) AS rank FROM st)"""
+    ]
+    for k in range(1, n_iters + 1):
+        parts.append(
+            f"""
+    r{k} AS (
+      SELECT s.node, s.deg, {1 - damping} + {damping} * COALESCE(m.mass, 0) AS rank
+      FROM st s LEFT JOIN (
+        SELECT e2.dst AS node, SUM(r.rank / r.deg) AS mass
+        FROM r{k - 1} r JOIN e2 ON r.node = e2.src GROUP BY e2.dst
+      ) m ON s.node = m.node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"\n    SELECT node AS node_id, ROUND(rank, 6) AS rank FROM r{n_iters}"
+    )
+
+
+@query("q_pagerank", oracle=_pagerank_oracle(8, 0.85))
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the derived undirected graph, 8 power iterations
-    (rows-only; invariants in tests: total rank ≈ n_nodes, determinism,
-    hubs outrank leaves on a star fixture)."""
+    """PageRank over the derived undirected graph, 8 power iterations.
+    Hash-checked against the unrolled fixed-iteration DuckDB twin
+    (_pagerank_oracle); invariants stay in tests: total rank ≈
+    n_nodes, determinism, hubs outrank leaves on a star fixture."""
     from neo_olap_spark.graph import edge_count_estimate
 
     sym = symmetrize(edges(spark, sf_dir))
@@ -942,11 +991,59 @@ def connected_components(
         return labels.select(F.col("node").alias("node_id"), F.col("label").alias("component"))
 
 
-@query("q_connected_components")
+def _cc_oracle(n_rounds: int) -> str:
+    """DuckDB twin of min-label propagation, unrolled to the SAME
+    round ceiling as the Spark implementation's max_iters: full
+    (non-frontier) propagation is mathematically identical to the
+    frontier-optimized loop and idempotent once converged, so if
+    Spark converges within the ceiling the two agree exactly — and if
+    it doesn't, Spark RAISES rather than returning partial labels, so
+    the pair can never agree on a wrong answer. Measured propagation
+    depth: 7/8/10 rounds at sf0.001/0.01/0.1. AS MATERIALIZED on
+    every round — DuckDB inlines plain CTEs at each reference and the
+    expansion would otherwise be exponential."""
+    parts = [
+        f"""
+    e AS (
+      SELECT o_custkey AS src, {_ORD} + o_orderkey AS dst FROM orders
+      UNION ALL
+      SELECT {_ORD} + l_orderkey AS src, {_PRT} + l_partkey AS dst
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    ),
+    sym AS MATERIALIZED (
+      SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+    nodes AS (
+      SELECT c_custkey AS node FROM customer
+      UNION ALL SELECT {_ORD} + o_orderkey FROM orders
+      UNION ALL SELECT {_PRT} + p_partkey FROM part
+    ),
+    l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)"""
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f"""
+    l{r} AS MATERIALIZED (
+      SELECT n.node, LEAST(n.label, COALESCE(m.cand, n.label)) AS label
+      FROM l{r - 1} n LEFT JOIN (
+        SELECT sym.dst AS node, MIN(l.label) AS cand
+        FROM l{r - 1} l JOIN sym ON l.node = sym.src GROUP BY sym.dst
+      ) m ON n.node = m.node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"\n    SELECT node AS node_id, CAST(label AS BIGINT) AS component FROM l{n_rounds}"
+    )
+
+
+@query("q_connected_components", oracle=_cc_oracle(20))
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components of the derived graph (rows-only; invariants
-    in tests: a path graph is one component, disjoint cliques are
-    separate, labels are the component-minimum node id)."""
+    """Connected components of the derived graph. Hash-checked against
+    the bounded-unroll DuckDB twin (_cc_oracle, same 20-round ceiling
+    as the Spark loop); invariants stay in tests: a path graph is one
+    component, disjoint cliques are separate, labels are the
+    component-minimum node id."""
     from neo_olap_spark.graph import edge_count_estimate
 
     sym = symmetrize(edges(spark, sf_dir))
@@ -1128,14 +1225,56 @@ def k_core(sym_edges: DataFrame, k: int, max_iters: int = 100) -> DataFrame:
     return survivors.select(F.col("node").alias("node_id"))
 
 
-@query("q_graph_kcore")
+def _kcore_oracle(k: int, n_rounds: int) -> str:
+    """DuckDB twin of 2-core peeling by BOUNDED UNROLL: peeling is an
+    anti-monotone fixpoint (not recursive-CTE-expressible — the
+    recursive arm can't aggregate), but it is IDEMPOTENT once
+    converged, so unrolling more rounds than the real peel depth
+    computes the exact fixpoint — surplus rounds are no-ops. Measured
+    depth on this graph family: 2 rounds at sf0.001/sf0.01, 3 at
+    sf0.1 (degree distributions collapse geometrically); n_rounds=12
+    is a 4× safety margin. If a future dataset peeled deeper than 12,
+    Spark (which iterates to the true fixpoint and raises past 100
+    rounds) would hash-mismatch this oracle loudly rather than agree
+    quietly."""
+    parts = [
+        f"""
+    e AS (
+      SELECT o_custkey AS src, {_ORD} + o_orderkey AS dst FROM orders
+      UNION ALL
+      SELECT {_ORD} + l_orderkey AS src, {_PRT} + l_partkey AS dst
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    ),
+    sym AS MATERIALIZED (
+      SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+    s0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym)"""
+    ]
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs at
+    # every reference, and each round references the previous one
+    # TWICE — unmaterialized, the expansion is 2^n_rounds copies of
+    # the base scan ("too many open files" long before any result)
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f"""
+    s{r} AS MATERIALIZED (
+      SELECT src AS node FROM sym
+      WHERE src IN (SELECT node FROM s{r - 1})
+        AND dst IN (SELECT node FROM s{r - 1})
+      GROUP BY src HAVING COUNT(*) >= {k}
+    )"""
+        )
+    return "WITH " + ",".join(parts) + f"\n    SELECT node AS node_id FROM s{n_rounds}"
+
+
+@query("q_graph_kcore", oracle=_kcore_oracle(2, 12))
 def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """2-core of the derived graph (rows-only: peeling is an
-    anti-monotone fixpoint, not expressible as a recursive CTE;
-    invariants pinned on planted graphs in tests — path graphs peel to
-    nothing, cycles and cliques survive whole, pendant tails fall off).
-    Reference analog: whole-graph structural analytics (R1/R2 family).
-    """
+    """2-core of the derived graph. Hash-checked against the
+    bounded-unroll DuckDB twin (_kcore_oracle — peeling is idempotent
+    at the fixpoint, so a deep-enough unroll IS the fixpoint);
+    invariants stay pinned on planted graphs in tests — path graphs
+    peel to nothing, cycles and cliques survive whole, pendant tails
+    fall off. Reference analog: whole-graph structural analytics
+    (R1/R2 family)."""
     from neo_olap_spark.graph import edge_count_estimate
 
     sym = symmetrize(edges(spark, sf_dir))
