@@ -14,5 +14,6 @@ from neo_olap_spark.operators import (  # noqa: F401
     scalars,
     streaming,
     subqueries,
+    tpch,
     warehouse,
 )
