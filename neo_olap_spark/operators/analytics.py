@@ -1379,3 +1379,169 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count("*").alias("n_users")
     )
+
+
+@query(
+    "q_time_interpolate",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600 AS hr_epoch,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS v_cents
+      FROM events GROUP BY user_id, CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600
+    ),
+    bounds AS (SELECT user_id, MIN(hr_epoch) AS lo, MAX(hr_epoch) AS hi
+               FROM hourly GROUP BY user_id),
+    grid AS (SELECT user_id, unnest(generate_series(lo, hi, 3600)) AS hr_epoch
+             FROM bounds),
+    j AS (SELECT g.user_id, g.hr_epoch, h.v_cents
+          FROM grid g LEFT JOIN hourly h
+            ON g.user_id = h.user_id AND g.hr_epoch = h.hr_epoch),
+    ctx AS (
+      SELECT user_id, hr_epoch, v_cents,
+             LAST_VALUE(v_cents IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY hr_epoch
+                ROWS UNBOUNDED PRECEDING) AS prev_v,
+             LAST_VALUE(CASE WHEN v_cents IS NOT NULL THEN hr_epoch END
+                        IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY hr_epoch
+                ROWS UNBOUNDED PRECEDING) AS prev_e,
+             FIRST_VALUE(v_cents IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY hr_epoch
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+             FIRST_VALUE(CASE WHEN v_cents IS NOT NULL THEN hr_epoch END
+                         IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY hr_epoch
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_e
+      FROM j)
+    SELECT user_id, hr_epoch,
+           CAST(FLOOR(
+             CASE WHEN v_cents IS NOT NULL THEN CAST(v_cents AS DOUBLE)
+                  WHEN prev_v IS NULL THEN CAST(next_v AS DOUBLE)
+                  WHEN next_v IS NULL THEN CAST(prev_v AS DOUBLE)
+                  ELSE prev_v + (next_v - prev_v)
+                       * (hr_epoch - prev_e) / (next_e - prev_e)
+             END + 0.5) AS BIGINT) / 100.0 AS v_interp,
+           v_cents IS NULL AS is_interpolated
+    FROM ctx
+    """,
+)
+def q_time_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series LINEAR interpolation: hourly per-user rollup
+    densified to a gap-free grid with missing buckets interpolated
+    between the nearest observed neighbors (edges fall back to
+    nearest-value) — the resample + interpolate step feature
+    pipelines run where forward-fill (q_time_gap_fill) is too coarse.
+
+    Cross-engine exactness: bucket values integerize to cents per row
+    and sum as BIGINT (order-independent — see tpch.py's rationale),
+    so prev/next anchors are bit-identical in both engines and the
+    interpolation arithmetic — pure per-row IEEE ops on identical
+    inputs — is too. Epoch-arithmetic bucketing (floor(epoch/3600))
+    keeps the key calendar- and TZ-free.
+
+    Scale shape: identical to q_time_gap_fill — the grid is generated
+    distributed from the per-user bounds aggregate, every shuffle is
+    keyed on user_id, and the two directional windows share one
+    user_id Exchange with only local sorts between them; per-user
+    cost is bounded by each user's own time span at any corpus size."""
+    ev = load(spark, sf_dir, "events")
+    hr = (F.floor(F.col("ts").cast("long") / 3600) * 3600).cast("long")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    hourly = ev.groupBy("user_id", hr.alias("hr_epoch")).agg(
+        F.sum(cents).alias("v_cents")
+    )
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("hr_epoch").alias("lo"), F.max("hr_epoch").alias("hi")
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.expr("sequence(lo, hi, 3600)")).alias("hr_epoch")
+    )
+    j = grid.join(hourly, ["user_id", "hr_epoch"], "left")
+    w_back = (
+        W.partitionBy("user_id").orderBy("hr_epoch")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_fwd = (
+        W.partitionBy("user_id").orderBy("hr_epoch")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_e = F.when(F.col("v_cents").isNotNull(), F.col("hr_epoch"))
+    ctx = (
+        j.withColumn("prev_v", F.last("v_cents", ignorenulls=True).over(w_back))
+        .withColumn("prev_e", F.last(obs_e, ignorenulls=True).over(w_back))
+        .withColumn("next_v", F.first("v_cents", ignorenulls=True).over(w_fwd))
+        .withColumn("next_e", F.first(obs_e, ignorenulls=True).over(w_fwd))
+    )
+    interp = (
+        F.when(F.col("v_cents").isNotNull(), F.col("v_cents").cast("double"))
+        .when(F.col("prev_v").isNull(), F.col("next_v").cast("double"))
+        .when(F.col("next_v").isNull(), F.col("prev_v").cast("double"))
+        .otherwise(
+            F.col("prev_v")
+            + (F.col("next_v") - F.col("prev_v"))
+            * (F.col("hr_epoch") - F.col("prev_e"))
+            / (F.col("next_e") - F.col("prev_e"))
+        )
+    )
+    return ctx.select(
+        "user_id",
+        "hr_epoch",
+        (F.floor(interp + F.lit(0.5)).cast("long") / F.lit(100.0)).alias("v_interp"),
+        F.col("v_cents").isNull().alias("is_interpolated"),
+    )
+
+
+@query(
+    "q_window_streak",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, day,
+             day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+               AS island
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, island, COUNT(*) AS streak_len
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           MAX(streak_len) AS longest_streak,
+           COUNT(*) AS n_streaks,
+           CAST(SUM(streak_len) AS BIGINT) AS n_active_days
+    FROM streaks GROUP BY user_id
+    """,
+)
+def q_window_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands window idiom (day minus row-number is constant
+    within a run of consecutive days). Product analytics' second
+    most-asked question after retention.
+
+    All-integer arithmetic (epoch-day buckets, counts) — no float
+    landmines. One user_id Exchange serves the distinct, the
+    row-number window, and both groupBys (same key; Catalyst reuses
+    the partitioning), so the whole operator is one shuffle
+    end-to-end — per-user cost bounded by that user's active days at
+    any scale."""
+    ev = load(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.floor(F.col("ts").cast("long") / 86400).cast("long").alias("day"),
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn("island", F.col("day") - F.row_number().over(w))
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count("*").alias("streak_len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("streak_len").alias("longest_streak"),
+        F.count("*").alias("n_streaks"),
+        F.sum("streak_len").cast("long").alias("n_active_days"),
+    )

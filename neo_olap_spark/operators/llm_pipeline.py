@@ -355,3 +355,54 @@ def q_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.min("nrm") * 10000 + 0.5) / 10000).alias("min_norm"),
         (F.floor(F.max("nrm") * 10000 + 0.5) / 10000).alias("max_norm"),
     )
+
+
+SPLIT_HASH_A, SPLIT_HASH_M = 1_000_003, 100
+SPLIT_TRAIN_PCT, SPLIT_VAL_PCT = 90, 95
+
+
+@query(
+    "q_pipeline_split",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, lang,
+             (doc_id * {SPLIT_HASH_A} + 17) % {SPLIT_HASH_M} AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+                WHEN bucket < {SPLIT_VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split,
+           lang, COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+    FROM assigned
+    GROUP BY split, lang
+    """,
+)
+def q_pipeline_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (90/5/5) with per-split
+    per-language accounting — the assignment every training pipeline
+    needs to be REPRODUCIBLE: an integer hash of doc_id, not rand(),
+    so re-runs, both engines, and any subset of the corpus assign
+    identically, and a document can never migrate between splits when
+    the corpus grows (assignment depends only on the doc's own id).
+
+    Scale shape: the assignment is a pure per-row projection fused
+    into the scan (zero shuffle — splitting 100 TB costs one pass);
+    only the tiny accounting rollup (3 splits × languages) shuffles.
+    """
+    d = load(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * SPLIT_HASH_A + 17) % SPLIT_HASH_M
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang", "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
