@@ -1052,27 +1052,28 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def oriented_triangles(pairs: DataFrame) -> DataFrame:
-    """Triangle rows ``(ta, tb, tc)`` of an undirected graph given as
-    canonical ``(u, v)`` pairs with u < v, one row per edge — each
-    triangle exactly once (vertex order follows the degree
-    orientation, not ids). localCheckpointed before the internal
-    caches are dropped, so callers can reuse it freely.
+def oriented_edge_intersections(pairs: DataFrame) -> DataFrame:
+    """Per-oriented-edge triangle closures ``(src, dst, tcs)`` of an
+    undirected graph given as canonical ``(u, v)`` pairs with u < v,
+    one row per edge: ``tcs`` is the ARRAY of third vertices closing a
+    triangle over that edge (each triangle appears on exactly one
+    edge). NOT materialized — callers decide whether to explode
+    (triangle rows), sum sizes (counts), or both, so the count path
+    never pays for an exploded row set.
 
     Degree-oriented EDGE-ITERATOR enumeration: each undirected edge is
     directed from its lower-(degree, id) endpoint to the higher one;
-    for every oriented edge u→v the triangle third vertices are
-    N⁺(u) ∩ N⁺(v), computed by joining the edge to both endpoints'
-    out-neighbor ARRAYS and intersecting in-array (codegen'd, no
-    per-wedge rows). Orientation bounds every out-degree by O(√m), so
-    total intersection work is O(m^1.5) — and unlike the wedge-join
+    for every oriented edge u→v the closures are N⁺(u) ∩ N⁺(v),
+    computed by joining the edge to both endpoints' out-neighbor
+    ARRAYS and intersecting in-array (codegen'd, no per-wedge rows).
+    Orientation bounds every out-degree by O(√m), so total
+    intersection work is O(m^1.5) — and unlike the wedge-join
     formulation, the Σ C(outdeg, 2) wedge candidates are never
     materialized through a shuffle (measured 2× at sf0.1, where 1.2M
     edges produce ~20M wedges but only 1.9M triangles). The adjacency
     table is one row per node; when it fits a broadcast (≤2M nodes)
     the two adjacency joins don't shuffle the edge list at all, else
     they run as ordinary hash joins — both shapes scale."""
-    pairs = pairs.persist()
     deg = (
         pairs.select(F.col("u").alias("node"))
         .unionAll(pairs.select(F.col("v").alias("node")))
@@ -1096,37 +1097,46 @@ def oriented_triangles(pairs: DataFrame) -> DataFrame:
     oriented = keyed.select(
         F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
-    ).persist()
-    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs")).persist()
+    ).localCheckpoint()  # eager: consumed by the adjacency agg AND the join
+    deg.unpersist()
+    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
     a1 = adj.select(F.col("src").alias("a1"), F.col("nbrs").alias("nu"))
     a2 = adj.select(F.col("src").alias("a2"), F.col("nbrs").alias("nv"))
     if n_nodes <= 2_000_000:
         a1, a2 = F.broadcast(a1), F.broadcast(a2)
-    tris = (
+    return (
         oriented.join(a1, oriented.src == F.col("a1"))
         # inner join: a dst with no out-neighbors closes no triangle
         .join(a2, oriented.dst == F.col("a2"))
-        .select(
-            F.col("src").alias("ta"),
-            F.col("dst").alias("tb"),
-            F.explode(F.array_intersect("nu", "nv")).alias("tc"),
-        )
-        .localCheckpoint()
+        .select("src", "dst", F.array_intersect("nu", "nv").alias("tcs"))
     )
-    pairs.unpersist()
-    oriented.unpersist()
-    deg.unpersist()
-    adj.unpersist()
-    return tris
+
+
+def oriented_triangles(pairs: DataFrame) -> DataFrame:
+    """Triangle rows ``(ta, tb, tc)``, each triangle exactly once
+    (vertex order follows the degree orientation, not ids) — the
+    exploded view of ``oriented_edge_intersections``."""
+    return oriented_edge_intersections(pairs).select(
+        F.col("src").alias("ta"),
+        F.col("dst").alias("tb"),
+        F.explode("tcs").alias("tc"),
+    )
 
 
 def oriented_triangle_count(pairs: DataFrame) -> tuple[int, int]:
-    """(n_edges, n_triangles) via ``oriented_triangles``. The edge
-    list is materialized eagerly ONCE (localCheckpoint) — the naive
-    form would execute the upstream pair-builder twice: once for the
-    edge count action and again inside the triangle machinery."""
+    """(n_edges, n_triangles). The edge list is materialized eagerly
+    ONCE (localCheckpoint) — the naive form would execute the upstream
+    pair-builder twice: once for the edge count action and again
+    inside the triangle machinery. The count aggregates
+    sum(size(tcs)) over the per-edge closure arrays — the exploded
+    triangle rows are never materialized."""
     pairs = pairs.localCheckpoint()
-    return pairs.count(), oriented_triangles(pairs).count()
+    n_tris = (
+        oriented_edge_intersections(pairs)
+        .agg(F.coalesce(F.sum(F.size("tcs")), F.lit(0)).alias("n"))
+        .collect()[0]["n"]
+    )
+    return pairs.count(), int(n_tris)
 
 
 @query(
@@ -1383,13 +1393,27 @@ def q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     # here would drop the cache before first use and recompute the
     # basket self-join for both the degree and triangle branches.
     pairs = _copurchase_pairs(spark, sf_dir).localCheckpoint()
-    tris = oriented_triangles(pairs)
-    credit = (
-        tris.select(
-            F.explode(F.array(F.col("ta"), F.col("tb"), F.col("tc"))).alias("node")
+    # Per-node triangle credit WITHOUT exploding all three vertices:
+    # for each per-edge closure array, src and dst each earn
+    # size(tcs) credits (two column aggregates, no row expansion) and
+    # only the interior vertices explode — 1/3 the exploded rows of
+    # the naive (ta, tb, tc) unpivot.
+    per_edge = (
+        oriented_edge_intersections(pairs)
+        .where(F.size("tcs") > 0)
+        .localCheckpoint()  # consumed three times below
+    )
+    endpoint = (
+        per_edge.select(F.col("src").alias("node"), F.size("tcs").alias("c"))
+        .unionAll(
+            per_edge.select(F.col("dst").alias("node"), F.size("tcs").alias("c"))
         )
+    )
+    interior = per_edge.select(F.explode("tcs").alias("node"), F.lit(1).alias("c"))
+    credit = (
+        endpoint.unionAll(interior)
         .groupBy("node")
-        .agg(F.count("*").alias("n_tri"))
+        .agg(F.sum("c").alias("n_tri"))
     )
     deg = (
         pairs.select(F.col("u").alias("node"))
