@@ -1052,6 +1052,130 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LPA_ROUNDS = 4
+
+
+def label_propagation(
+    sym_edges: DataFrame,
+    nodes: DataFrame,
+    n_rounds: int = LPA_ROUNDS,
+    n_edges: int | None = None,
+) -> DataFrame:
+    """Synchronous label propagation (community detection): every node
+    starts labeled with its own id; each round, every node adopts the
+    most frequent label among its neighbors, ties broken by SMALLEST
+    label; isolated nodes keep their label. Runs a FIXED number of
+    rounds — synchronous LPA has no monotone fixpoint (bipartite-ish
+    graphs oscillate), so a fixed round count is what makes the result
+    deterministic and cross-engine checkable, exactly like the
+    fixed-iteration PageRank above.
+
+    Per round: one shuffle pushing labels over edges, one (node,
+    label) count aggregate, one max_by per node — all keyed on node
+    id, with the edge list partitioned once and reused. Deterministic:
+    synchronous updates + total-ordered tie-break (count DESC, label
+    ASC via max_by on a (cnt, -label) struct)."""
+    spark = sym_edges.sparkSession
+    if n_edges is None:
+        n_edges = sym_edges.count()
+    with _no_aqe(spark), _loop_shuffle_partitions(spark, n_edges):
+        edges_p = sym_edges.repartition("src").persist()
+        labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
+        for _ in range(n_rounds):
+            votes = (
+                labels.hint("shuffle_hash")
+                .join(edges_p, labels.node == edges_p.src)
+                .groupBy(F.col("dst").alias("node"), "label")
+                .agg(F.count("*").alias("cnt"))
+            )
+            picked = votes.groupBy("node").agg(
+                F.max_by(
+                    "label", F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
+                ).alias("new_label")
+            )
+            labels = (
+                labels.join(picked.hint("shuffle_hash"), "node", "left")
+                .select(
+                    "node",
+                    F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+                )
+                .localCheckpoint()
+            )
+        edges_p.unpersist()
+        return labels.select(
+            F.col("node").alias("node_id"), F.col("label").alias("community")
+        )
+
+
+def _lpa_oracle(n_rounds: int) -> str:
+    """DuckDB twin of synchronous LPA by FIXED unroll — same round
+    count as the Spark loop, so the engines compute the identical
+    deterministic sequence (no fixpoint argument needed: the round
+    count IS the semantics). ROW_NUMBER over (count DESC, label)
+    implements the same total-ordered tie-break as Spark's max_by on
+    (cnt, -label). AS MATERIALIZED per round — DuckDB inlines plain
+    CTEs at every reference and each round reads the previous one
+    twice (votes + keep-old fallback)."""
+    parts = [
+        f"""
+    e AS (
+      SELECT o_custkey AS src, {_ORD} + o_orderkey AS dst FROM orders
+      UNION ALL
+      SELECT {_ORD} + l_orderkey AS src, {_PRT} + l_partkey AS dst
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    ),
+    sym AS MATERIALIZED (
+      SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+    nodes AS (
+      SELECT c_custkey AS node FROM customer
+      UNION ALL SELECT {_ORD} + o_orderkey FROM orders
+      UNION ALL SELECT {_PRT} + p_partkey FROM part
+    ),
+    l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)"""
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f"""
+    p{r} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT sym.dst AS node, l.label, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY sym.dst
+                                  ORDER BY COUNT(*) DESC, l.label) AS rn
+        FROM l{r - 1} l JOIN sym ON l.node = sym.src
+        GROUP BY sym.dst, l.label
+      ) WHERE rn = 1
+    ),
+    l{r} AS MATERIALIZED (
+      SELECT n.node, COALESCE(p.label, n.label) AS label
+      FROM l{r - 1} n LEFT JOIN p{r} p ON n.node = p.node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"\n    SELECT node AS node_id, CAST(label AS BIGINT) AS community"
+        f" FROM l{n_rounds}"
+    )
+
+
+@query("q_graph_lpa", oracle=_lpa_oracle(LPA_ROUNDS))
+def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via synchronous label propagation on the
+    derived graph, hash-checked against the fixed-unroll DuckDB twin
+    (_lpa_oracle, same round count). Same scale shape as
+    q_connected_components — per-round cost is one edge-keyed shuffle
+    plus two node-keyed aggregates, rounds are a constant — but the
+    aggregate is a weighted vote rather than a min, which is what
+    makes it a community (not component) assignment. Reference
+    analog: whole-graph analytics family (Runner.java:40-56)."""
+    from neo_olap_spark.graph import edge_count_estimate
+
+    sym = symmetrize(edges(spark, sf_dir))
+    return label_propagation(
+        sym, all_nodes(spark, sf_dir), n_edges=edge_count_estimate(spark, sf_dir)
+    )
+
+
 def oriented_edge_intersections(pairs: DataFrame) -> DataFrame:
     """Per-oriented-edge triangle closures ``(src, dst, tcs)`` of an
     undirected graph given as canonical ``(u, v)`` pairs with u < v,

@@ -231,3 +231,44 @@ def test_copurchase_basket_cap(spark, monkeypatch, tmp_path):
     }
     # capped: C(8,2)+C(3,2)=31 pairs, only the 8 LOWEST mega part ids
     assert got == want
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 5-cliques joined by a single bridge edge: after a few
+    synchronous rounds every clique member carries its clique's
+    minimum id, and the bridge does not merge the communities (a
+    single cross-edge vote never outnumbers the in-clique majority)."""
+    from itertools import combinations
+
+    from neo_olap_spark.operators.graph_algos import label_propagation
+
+    a = [(u, v) for u, v in combinations(range(5), 2)]
+    b = [(u, v) for u, v in combinations(range(10, 15), 2)]
+    bridge = [(4, 10)]
+    e = _edges(spark, a + b + bridge)
+    nodes = spark.createDataFrame(
+        [(i,) for i in list(range(5)) + list(range(10, 15))], "node long"
+    )
+    got = {
+        r["node_id"]: r["community"]
+        for r in label_propagation(e, nodes, n_rounds=4).collect()
+    }
+    assert all(got[i] == 0 for i in range(5)), got
+    assert all(got[i] == 10 for i in range(10, 15)), got
+
+
+def test_label_propagation_isolated_node_keeps_label(spark):
+    """A node with no edges keeps its own id through every round."""
+    from neo_olap_spark.operators.graph_algos import label_propagation
+
+    e = _edges(spark, [(0, 1)])
+    nodes = spark.createDataFrame([(0,), (1,), (99,)], "node long")
+    got = {
+        r["node_id"]: r["community"]
+        for r in label_propagation(e, nodes, n_rounds=3).collect()
+    }
+    assert got[99] == 99
+    # the 0-1 pair swaps labels every synchronous round (the canonical
+    # LPA oscillation); after an odd round count they are swapped —
+    # deterministic, which is exactly what the fixed round count buys
+    assert got[0] == 1 and got[1] == 0
