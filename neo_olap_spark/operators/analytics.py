@@ -1545,3 +1545,79 @@ def q_window_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_streaks"),
         F.sum("streak_len").cast("long").alias("n_active_days"),
     )
+
+
+CM_DEPTH, CM_WIDTH = 4, 1024
+
+
+@query(
+    "q_agg_countmin",
+    oracle="""
+    SELECT l_partkey,
+           CAST(COUNT(*) AS BIGINT) AS exact_cnt,
+           TRUE AS cm_lower_ok,
+           TRUE AS cm_upper_ok
+    FROM lineitem WHERE l_partkey < 8 GROUP BY l_partkey
+    """,
+)
+def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation — the third sketch tier
+    beside HLL (distinct) and KLL-ish quantiles: a DEPTH×WIDTH grid of
+    counters where each row increments one counter per hash row, and a
+    key's estimate is the MIN over its counters. Like the HLL key,
+    hash-checked via a TOLERANCE oracle: the output carries each probe
+    key's exact count (cross-checked by DuckDB) plus booleans
+    asserting the sketch guarantees — estimate ≥ exact (structural:
+    counters only over-count) and estimate ≤ exact + 4·N/WIDTH (the
+    Markov envelope at 4× the expected collision mass, raised to the
+    4th power by the min over DEPTH independent rows). The oracle
+    emits literal TRUE, so the hash matches iff the guarantees hold.
+
+    Scale shape — why this is THE streaming/100 TB frequency
+    structure: the sketch build explodes DEPTH cells per row but the
+    groupBy collapses them map-side to at most DEPTH×WIDTH cells per
+    partition, so the shuffle carries ≤ 4096 rows per task regardless
+    of input size; the finished sketch is a 4096-cell table that
+    BROADCASTS to probe any key set without touching the corpus
+    again, and cells are sum-mergeable across shards and days
+    (incremental maintenance, same as hll_union)."""
+    li = load(spark, sf_dir, "lineitem")
+    cell = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.pmod(F.xxhash64(F.col("l_partkey"), F.lit(i)), CM_WIDTH).alias(
+                    "bucket"
+                ),
+            )
+            for i in range(CM_DEPTH)
+        ]
+    )
+    sketch = (
+        li.select(F.explode(cell).alias("c"))
+        .groupBy("c.i", "c.bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = li.agg(F.count("*").alias("n_total"))
+    probes = (
+        li.where(F.col("l_partkey") < 8)
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("exact_cnt"))
+    )
+    probe_cells = probes.select(
+        "l_partkey", "exact_cnt", F.explode(cell).alias("c")
+    ).select("l_partkey", "exact_cnt", "c.i", "c.bucket")
+    est = (
+        probe_cells.join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("l_partkey", "exact_cnt")
+        .agg(F.min("cnt").alias("cm_est"))
+    )
+    return est.join(F.broadcast(total)).select(
+        "l_partkey",
+        "exact_cnt",
+        (F.col("cm_est") >= F.col("exact_cnt")).alias("cm_lower_ok"),
+        (
+            F.col("cm_est")
+            <= F.col("exact_cnt") + F.ceil(4.0 * F.col("n_total") / CM_WIDTH)
+        ).alias("cm_upper_ok"),
+    )
