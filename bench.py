@@ -73,6 +73,18 @@ HEADLINE2 = [
 ]
 
 
+# Full TPC-H 22 (schema-adapted; tpch.py + analytics.py): reported as
+# its own total — the one number warehouse engines are compared by.
+TPCH = [
+    "q_sql_tpch_q1", "q_sql_tpch_q2", "q_sql_surface", "q_sql_tpch_q4",
+    "q_join_multiway", "q_sql_tpch_q6", "q_sql_tpch_q7", "q_sql_tpch_q8",
+    "q_sql_tpch_q9", "q_sql_tpch_q10", "q_sql_tpch_q11", "q_sql_tpch_q12",
+    "q_sql_tpch_q13", "q_sql_tpch_q14", "q_sql_tpch_q15", "q_sql_tpch_q16",
+    "q_sql_tpch_q17", "q_sql_tpch_q18", "q_sql_tpch_q19", "q_sql_tpch_q20",
+    "q_sql_tpch_q21", "q_sql_tpch_q22",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -101,17 +113,20 @@ def main() -> None:
 
     results = run_set(HEADLINE)
     results2 = run_set(HEADLINE2)
+    results3 = run_set(TPCH)
 
     total = round(sum(results.values()), 3)
     total2 = round(sum(results2.values()), 3)
+    total3 = round(sum(results3.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_total",
                 "value": total,
                 "unit": "sec",
-                "queries": {**results, **results2},
+                "queries": {**results, **results2, **results3},
                 "headline2_total": total2,
+                "tpch_total": total3,
                 "sf": sf,
             }
         )

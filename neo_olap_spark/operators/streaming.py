@@ -635,3 +635,130 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(final.collect(), final.schema)
     finally:
         shutil.rmtree(events_dir, ignore_errors=True)
+
+
+LATE_DELAY_US = 600_000_000  # the 10-minute watermark, in microseconds
+LATE_STRAGGLER_LAG_US = 7_200_000_000  # stragglers are ≥2h late
+
+
+def _late_phase_splits(lo_us: int, hi_us: int) -> tuple[int, int]:
+    """(t1, t2) thirds of the event-time span — integer arithmetic only
+    so the Spark driver and the DuckDB oracle compute identical cuts."""
+    return lo_us + (hi_us - lo_us) // 3, lo_us + (hi_us - lo_us) * 2 // 3
+
+
+@query(
+    "q_stream_late",
+    oracle=f"""
+    WITH b AS (SELECT epoch_us(MIN(ts)) AS lo, epoch_us(MAX(ts)) AS hi FROM events),
+    ev AS (
+      SELECT epoch_us(ts) AS us, event_type, value,
+             (event_id % 17 = 0) AND
+             (epoch_us(ts) < (SELECT lo + (hi - lo) // 3 FROM b)
+                             - {LATE_STRAGGLER_LAG_US}) AS is_straggler
+      FROM events
+    ),
+    kept AS (SELECT * FROM ev WHERE NOT is_straggler),
+    agg AS (
+      SELECT (us // 3600000000) * 3600 AS window_start, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_value
+      FROM kept GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events, sum_value
+    FROM agg
+    WHERE (window_start + 3600) * 1000000
+          <= (SELECT (hi // 1000) * 1000 - {LATE_DELAY_US} FROM b)
+    """,
+)
+def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA semantics, driven through the REAL
+    micro-batch engine and hash-checked: events replay as three
+    time-ordered file batches (maxFilesPerTrigger=1) where a
+    deterministic straggler subset (event_id % 17, ≥2h behind) is
+    held back to the LAST batch — by then the 10-minute watermark has
+    passed their windows, their state is evicted, and the engine
+    drops them (observed via numRowsDroppedByWatermark). Append mode
+    emits exactly the windows closed by the final watermark.
+
+    The oracle replays the same algebra in DuckDB: drop the straggler
+    set, emit windows whose end ≤ final watermark (max event time,
+    ms-floored, minus the delay). The phase design makes the check
+    exact without modeling the engine's eviction lag: stragglers are
+    HOURS older than any watermark the stream could hold when they
+    arrive (always dropped), and every on-time row is younger than
+    the watermark of its own batch (never dropped) — so the kept set
+    is invariant to which batch's watermark does the dropping.
+    Cents-integerized sums keep per-window values engine-exact.
+
+    Scale shape: this is the canonical production stream topology —
+    state bounded by the watermark horizon (not stream length), late
+    rows accounted rather than silently merged; the windowed
+    aggregate shuffles on (window, event_type) with map-side
+    partials, identical to q_stream_tumbling."""
+    import glob as globmod
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from neo_olap_spark.tables import _normalize_events_ts
+
+    events_dir = tempfile.mkdtemp(prefix="neo_olap_late_")
+    try:
+        ev = load(spark, sf_dir, "events")
+        b = ev.agg(
+            F.min(F.unix_micros("ts")).alias("lo"),
+            F.max(F.unix_micros("ts")).alias("hi"),
+        ).collect()[0]
+        t1, t2 = _late_phase_splits(b.lo, b.hi)
+        us = F.unix_micros("ts")
+        straggler = (F.col("event_id") % 17 == 0) & (
+            us < t1 - LATE_STRAGGLER_LAG_US
+        )
+        phases = [
+            ev.where((us <= t1) & ~straggler),
+            ev.where((us > t1) & (us <= t2) & ~straggler),
+            ev.where((us > t2) | straggler),
+        ]
+        files_dir = os.path.join(events_dir, "files")
+        os.makedirs(files_dir)
+        now = time.time()
+        for i, phase in enumerate(phases):
+            stage = os.path.join(events_dir, f"w{i}")
+            phase.coalesce(1).write.mode("overwrite").parquet(stage)
+            dst = os.path.join(files_dir, f"{i:02d}.parquet")
+            shutil.copy(globmod.glob(f"{stage}/part-*.parquet")[0], dst)
+            # file-source batch order follows modification time
+            os.utime(dst, (now - 300 + i * 100, now - 300 + i * 100))
+
+        static = spark.read.parquet(files_dir)
+        stream = (
+            _normalize_events_ts(
+                spark.readStream.schema(static.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(files_dir)
+            )
+            .withWatermark("ts", "10 minutes")
+        )
+        cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        out = (
+            stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(cents).alias("v_cents"),
+            )
+            .select(
+                F.col("w.start").cast("long").alias("window_start"),
+                "event_type",
+                "n_events",
+                (F.col("v_cents").cast("double") / 100.0).alias("sum_value"),
+            )
+        )
+        name = _fresh_sink_name("t_late")
+        run_stream_once(out, name, output_mode="append")
+        final = spark.table(name)
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(events_dir, ignore_errors=True)
