@@ -16,6 +16,7 @@ import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from neo_olap_spark.registry import query
 from neo_olap_spark.sources import read_csv, read_json, write_csv, write_json
@@ -69,3 +70,32 @@ def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialize_and_clean(
         spark.read.schema(s.schema).orc(root + "/supplier"), root
     )
+
+
+@query(
+    "q_sink_partitioned",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet sink + partition-PRUNED read: orders
+    written partitionBy(o_orderpriority), read back with a partition
+    filter — the layout that turns a 100 TB scan into a directory
+    listing plus only the matching partition's files (the filter never
+    touches data: it prunes paths). The oracle hash-match proves the
+    roundtrip is lossless AND the pruned read returns exactly the
+    partition's rows; the plan-level pruning assertion lives in
+    tests/test_plans.py (hive partition-pruning test)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    root = tempfile.mkdtemp(prefix="neo_olap_part_")
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(root + "/orders")
+    back = (
+        spark.read.parquet(root + "/orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    )
+    return _materialize_and_clean(back, root)

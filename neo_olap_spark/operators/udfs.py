@@ -55,3 +55,88 @@ def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.round(score(F.col("l_discount"), F.col("l_tax")), 6).alias("score"),
     )
+
+
+OLS_SCALE = 1_000_000  # slope emitted at 1e-6 precision via floor-shift
+
+
+@query(
+    "q_udf_grouped_ols",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type,
+             epoch_us(ts) // 3600000000 AS hr,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    based AS (
+      SELECT event_type,
+             hr - MIN(hr) OVER (PARTITION BY event_type) AS x,
+             cents AS y
+      FROM ev
+    ),
+    s AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM based GROUP BY event_type
+    )
+    SELECT event_type, n AS n_rows,
+           FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)
+                 * {OLS_SCALE} + 0.5) / {OLS_SCALE} AS slope_cents_per_hour
+    FROM s
+    """,
+)
+def q_udf_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Pandas UDF (``applyInPandas``) — the second
+    sanctioned UDF shape beside the scalar ``pandas_udf``: each group
+    arrives as ONE Arrow-backed pandas DataFrame, here fitting a
+    per-event-type OLS trend of value over time.
+
+    Exactly oracle-checkable despite being a regression: hours and
+    cents are INTEGERS (per-row floor, bit-identical across engines),
+    the normal-equation sums run in arbitrary-precision Python ints
+    (DuckDB mirrors with HUGEINT sums), hours are rebased to the
+    group minimum so every term stays below 2^53 — at which point the
+    final single division is the same double in both engines and the
+    floor-shift emits it identically. The general lesson (tpch.py
+    cents rule, applied to ML-ish math): push the
+    order-dependent-float risk out of the aggregate and into one
+    per-group division of exact integers.
+
+    Scale shape: one shuffle on the group key; each group streams
+    through pandas as Arrow batches. Groups here are event types
+    (bounded); a per-entity regression at 100 TB would key on the
+    entity id — same plan, millions of small groups, which is exactly
+    what applyInPandas parallelizes."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long").alias("hr"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = (pdf["hr"] - pdf["hr"].min()).to_numpy()
+        y = pdf["cents"].to_numpy()
+        # Python-int sums: exact regardless of magnitude (the numpy
+        # int64 path would silently wrap past 2^63)
+        n = len(pdf)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxy, sxx = int((x * y).sum()), int((x * x).sum())
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        import math
+
+        slope = math.floor(num / den * OLS_SCALE + 0.5) / OLS_SCALE
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_rows": [n],
+                "slope_cents_per_hour": [slope],
+            }
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        fit, "event_type string, n_rows long, slope_cents_per_hour double"
+    )
