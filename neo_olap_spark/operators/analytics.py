@@ -1621,3 +1621,49 @@ def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("exact_cnt") + F.ceil(4.0 * F.col("n_total") / CM_WIDTH)
         ).alias("cm_upper_ok"),
     )
+
+
+FREQ_SUPPORT = 0.25
+
+
+@query(
+    "q_agg_freq_approx",
+    oracle=f"""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS exact_cnt, TRUE AS found
+    FROM orders GROUP BY o_orderstatus
+    HAVING COUNT(*) > {FREQ_SUPPORT} * (SELECT COUNT(*) FROM orders)
+    """,
+)
+def q_agg_freq_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate frequent items via Spark's single-pass streaming
+    sketch (``DataFrame.freqItems``, the Karp-Shenker-Papadimitriou
+    counter algorithm) — the sketch tier of q_agg_heavy_hitters.
+    Tolerance-oracle pattern (same as HLL/count-min): the sketch's
+    GUARANTEE is that every item with frequency > support·N appears in
+    its result (false positives allowed, false negatives impossible).
+    The output lists the exact heavy hitters (cross-checked by DuckDB)
+    with a boolean asserting the sketch found each one; the oracle
+    emits literal TRUE, so the hash matches iff the guarantee holds.
+
+    Scale shape: freqItems is one pass with a bounded counter map per
+    partition (1/support counters) merged associatively — no shuffle
+    of data rows, O(1/support) state per task; the exact verification
+    side is one small groupBy. This sketch-then-verify pair is exactly
+    how a 100 TB frequency pass runs: cheap candidates first, exact
+    counts only for the candidate set."""
+    o = load(spark, sf_dir, "orders")
+    found_items = set(
+        o.stat.freqItems(["o_orderstatus"], FREQ_SUPPORT).collect()[0][0]
+    )
+    total = o.agg(F.count("*").alias("n_total"))
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("exact_cnt"))
+        .join(F.broadcast(total))
+        .where(F.col("exact_cnt") > FREQ_SUPPORT * F.col("n_total"))
+        .select(
+            "o_orderstatus",
+            "exact_cnt",
+            F.col("o_orderstatus").isin(list(found_items)).alias("found"),
+        )
+    )

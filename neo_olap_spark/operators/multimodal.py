@@ -194,3 +194,46 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     fake frames, real schema/batch shape)."""
     m = multimodal_table(spark, sf_dir)
     return m.select("doc_id", "payload").mapInPandas(_frame_sample_batches, FRAMES_SCHEMA)
+
+
+@query(
+    "q_multimodal_dedup",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id, sha256(text) AS content_sha FROM documents
+    ),
+    canon AS (
+      SELECT content_sha, MIN(doc_id) AS keeper_id,
+             CAST(COUNT(*) AS BIGINT) AS n_copies
+      FROM hashed GROUP BY content_sha
+    )
+    SELECT h.doc_id, c.keeper_id, c.n_copies,
+           h.doc_id <> c.keeper_id AS is_dup
+    FROM hashed h JOIN canon c ON h.content_sha = c.content_sha
+    """,
+)
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup by content address: every payload maps to its
+    sha256, each hash group keeps the lowest doc_id as canonical, and
+    every row learns its keeper + duplicate flag — the
+    store-once/reference-everywhere step a multimodal lake runs before
+    any decode (dedup on bytes is free; dedup after decode is not).
+
+    Scale shape: one shuffle keyed on the 32-byte digest (uniformly
+    distributed by construction — no skew possible), then a digest-
+    keyed join back that reuses the same partitioning. The payload
+    bytes themselves never shuffle: only (doc_id, digest) pairs move,
+    which is what makes this viable when payloads are megabytes.
+    """
+    m = multimodal_table(spark, sf_dir)
+    hashed = m.select("doc_id", F.sha2("payload", 256).alias("content_sha"))
+    canon = hashed.groupBy("content_sha").agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count("*").cast("long").alias("n_copies"),
+    )
+    return hashed.join(canon, "content_sha").select(
+        "doc_id",
+        "keeper_id",
+        "n_copies",
+        (F.col("doc_id") != F.col("keeper_id")).alias("is_dup"),
+    )
