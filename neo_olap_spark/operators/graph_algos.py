@@ -1158,6 +1158,108 @@ def _lpa_oracle(n_rounds: int) -> str:
     )
 
 
+def _modularity_oracle(n_rounds: int) -> str:
+    """LPA unroll + Newman modularity of the resulting partition, all
+    in exact integer arithmetic until one final division:
+    Q = Σ_c (4·m·e_c − d_c²) / (4·m²) with m = undirected edge count,
+    e_c = intra-community edges, d_c = total community degree.
+    HUGEINT sums keep the numerator exact; both engines convert the
+    same two integers to double and divide once."""
+    lpa = _lpa_oracle(n_rounds)
+    final = lpa.rindex("\n    SELECT node AS node_id")
+    return (
+        lpa[:final]
+        + f""",
+    labels AS MATERIALIZED (SELECT node, label FROM l{n_rounds}),
+    m_cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+    ec AS (
+      SELECT la.label AS community, CAST(COUNT(*) AS BIGINT) AS e_c
+      FROM e JOIN labels la ON e.src = la.node
+             JOIN labels lb ON e.dst = lb.node
+      WHERE la.label = lb.label GROUP BY la.label
+    ),
+    dc AS (
+      SELECT la.label AS community, CAST(COUNT(*) AS BIGINT) AS d_c
+      FROM sym JOIN labels la ON sym.src = la.node GROUP BY la.label
+    ),
+    terms AS (
+      SELECT dc.community,
+             4 * (SELECT m FROM m_cnt) * COALESCE(ec.e_c, 0)
+               - dc.d_c * dc.d_c AS term
+      FROM dc LEFT JOIN ec ON dc.community = ec.community
+    )
+    SELECT (SELECT CAST(COUNT(DISTINCT label) AS BIGINT) FROM labels)
+             AS n_communities,
+           (SELECT m FROM m_cnt) AS m_edges,
+           FLOOR(CAST(CAST(SUM(term) AS BIGINT) AS DOUBLE)
+                 / CAST(4 * (SELECT m FROM m_cnt)
+                          * (SELECT m FROM m_cnt) AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS modularity
+    FROM terms
+    """
+    )
+
+
+@query("q_graph_modularity", oracle=_modularity_oracle(LPA_ROUNDS))
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA partition — the quality score that
+    tells you whether a community assignment means anything
+    (Q ∈ [-0.5, 1]; >0.3 is real structure). Hash-checked end to end:
+    the oracle recomputes BOTH the fixed-round LPA labels and the
+    score.
+
+    Exactness discipline: m, e_c, d_c are integer counts, so the
+    numerator Σ_c (4·m·e_c − d_c²) is exact in both engines (Python
+    ints / HUGEINT); one final division of two identical integers
+    under 2^53 emits the identical double (same rule as
+    q_udf_grouped_ols). Scale shape: the intra-edge count is one
+    labels⋈edges⋈labels join — two node-keyed shuffles — and the
+    degree rollup reuses the label join; everything downstream of LPA
+    is community-keyed (tiny)."""
+    from neo_olap_spark.graph import edge_count_estimate
+
+    e = edges(spark, sf_dir)
+    sym = symmetrize(e)
+    labels = label_propagation(
+        sym, all_nodes(spark, sf_dir), n_edges=edge_count_estimate(spark, sf_dir)
+    ).localCheckpoint()  # consumed by three branches below
+    m = e.count()
+    la = labels.select(F.col("node_id").alias("src"), F.col("community").alias("ca"))
+    lb = labels.select(F.col("node_id").alias("dst"), F.col("community").alias("cb"))
+    ec = (
+        e.join(la, "src")
+        .join(lb, "dst")
+        .where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count("*").alias("e_c"))
+    )
+    dc = (
+        sym.join(la, "src")
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count("*").alias("d_c"))
+    )
+    terms = dc.join(ec, "community", "left").select(
+        (
+            4 * F.lit(m) * F.coalesce(F.col("e_c"), F.lit(0))
+            - F.col("d_c") * F.col("d_c")
+        ).alias("term")
+    )
+    n_comm = labels.select("community").distinct().count()
+    return terms.agg(
+        F.lit(n_comm).cast("long").alias("n_communities"),
+        F.lit(m).cast("long").alias("m_edges"),
+        (
+            F.floor(
+                F.sum("term").cast("double")
+                / F.lit(float(4 * m * m))
+                * 1_000_000
+                + F.lit(0.5)
+            )
+            / 1_000_000
+        ).alias("modularity"),
+    )
+
+
 @query("q_graph_lpa", oracle=_lpa_oracle(LPA_ROUNDS))
 def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection via synchronous label propagation on the
