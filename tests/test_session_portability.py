@@ -113,3 +113,37 @@ def test_stream_events_pins_utc_on_nonutc_session(spark, sf_dir):
         assert stream.isStreaming
     finally:
         spark.conf.set(tz_key, prev)
+
+
+def test_new_time_keys_on_bare_session(bare_conf, sf_dir):
+    """Round-3 second-wave events-touching keys must also survive a
+    session without the nanos conf (the driver's shape)."""
+    from neo_olap_spark.registry import queries
+
+    qs = queries()
+    for key in ("q_time_interpolate", "q_window_streak", "q_udf_grouped_ols"):
+        assert qs[key](bare_conf, sf_dir).count() > 0, key
+
+
+def test_stream_late_on_bare_session(bare_conf, sf_dir):
+    from neo_olap_spark.registry import queries
+
+    out = queries()["q_stream_late"](bare_conf, sf_dir)
+    assert out.count() > 0
+
+
+def test_time_interpolate_tz_proof(spark, sf_dir):
+    """Interpolation epochs must not drift under a non-UTC caller."""
+    from neo_olap_spark.registry import REGISTRY, queries
+    from neo_olap_spark.testing import assert_parity
+
+    queries()
+    tz_key = "spark.sql.session.timeZone"
+    prev = spark.conf.get(tz_key)
+    try:
+        spark.conf.set(tz_key, "America/New_York")
+        q = REGISTRY["q_time_interpolate"]
+        assert_parity(q.fn(spark, sf_dir), q.oracle, sf_dir)
+        assert spark.conf.get(tz_key) == "UTC"
+    finally:
+        spark.conf.set(tz_key, prev)
