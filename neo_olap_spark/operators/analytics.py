@@ -1667,3 +1667,41 @@ def q_agg_freq_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderstatus").isin(list(found_items)).alias("found"),
         )
     )
+
+
+PARAMS_SQL = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS total
+    FROM orders
+    WHERE o_orderdate >= :start_date AND o_orderdate < :end_date
+      AND o_orderstatus = :status
+    GROUP BY o_orderpriority
+"""
+
+PARAMS_BINDINGS = {
+    "start_date": "1996-01-01",
+    "end_date": "1997-01-01",
+    "status": "F",
+}
+
+
+@query(
+    "q_sql_params",
+    oracle=PARAMS_SQL.replace(":start_date", "'1996-01-01'")
+    .replace(":end_date", "'1997-01-01'")
+    .replace(":status", "'F'"),
+)
+def q_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL — ``spark.sql(text, args=...)`` with named
+    markers, the injection-safe surface every SQL client needs: the
+    SAME query text serves every binding, so plan caching works and
+    user values never concatenate into the statement. The oracle runs
+    the text with the bindings substituted as literals, proving the
+    bound plan computes literal semantics. Cents-sum money rule as in
+    tpch.py."""
+    from neo_olap_spark.tables import register_views
+
+    register_views(spark, sf_dir, names=("orders",))
+    return spark.sql(PARAMS_SQL, args=PARAMS_BINDINGS)

@@ -1696,3 +1696,99 @@ def q_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("degree"))
         .agg(F.count("*").cast("long").alias("n_nodes"))
     )
+
+
+@query(
+    "q_graph_jaccard",
+    oracle="""
+    WITH op AS (
+      SELECT o, p FROM (
+        SELECT l_orderkey AS o, l_partkey AS p,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      ) WHERE rn <= 1024
+    ),
+    e AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    ),
+    s AS MATERIALIZED (
+      SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e),
+    deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM s GROUP BY a),
+    tri_e AS (
+      SELECT e.u, e.v, CAST(COUNT(*) AS BIGINT) AS common
+      FROM e JOIN s s1 ON s1.a = e.u JOIN s s2 ON s2.a = e.v AND s2.b = s1.b
+      GROUP BY e.u, e.v
+    )
+    SELECT e.u, e.v,
+           CAST(COALESCE(t.common, 0) AS BIGINT) AS common_neighbors,
+           FLOOR(CAST(COALESCE(t.common, 0) AS DOUBLE)
+                 / CAST(du.deg + dv.deg - COALESCE(t.common, 0) AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS jaccard
+    FROM e JOIN deg du ON e.u = du.node
+           JOIN deg dv ON e.v = dv.node
+           LEFT JOIN tri_e t ON e.u = t.u AND e.v = t.v
+    """,
+)
+def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge neighborhood Jaccard similarity on the co-purchase
+    graph — the classic link-prediction / recommendation feature:
+    J(u,v) = |N(u)∩N(v)| / (deg(u)+deg(v) − |N(u)∩N(v)|), where the
+    common-neighbor count is exactly the number of triangles through
+    the edge.
+
+    Per-edge triangle participation comes from the SAME closure
+    arrays as q_triangle_count: each intersection row (s,d,tcs)
+    credits its own edge |tcs| and each wedge edge (s,w)/(d,w) one —
+    so the O(m^1.5) degree-oriented bound carries over and the naive
+    common-neighbor self-join (quadratic per hub) never runs. Counts
+    and degrees are integers; the single division of exact integers
+    plus floor-shift makes the score bit-identical cross-engine
+    (q_udf_grouped_ols rule)."""
+    pairs = _copurchase_pairs(spark, sf_dir).localCheckpoint()
+    per_edge = (
+        oriented_edge_intersections(pairs)
+        .where(F.size("tcs") > 0)
+        .localCheckpoint()  # consumed by the own-edge and wedge branches
+    )
+    canon = lambda a, b: [F.least(a, b).alias("u"), F.greatest(a, b).alias("v")]
+    own = per_edge.select(
+        *canon(F.col("src"), F.col("dst")), F.size("tcs").cast("long").alias("c")
+    )
+    wedges = per_edge.select("src", "dst", F.explode("tcs").alias("w"))
+    wedge_a = wedges.select(*canon(F.col("src"), F.col("w")), F.lit(1).cast("long").alias("c"))
+    wedge_b = wedges.select(*canon(F.col("dst"), F.col("w")), F.lit(1).cast("long").alias("c"))
+    tri_e = (
+        own.unionAll(wedge_a)
+        .unionAll(wedge_b)
+        .groupBy("u", "v")
+        .agg(F.sum("c").alias("common"))
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    common = F.coalesce(F.col("common"), F.lit(0)).cast("long")
+    return (
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .join(tri_e, ["u", "v"], "left")
+        .select(
+            "u",
+            "v",
+            common.alias("common_neighbors"),
+            (
+                F.floor(
+                    common.cast("double")
+                    / (F.col("du") + F.col("dv") - common).cast("double")
+                    * 1_000_000
+                    + F.lit(0.5)
+                )
+                / 1_000_000
+            ).alias("jaccard"),
+        )
+    )

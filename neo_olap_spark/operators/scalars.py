@@ -344,3 +344,43 @@ def q_scalar_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(has_ref, F.regexp_extract(url, URL_QPARAM_RE, 1)).alias("ref_param"),
         F.regexp_replace(url, r"\?.*$", "").alias("url_canonical"),
     )
+
+
+@query(
+    "q_scalar_trycast",
+    oracle="""
+    SELECT doc_id,
+           TRY_CAST(SUBSTRING(text, 1, 4) AS BIGINT) AS lead_int,
+           TRY_CAST(lang AS BIGINT) AS lang_int,
+           TRY_CAST(CAST(n_chars AS VARCHAR) AS BIGINT) AS chars_rt,
+           COALESCE(TRY_CAST(source AS BIGINT), -1) AS src_or_default,
+           n_chars // GREATEST(CAST(doc_id % 7 AS BIGINT), 0) IS NOT NULL
+             AND doc_id % 7 <> 0 AS div_ok
+    FROM documents
+    """,
+)
+def q_scalar_trycast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant cast family: TRY_CAST returns NULL instead of
+    failing on malformed input (here: prose prefixes, language codes,
+    and a lossless int→string→int roundtrip), plus try_divide's
+    null-on-zero-divisor semantics. This is the ingestion-grade cast
+    discipline — at 100 TB a single unparseable cell must not kill a
+    stage, and a NULL that can be counted beats an exception that
+    can't. Pure per-row projections fused into the scan; the shared
+    SQL semantics (Spark TRY_CAST ≡ DuckDB TRY_CAST) make the key
+    dialect-portable like the TPC-H family."""
+    d = load(spark, sf_dir, "documents")
+    divisor = (F.col("doc_id") % 7).cast("long")
+    return d.select(
+        "doc_id",
+        F.substring("text", 1, 4).try_cast("bigint").alias("lead_int"),
+        F.col("lang").try_cast("bigint").alias("lang_int"),
+        F.col("n_chars").cast("string").try_cast("bigint").alias("chars_rt"),
+        F.coalesce(F.col("source").try_cast("bigint"), F.lit(-1)).alias(
+            "src_or_default"
+        ),
+        (
+            F.try_divide(F.col("n_chars"), divisor).isNotNull()
+            & (F.col("doc_id") % 7 != 0)
+        ).alias("div_ok"),
+    )
