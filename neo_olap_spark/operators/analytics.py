@@ -1705,3 +1705,59 @@ def q_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, names=("orders",))
     return spark.sql(PARAMS_SQL, args=PARAMS_BINDINGS)
+
+
+@query(
+    "q_time_calendar",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(FLOOR(epoch(MIN(o_orderdate)) / 86400) AS BIGINT) AS lo,
+             CAST(FLOOR(epoch(MAX(o_orderdate)) / 86400) AS BIGINT) AS hi
+      FROM orders
+    ),
+    days AS (SELECT unnest(generate_series(lo, hi, 1)) AS d FROM b)
+    SELECT d AS day_epoch,
+           CAST((d + 4) % 7 AS BIGINT) AS dow,
+           (d + 4) % 7 IN (5, 6) AS is_weekend,
+           CAST(FLOOR(d / 7) AS BIGINT) AS week_no,
+           strftime(CAST(to_timestamp(d * 86400) AS TIMESTAMP), '%Y-%m-%d')
+             AS iso_date,
+           CAST(EXTRACT(YEAR FROM to_timestamp(d * 86400)) AS BIGINT) AS year,
+           CAST(EXTRACT(MONTH FROM to_timestamp(d * 86400)) AS BIGINT) AS month
+    FROM days
+    """,
+)
+def q_time_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-dimension generation: a gap-free day table spanning the
+    fact table's date range, with day-of-week / weekend / week-number /
+    year / month attributes — the dim_date every warehouse joins
+    instead of re-deriving calendar math per query.
+
+    Built DISTRIBUTED from a 1-row bounds aggregate (sequence +
+    explode — never a driver-side loop, so a 200-year range is still
+    one tiny job). Engine portability: dow and week come from pure
+    epoch-day arithmetic ((d+4) % 7, day 0 = Thursday 1970-01-01 —
+    both engines agree by construction, where native DOW functions
+    number days differently), and year/month/date-string go through
+    each engine's UTC calendar on the identical epoch, which agree for
+    dates. ~11k rows per 30 years: always broadcastable to fact
+    joins."""
+    o = load(spark, sf_dir, "orders")
+    bounds = o.select(
+        F.floor(
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("d")
+    ).agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    days = bounds.select(F.explode(F.expr("sequence(lo, hi, 1)")).alias("d"))
+    ts = F.timestamp_seconds(F.col("d") * 86400)
+    return days.select(
+        F.col("d").alias("day_epoch"),
+        ((F.col("d") + 4) % 7).cast("long").alias("dow"),
+        ((F.col("d") + 4) % 7).isin(5, 6).alias("is_weekend"),
+        F.floor(F.col("d") / 7).cast("long").alias("week_no"),
+        F.date_format(ts, "yyyy-MM-dd").alias("iso_date"),
+        F.year(ts).cast("long").alias("year"),
+        F.month(ts).cast("long").alias("month"),
+    )

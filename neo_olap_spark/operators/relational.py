@@ -1104,3 +1104,52 @@ def q_sample_exact_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= STRATA_K)
         .drop("rn")
     )
+
+
+@query(
+    "q_join_null_safe",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'P' THEN NULL
+                  ELSE o_orderstatus END AS k
+      FROM orders
+    ),
+    b AS (
+      SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+                  ELSE o_orderstatus END AS k,
+             CAST(COUNT(*) AS BIGINT) AS n_b
+      FROM orders GROUP BY 1
+    )
+    SELECT a.o_orderkey, COALESCE(CAST(a.k AS VARCHAR), '<null>') AS k_label,
+           b.n_b
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi join (``<=>`` ≡ IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of silently vanishing — the semantics a
+    dimension join needs when 'unknown' is itself a category. A plain
+    equi join here would drop every 'P'-derived row on the floor with
+    no error, the classic silent-data-loss bug. Spark plans <=> as an
+    ordinary hash join (NULL hashes like any value under null-safe
+    equality), so the scale shape is identical to q_join_inner."""
+    o = load(spark, sf_dir, "orders")
+    k = F.when(F.col("o_orderstatus") == "P", F.lit(None)).otherwise(
+        F.col("o_orderstatus")
+    )
+    a = o.select("o_orderkey", k.alias("k"))
+    b = (
+        o.select(k.alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_b"))
+        .withColumnRenamed("k", "kb")
+    )
+    return (
+        a.join(F.broadcast(b), a.k.eqNullSafe(F.col("kb")))
+        .select(
+            "o_orderkey",
+            F.coalesce(F.col("k"), F.lit("<null>")).alias("k_label"),
+            "n_b",
+        )
+    )
