@@ -70,6 +70,14 @@ HEADLINE2 = [
     "q_betweenness_sample",
     "q_grouping_sets",
     "q_pack_sequences",
+    # round-3 third-wave keys
+    "q_dq_audit",
+    "q_skew_profile",
+    "q_dedup_incremental",
+    "q_text_entropy",
+    "q_zorder_layout",
+    "q_text_chunk",
+    "q_embed_pca",
 ]
 
 

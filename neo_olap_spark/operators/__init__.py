@@ -9,6 +9,7 @@ from neo_olap_spark.operators import (  # noqa: F401
     llm_similarity,
     llm_text,
     multimodal,
+    quality,
     udfs,
     relational,
     scalars,

@@ -406,3 +406,160 @@ def q_pipeline_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_embed_pca — distributed one-pass PCA (whitening / compression tier)
+# ---------------------------------------------------------------------------
+
+PCA_K = 8  # retained components
+
+
+@query("q_embed_pca")  # rows-only: eigenvectors are not SQL-expressible
+def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the embedding store: ONE Arrow pass
+    computes per-partition moment partials (n, Σx, ΣxᵀX — d + d²
+    doubles each), the driver assembles the d×d covariance and
+    eigendecomposes it (O(d³) on 64 dims ≈ microseconds), and a
+    second broadcast pass projects every vector onto the top-K
+    components. The canonical map-reduce PCA: driver state is O(d²)
+    regardless of corpus size, data is read exactly twice, and the
+    projection is an embarrassingly-parallel Arrow kernel — the shape
+    that holds at 100 TB (the reduce is 32 rows of ~33 KB here, and
+    one row per executor-partition at scale).
+
+    Sign convention: each component is flipped so its largest-|coord|
+    entry is positive (eigenvector sign is arbitrary; pinning it makes
+    the output stable across runs). Rows-only key: eigen-decomposition
+    has no SQL twin; orthonormality / variance-ordering /
+    reconstruction invariants are asserted in tests/test_llm_ops.py.
+
+    No reference analog — driver-mandated training-pipeline surface
+    (SURVEY.md §2.3); shares the bounded-driver-state design of the
+    reference's int[] accumulator merge (Runner.java:118-126).
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    dim = 64  # asserted below from the first batch; embeddings are fixed-width
+
+    def moment_partials(batches):
+        n = 0
+        s = np.zeros(dim, dtype=np.float64)
+        g = np.zeros((dim, dim), dtype=np.float64)
+        for pdf in batches:
+            x = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+            if x.size == 0:
+                continue
+            assert x.shape[1] == dim
+            n += x.shape[0]
+            s += x.sum(axis=0)
+            g += x.T @ x
+        yield pd.DataFrame(
+            {"n": [n], "s": [s.tolist()], "g": [g.reshape(-1).tolist()]}
+        )
+
+    partials = e.select("embedding").mapInPandas(
+        moment_partials, "n long, s array<double>, g array<double>"
+    )
+    # Bounded collect: one ~33 KB row per partition (documented trade —
+    # this IS the reduce step; at cluster scale it lands on the driver
+    # as numPartitions rows, same as any treeAggregate).
+    rows = [r for r in partials.collect() if r["n"] > 0]
+    n_total = sum(r["n"] for r in rows)
+    s_total = np.sum([np.array(r["s"]) for r in rows], axis=0)
+    g_total = np.sum([np.array(r["g"]).reshape(dim, dim) for r in rows], axis=0)
+    mean = s_total / n_total
+    cov = (g_total - n_total * np.outer(mean, mean)) / (n_total - 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:PCA_K]
+    comps = evecs[:, order].T  # (K, d)
+    # pin signs: largest-|coord| entry of each component is positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    comps_b = spark.sparkContext.broadcast(comps)
+    mean_b = spark.sparkContext.broadcast(mean)
+
+    def project(batches):
+        w = comps_b.value
+        mu = mean_b.value
+        for pdf in batches:
+            x = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+            proj = (x - mu) @ w.T if x.size else np.zeros((0, w.shape[0]))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "pc": [row.tolist() for row in proj],
+                }
+            )
+
+    return e.mapInPandas(project, "vec_id long, label int, pc array<double>")
+
+
+# ---------------------------------------------------------------------------
+# q_text_chunk — sliding-window chunking (the embedding-pipeline primitive)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+@query(
+    "q_text_chunk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    starts AS (
+      SELECT doc_id, t, UNNEST(range(0, len(t), {CHUNK_STRIDE})) AS start
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(start / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           array_to_string(list_slice(t, start + 1, start + {CHUNK_TOKENS}), ' ')
+             AS chunk_text,
+           CAST(least({CHUNK_TOKENS}, len(t) - start) AS BIGINT) AS n_tokens
+    FROM starts
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking ({CHUNK_TOKENS}-token windows,
+    {CHUNK_OVERLAP}-token overlap) — the step that turns documents
+    into embedding-model inputs; every RAG / retrieval corpus build
+    runs it. Each document yields ceil(n/stride) chunks; the overlap
+    preserves cross-boundary context.
+
+    Scale shape: tokenize + window-start generation + slice are all
+    per-row array expressions; the only row expansion is the explode
+    to ~n/stride chunks per doc (data-proportional, not quadratic),
+    and there is NO shuffle — chunking 100 TB is one read pass that
+    parallelizes perfectly. The final orderBy exists for the oracle
+    hash only; production writes unsorted."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", ws_tokens(F.col("text")).alias("t")).where(
+        F.size("t") > 0
+    )
+    starts = toks.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(0), F.size("t") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    return starts.select(
+        "doc_id",
+        (F.col("start") / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+        F.concat_ws(
+            " ", F.slice(F.col("t"), F.col("start") + 1, CHUNK_TOKENS)
+        ).alias("chunk_text"),
+        F.least(F.lit(CHUNK_TOKENS), F.size("t") - F.col("start"))
+        .cast("long")
+        .alias("n_tokens"),
+    ).orderBy("doc_id", "chunk_id")

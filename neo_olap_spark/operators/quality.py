@@ -1,0 +1,453 @@
+"""Data-quality, layout, and pipeline-hygiene operators.
+
+The operational layer a 100 TB warehouse runs *around* its queries:
+constraint audits (q_dq_audit), join-key skew diagnostics
+(q_skew_profile), incremental cross-batch dedup (q_dedup_incremental),
+character-entropy quality scoring (q_text_entropy), and Z-order
+multi-dimensional layout (q_zorder_layout).
+
+Scale theme: every operator here is either a single-scan aggregate
+(audit, entropy — pure codegen expressions fused into the parquet
+scan), one hash shuffle on a content key (incremental dedup), or one
+range exchange (Z-order sort — exactly the shuffle a layout rewrite
+must pay). Nothing is quadratic; nothing collects unbounded state to
+the driver.
+
+Reference provenance: the reference has no data-quality layer; these
+keys extend the driver-mandated training-pipeline surface (SURVEY.md
+§2.3) the same way llm_pipeline.py does. The Z-order key is the batch
+analog of the reference's ID-range locality rounds (Runner.java:269-274
+— restrict work to a dense ID window so the working set fits cache):
+both map a multi-dimensional access pattern onto a 1-D layout that
+prunes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from neo_olap_spark.registry import query
+from neo_olap_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# q_dq_audit — constraint audit as a single-pass violation ledger
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dq_audit",
+    oracle="""
+    SELECT 'lineitem_null_key' AS check_name,
+           CAST(COUNT(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT) AS violations,
+           CAST(COUNT(*) AS BIGINT) AS checked
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_nonpositive_qty',
+           CAST(COUNT(*) FILTER (WHERE l_quantity <= 0) AS BIGINT), CAST(COUNT(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           CAST(COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_flag_domain',
+           CAST(COUNT(*) FILTER (WHERE l_returnflag NOT IN ('A', 'N', 'R')) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_duplicate_pk',
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT), CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_orphan_fk',
+           CAST(COUNT(*) AS BIGINT),
+           (SELECT COUNT(*) FROM lineitem)
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    ORDER BY check_name
+    """,
+)
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint audit: one row per check with its
+    violation count — null keys, domain violations, range violations,
+    duplicate primary keys, and foreign-key orphans.
+
+    Scale shape: the four row-level lineitem checks fuse into ONE
+    scan (a single aggregate of count_if expressions — whole-stage
+    codegen, no shuffle beyond the final 1-row reduce). The PK check
+    is one count-distinct on orders; the FK-orphan check is a
+    left-anti join, the only exchange keyed on o_orderkey. At 100 TB
+    this is exactly the audit you can afford to run on every
+    ingestion batch: no check reads the data twice."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+
+    row_checks = li.agg(
+        F.count(F.when(F.col("l_orderkey").isNull(), 1)).alias("null_key"),
+        F.count(F.when(F.col("l_quantity") <= 0, 1)).alias("bad_qty"),
+        F.count(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
+        ).alias("bad_disc"),
+        F.count(F.when(~F.col("l_returnflag").isin("A", "N", "R"), 1)).alias(
+            "bad_flag"
+        ),
+        F.count(F.lit(1)).alias("n_li"),
+    )
+    pk = o.agg(
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("dup_pk"),
+        F.count(F.lit(1)).alias("n_o"),
+    )
+    orphans = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+    )
+    # Three bounded (1-row) aggregates cross-joined into the ledger —
+    # each input is a scalar, so the "cross join" is a literal fold.
+    combined = row_checks.crossJoin(pk).crossJoin(orphans)
+    ledger = combined.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lineitem_null_key").alias("check_name"),
+                    F.col("null_key").alias("violations"),
+                    F.col("n_li").alias("checked"),
+                ),
+                F.struct(
+                    F.lit("lineitem_nonpositive_qty").alias("check_name"),
+                    F.col("bad_qty").alias("violations"),
+                    F.col("n_li").alias("checked"),
+                ),
+                F.struct(
+                    F.lit("lineitem_discount_range").alias("check_name"),
+                    F.col("bad_disc").alias("violations"),
+                    F.col("n_li").alias("checked"),
+                ),
+                F.struct(
+                    F.lit("lineitem_flag_domain").alias("check_name"),
+                    F.col("bad_flag").alias("violations"),
+                    F.col("n_li").alias("checked"),
+                ),
+                F.struct(
+                    F.lit("orders_duplicate_pk").alias("check_name"),
+                    F.col("dup_pk").alias("violations"),
+                    F.col("n_o").alias("checked"),
+                ),
+                F.struct(
+                    F.lit("lineitem_orphan_fk").alias("check_name"),
+                    F.col("n_orphans").alias("violations"),
+                    F.col("n_li").alias("checked"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.check_name", "c.violations", "c.checked")
+    return ledger.orderBy("check_name")
+
+
+# ---------------------------------------------------------------------------
+# q_skew_profile — join-key skew diagnostics
+# ---------------------------------------------------------------------------
+
+SKEW_TOP = 10
+
+
+@query(
+    "q_skew_profile",
+    oracle=f"""
+    WITH per_key AS (
+      SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+    ),
+    stats AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS n_keys,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt
+      FROM per_key
+    )
+    SELECT p.user_id AS key, CAST(p.cnt AS BIGINT) AS cnt,
+           CAST(FLOOR(p.cnt * 10000.0 / s.total) AS BIGINT) AS share_bp,
+           CAST(CEIL(s.max_cnt * s.n_keys * 1.0 / s.total) AS BIGINT)
+             AS salt_factor
+    FROM per_key p, stats s
+    ORDER BY p.cnt DESC, p.user_id
+    LIMIT {SKEW_TOP}
+    """,
+)
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics: the top heavy-hitter keys with
+    their row counts, share of the table in basis points, and the
+    recommended salt factor (max-key rows / average-key rows, rounded
+    up) — the number a salted join (q_join_salted) would use.
+
+    Scale shape: one groupBy shuffle on the key (map-side partial
+    counts), then a broadcast 1-row stats scalar and a bounded top-N
+    (TakeOrderedAndProject — no global sort materialization). This is
+    the diagnostic you run BEFORE a big join to decide broadcast vs
+    salt vs AQE-skew; all derived columns are integer-exact
+    (floor/ceil on integer ratios) so the oracle is bit-stable."""
+    e = load(spark, sf_dir, "events")
+    per_key = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = per_key.agg(
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    out = (
+        per_key.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("user_id").alias("key"),
+            F.col("cnt"),
+            F.floor(F.col("cnt") * 10000.0 / F.col("total")).alias("share_bp"),
+            F.ceil(
+                F.col("max_cnt") * F.col("n_keys") * F.lit(1.0) / F.col("total")
+            ).alias("salt_factor"),
+        )
+        .orderBy(F.desc("cnt"), "key")
+        .limit(SKEW_TOP)
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_incremental — cross-batch dedup against a content registry
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_incremental",
+    oracle="""
+    WITH registry AS (
+      SELECT md5(text) AS h FROM documents WHERE doc_id % 10 <> 0 GROUP BY 1
+    ),
+    batch AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 0
+    ),
+    novel AS (
+      SELECT b.doc_id, b.h FROM batch b
+      WHERE NOT EXISTS (SELECT 1 FROM registry r WHERE r.h = b.h)
+    )
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, h AS content_hash,
+           COUNT(*) AS n_in_batch
+    FROM novel GROUP BY h
+    ORDER BY keep_id
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-batch) dedup: an arriving batch (doc_id %
+    10 == 0 stands in for "today's crawl") is deduped against the
+    accumulated content-hash registry (everything else), then within
+    itself — the shape every continuously-ingesting training pipeline
+    runs per batch.
+
+    Scale shape: the registry never rematerializes documents — only
+    md5 digests shuffle. One anti-join on the 32-byte hash + one
+    groupBy on the same key, so both stages reuse a single hash
+    partitioning. At 100 TB the registry is a compacted parquet of
+    digests (tiny relative to text) and each new batch pays
+    O(batch + registry-probe), never O(corpus²)."""
+    d = load(spark, sf_dir, "documents")
+    hashed = d.select("doc_id", F.md5("text").alias("h"))
+    registry = hashed.filter(F.col("doc_id") % 10 != 0).select("h").distinct()
+    batch = hashed.filter(F.col("doc_id") % 10 == 0)
+    novel = batch.join(registry, "h", "left_anti")
+    return (
+        novel.groupBy("h")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_in_batch"),
+        )
+        .select("keep_id", F.col("h").alias("content_hash"), "n_in_batch")
+        .orderBy("keep_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_text_entropy — character-class entropy quality signal
+# ---------------------------------------------------------------------------
+
+# Fixed symbol alphabet: the 26 ASCII letters, space, and an implicit
+# "other" bucket. Counting via length(x) - length(replace(x, s, ''))
+# keeps the whole computation inside per-row codegen expressions —
+# no explode, no shuffle — which is what makes it affordable as an
+# always-on quality column at corpus scale.
+_ALPHABET = [chr(c) for c in range(ord("a"), ord("z") + 1)] + [" "]
+
+
+def _count_expr_sql(sym: str) -> str:
+    lit = "' '" if sym == " " else f"'{sym}'"
+    return f"(length(t) - length(replace(t, {lit}, '')))"
+
+
+@query(
+    "q_text_entropy",
+    oracle=f"""
+    WITH lowered AS (
+      SELECT doc_id, lower(text) AS t FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, length(t) AS n,
+             {", ".join(f"{_count_expr_sql(s)} AS c{i}" for i, s in enumerate(_ALPHABET))}
+      FROM lowered
+    ),
+    with_other AS (
+      SELECT *, n - ({" + ".join(f"c{i}" for i in range(len(_ALPHABET)))}) AS c_other
+      FROM counts
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+           ROUND(-(
+             {" + ".join(
+                 f"CASE WHEN c{i} > 0 THEN (c{i} * 1.0 / n) * ln(c{i} * 1.0 / n) ELSE 0 END"
+                 for i in range(len(_ALPHABET))
+             )}
+             + CASE WHEN c_other > 0 THEN (c_other * 1.0 / n) * ln(c_other * 1.0 / n) ELSE 0 END
+           ) / ln(2), 4) AS entropy_bits
+    FROM with_other
+    WHERE n > 0
+    ORDER BY doc_id
+    """,
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class Shannon entropy per document over a fixed
+    27+1-symbol alphabet (a-z, space, other) — the cheap quality
+    signal that separates natural text (~4 bits) from boilerplate,
+    base64 blobs, and single-char spam (~0 bits).
+
+    Scale shape: symbol counts come from length(replace(...)) — 27
+    pure string expressions per row, fused into the scan by
+    whole-stage codegen; entropy is arithmetic over those counts.
+    ZERO shuffles, zero Python: the operator is a projection, so at
+    100 TB it costs exactly one read pass and vectorizes."""
+    d = load(spark, sf_dir, "documents")
+    t = F.lower(F.col("text"))
+    n = F.length(t)
+    counts = [F.length(t) - F.length(F.replace(t, F.lit(s), F.lit(""))) for s in _ALPHABET]
+    c_other = n - sum(counts[1:], counts[0])
+    ln2 = F.log(F.lit(2.0))
+
+    def term(c):
+        p = c * F.lit(1.0) / n
+        return F.when(c > 0, p * F.log(p)).otherwise(F.lit(0.0))
+
+    ent = -(sum((term(c) for c in counts[1:]), term(counts[0])) + term(c_other)) / ln2
+    return (
+        d.select(
+            "doc_id",
+            n.alias("n_chars"),
+            F.round(ent, 4).alias("entropy_bits"),
+        )
+        .filter(F.col("n_chars") > 0)
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_zorder_layout — Z-order (Morton curve) multi-dimensional layout
+# ---------------------------------------------------------------------------
+
+ZBITS = 8  # 8 bits per dimension -> 16-bit z-values
+ZFILES = 16  # target layout files
+
+
+def _interleave_sql(a: str, b: str) -> str:
+    """Bit-interleave two {ZBITS}-bit ints: a's bit i -> bit 2i+1,
+    b's bit i -> bit 2i. Plain integer arithmetic so the identical
+    expression runs on Spark and DuckDB."""
+    terms = []
+    for i in range(ZBITS):
+        terms.append(f"(((({a} >> {i}) & 1)) * {1 << (2 * i + 1)})")
+        terms.append(f"(((({b} >> {i}) & 1)) * {1 << (2 * i)})")
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "q_zorder_layout",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT p_partkey,
+             CAST(p_size AS BIGINT) % {1 << ZBITS} AS da,
+             CAST(FLOOR(p_retailprice) AS BIGINT) % {1 << ZBITS} AS db
+      FROM part
+    ),
+    zvals AS (
+      SELECT p_partkey, da, db, {_interleave_sql("da", "db")} AS zval
+      FROM bucketed
+    ),
+    filed AS (
+      SELECT *, CAST(FLOOR(({ZFILES} * 1.0) *
+               (ROW_NUMBER() OVER (ORDER BY zval, p_partkey) - 1)
+               / (SELECT COUNT(*) FROM zvals)) AS BIGINT) AS file_id
+      FROM zvals
+    )
+    SELECT file_id, COUNT(*) AS n_rows,
+           CAST(MIN(da) AS BIGINT) AS min_size, CAST(MAX(da) AS BIGINT) AS max_size,
+           CAST(MIN(db) AS BIGINT) AS min_price, CAST(MAX(db) AS BIGINT) AS max_price
+    FROM filed GROUP BY file_id ORDER BY file_id
+    """,
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout: interleave the bits of two bucketized
+    dimensions (p_size, floor(p_retailprice)) into a Morton z-value,
+    sort the table along the curve, cut it into equal files, and
+    report each file's min/max per dimension — the zone map a
+    z-ordered rewrite buys. Because the curve preserves locality in
+    BOTH dimensions, a predicate on either column prunes most files
+    (verified by the bounded min/max spans per file).
+
+    Batch analog of the reference's ID-range locality rounds
+    (Runner.java:269-274): map the access pattern onto a 1-D order so
+    each unit of work touches a bounded region.
+
+    Scale shape: the z-value is per-row integer arithmetic (fused
+    into the scan); the sort is ONE range exchange — the same
+    shuffle any layout rewrite must pay — and file assignment is
+    rank arithmetic inside it. At 100 TB this runs as
+    repartitionByRange(zval).sortWithinPartitions + write; here the
+    file cut is computed exactly (global row_number) so the oracle
+    can check the zone map bit-for-bit."""
+    p = load(spark, sf_dir, "part")
+    b = p.select(
+        "p_partkey",
+        (F.col("p_size").cast("long") % (1 << ZBITS)).alias("da"),
+        (F.floor("p_retailprice").cast("long") % (1 << ZBITS)).alias("db"),
+    )
+    z = b.withColumn("zval", F.expr(_interleave_sql("da", "db")))
+    # Distributed curve ranking (same shape as graph_algos.dense_index):
+    # range-partition along the curve, rank within each partition, add
+    # per-partition offsets — a bounded-scalar collect instead of the
+    # single-task global window that would funnel the table at scale.
+    parts = (
+        z.repartitionByRange(ZFILES, "zval", "p_partkey")
+        .sortWithinPartitions("zval", "p_partkey")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()  # pin partition ids across the two passes
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in parts.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    total = acc
+    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    wp = W.partitionBy("_pid").orderBy("zval", "p_partkey")
+    filed = parts.join(F.broadcast(off_df), "_pid").withColumn(
+        "file_id",
+        F.floor(
+            F.lit(float(ZFILES))
+            * (F.col("_off") + F.row_number().over(wp) - 1)
+            / F.lit(total)
+        ),
+    )
+    return (
+        filed.groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("da").alias("min_size"),
+            F.max("da").alias("max_size"),
+            F.min("db").alias("min_price"),
+            F.max("db").alias("max_price"),
+        )
+        .orderBy("file_id")
+    )

@@ -188,3 +188,39 @@ def test_lsh_recall_vs_brute_force(spark, sf_dir):
     a = sorted(map(tuple, lsh_topk(e, q, 10).collect()))
     b = sorted(map(tuple, lsh_topk(e, q, 10).collect()))
     assert a == b
+
+
+def test_pca_invariants(spark, sf_dir):
+    """q_embed_pca: projected columns must be zero-mean with
+    monotonically non-increasing variance; the projection must be
+    deterministic across runs (pinned eigenvector signs); and the
+    retained variance must dominate a random-projection baseline of
+    the same rank (the whole point of PCA)."""
+    import numpy as np
+
+    from neo_olap_spark.operators.llm_pipeline import PCA_K, q_embed_pca
+    from neo_olap_spark.tables import load as load_t
+
+    rows = q_embed_pca(spark, sf_dir).collect()
+    e = load_t(spark, sf_dir, "embeddings")
+    assert len(rows) == e.count()
+    P = np.array([r["pc"] for r in rows])
+    assert P.shape[1] == PCA_K
+    # centered projections
+    assert np.abs(P.mean(axis=0)).max() < 1e-6
+    # variance ordering = eigenvalue ordering
+    var = P.var(axis=0, ddof=1)
+    assert all(var[i] >= var[i + 1] - 1e-9 for i in range(PCA_K - 1))
+    # retained variance beats a rank-K random projection baseline
+    X = np.array([r["embedding"] for r in e.collect()], dtype=np.float64)
+    X = X - X.mean(axis=0)
+    total_var = X.var(axis=0, ddof=1).sum()
+    rng = np.random.RandomState(0)
+    Q, _ = np.linalg.qr(rng.randn(X.shape[1], PCA_K))
+    rand_var = (X @ Q).var(axis=0, ddof=1).sum()
+    assert var.sum() > rand_var
+    assert var.sum() <= total_var + 1e-6
+    # deterministic across runs
+    again = {r["vec_id"]: r["pc"] for r in q_embed_pca(spark, sf_dir).collect()}
+    for r in rows[:50]:
+        assert np.allclose(again[r["vec_id"]], r["pc"])
