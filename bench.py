@@ -78,6 +78,9 @@ HEADLINE2 = [
     "q_zorder_layout",
     "q_text_chunk",
     "q_embed_pca",
+    "q_text_keywords",
+    "q_snapshot_diff",
+    "q_window_distinct_running",
 ]
 
 

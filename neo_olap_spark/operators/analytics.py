@@ -1761,3 +1761,57 @@ def q_time_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year(ts).cast("long").alias("year"),
         F.month(ts).cast("long").alias("month"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_window_distinct_running — cumulative distinct count via first-seen rewrite
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_window_distinct_running",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    per_day AS (
+      SELECT first_day AS day, COUNT(*) AS new_users
+      FROM first_seen GROUP BY first_day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_distinct_users
+    FROM per_day ORDER BY day
+    """,
+)
+def q_window_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user count by day — COUNT(DISTINCT) OVER an
+    expanding frame, which Spark (correctly) refuses to execute
+    directly because the naive evaluation is O(days x users).
+
+    The scalable rewrite: distinct-so-far == cumulative sum of
+    FIRST-SEEN events. One groupBy(user) finds each user's first day,
+    one groupBy(day) counts arrivals, and a cumulative window over
+    the tiny per-day relation finishes. Two data shuffles total,
+    both map-side-combinable, and the window runs over ~hundreds of
+    rows — the pattern that turns an impossible window into a plan
+    that survives 100 TB."""
+    e = load(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    per_day = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        per_day.withColumn("cum_distinct_users", F.sum("new_users").over(w))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "new_users",
+            "cum_distinct_users",
+        )
+        .orderBy("day")
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from neo_olap_spark.functions import bigrams, bounded_sequence, ws_tokens
 from neo_olap_spark.registry import query
@@ -693,4 +694,61 @@ def q_text_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bigram",
         F.col("n").cast("long").alias("n"),
         (F.col("rnk0") + 1).cast("long").alias("rnk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_text_keywords — per-document top-K TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+KEYWORDS_PER_DOC = 3
+
+
+@query(
+    "q_text_keywords",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dfc AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             ROUND(tf.tf * (ln((n.n_docs + 1.0) / (dfc.df + 1.0)) + 1.0), 4) AS tfidf
+      FROM tf JOIN dfc USING (token) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, token, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, token) AS rk
+      FROM scored
+    )
+    SELECT doc_id, CAST(rk AS INTEGER) AS rk, token, tfidf
+    FROM ranked WHERE rk <= {KEYWORDS_PER_DOC}
+    ORDER BY doc_id, rk
+    """,
+)
+def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: the top-{KEYWORDS_PER_DOC}
+    TF-IDF terms per doc — the feature every retrieval index and
+    topic dashboard wants next to the raw text.
+
+    Ranking is over the ROUNDED score with a token tie-break, so both
+    engines order identically even where unrounded doubles differ in
+    the last ulp. Scale shape: reuses the TF-IDF plan (token shuffle
+    + broadcast doc count) and adds one per-doc-key Exchange — but
+    Spark plans a PARTIAL WindowGroupLimit before that shuffle, so
+    only {KEYWORDS_PER_DOC} rows per doc ever move (verified in the
+    executed plan: WindowGroupLimit Partial → Exchange(doc_id) →
+    WindowGroupLimit Final). The added shuffle carries ~K rows per
+    document, not the token multiset."""
+    scored = q_text_tfidf(spark, sf_dir)
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= KEYWORDS_PER_DOC)
+        .select("doc_id", "rk", "token", "tfidf")
+        .orderBy("doc_id", "rk")
     )

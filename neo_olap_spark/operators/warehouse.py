@@ -183,3 +183,82 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("p_price"), 2).alias("sum_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_snapshot_diff — CDC-style diff between two table snapshots
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_snapshot_diff",
+    oracle="""
+    WITH old_snap AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    new_snap AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(FLOOR((CASE WHEN o_orderkey % 3 = 0
+                         THEN o_totalprice * 1.1 ELSE o_totalprice END) * 100 + 0.5)
+                  AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 5 <> 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'deleted'
+                ELSE 'changed' END AS change_type,
+           o.cents AS old_cents, n.cents AS new_cents
+    FROM old_snap o FULL OUTER JOIN new_snap n USING (o_orderkey)
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_orderstatus <> n.o_orderstatus OR o.cents <> n.cents
+    ORDER BY o_orderkey
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (the CDC primitive): given yesterday's and
+    today's version of a table, emit every added, deleted, and
+    changed row — what a data platform computes to publish a change
+    feed from full-table snapshots. The two snapshots are
+    deterministic derivations of orders (modular membership + a
+    price bump) so both engines see identical inputs.
+
+    Scale shape: ONE full-outer sort-merge join on the primary key —
+    the lower bound for diffing two unsorted snapshots; column
+    comparison is per-row codegen on the joined row. At 100 TB both
+    snapshots bucket/sort by PK on write, making the diff a
+    zero-exchange merge; unchanged rows (the overwhelming majority)
+    are filtered before anything is emitted."""
+    o = load(spark, sf_dir, "orders")
+    # money-cents integerization (repo float rule): floor(x*100 + .5)
+    # is deterministic cross-engine where round-half is not
+    old_snap = o.where(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("old_status"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("old_cents"),
+    )
+    bumped = F.when(
+        F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 1.1
+    ).otherwise(F.col("o_totalprice"))
+    new_snap = o.where(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("new_status"),
+        F.floor(bumped * 100 + 0.5).cast("long").alias("new_cents"),
+    )
+    joined = old_snap.join(new_snap, "o_orderkey", "full_outer")
+    change = (
+        F.when(F.col("old_cents").isNull() & F.col("old_status").isNull(), "added")
+        .when(F.col("new_cents").isNull() & F.col("new_status").isNull(), "deleted")
+        .otherwise("changed")
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .where(
+            (F.col("change_type") != "changed")
+            | (F.col("old_status") != F.col("new_status"))
+            | (F.col("old_cents") != F.col("new_cents"))
+        )
+        .select("o_orderkey", "change_type", "old_cents", "new_cents")
+        .orderBy("o_orderkey")
+    )
