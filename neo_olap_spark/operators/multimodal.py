@@ -1,11 +1,16 @@
 """Multimodal columns: opaque binary payloads + typed metadata.
 
-The Spark-side plumbing is real (BinaryType columns, content hashing,
-Arrow-batched mapInPandas decode with an explicit output schema); the
-actual image/audio decode is STUBBED behind a deterministic fake
-because the codec libraries are not in this container — the stub is
-clearly marked and swaps out for a real decoder without touching the
-plan shape.
+The decode path is REAL end-to-end: payloads are genuine RGB8 PNG
+files (synthesized deterministically per doc_id), and decode / resize
+/ frame-sampling run a spec-compliant stdlib-only PNG codec
+(functions/png_codec.py — struct + zlib + numpy; PIL/ffmpeg are absent
+from this container and not needed). A production deployment swaps the
+codec for a native library for throughput; the operator plumbing
+(BinaryType columns, Arrow-batched mapInPandas kernels, explicit
+output schemas, executor-side payloads) is identical either way.
+
+q_multimodal_meta / q_multimodal_dedup additionally run on a
+text-bytes payload table so they stay DuckDB-oracle-checkable.
 """
 
 from __future__ import annotations
@@ -57,100 +62,140 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DECODE_SCHEMA = (
-    "doc_id long, n_bytes long, width long, height long, n_frames long, codec string"
-)
+MEDIA_CODEC = "png/rgb8"
 
-REAL_DECODERS_AVAILABLE = False  # no PIL/ffmpeg in this container
+# Real decoders: a spec-compliant stdlib-only PNG codec
+# (functions/png_codec.py) — no PIL/ffmpeg needed for correctness; a
+# native library is a drop-in swap for throughput.
+REAL_DECODERS_AVAILABLE = True
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive a REAL image table: one deterministic RGB8 PNG per
+    document (dimensions and pixel pattern are pure functions of
+    doc_id), synthesized executor-side in Arrow batches. The payloads
+    are genuine PNG files — any viewer opens them — so the decode /
+    resize / frame operators downstream exercise a real codec path,
+    not a byte-shuffling fake."""
+    import numpy as np
+
+    from neo_olap_spark.functions.png_codec import encode_png
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(doc_id: int) -> bytes:
+            w = 24 + doc_id % 17
+            h = 24 + (doc_id * 7) % 13
+            y, x = np.mgrid[0:h, 0:w]
+            r = (x * 3 + doc_id) % 256
+            g = (y * 5 + doc_id // 3) % 256
+            b = (x + y + doc_id % 97) % 256
+            return encode_png(np.stack([r, g, b], axis=-1).astype(np.uint8))
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [one(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(synth, "doc_id long, payload binary")
+
+
+DECODE_SCHEMA = (
+    "doc_id long, n_bytes long, width long, height long, "
+    "mean_r long, mean_g long, mean_b long, codec string"
+)
 
 
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Arrow-batched decode kernel (mapInPandas).
+    """Arrow-batched decode + feature-extract kernel (mapInPandas):
+    REAL PNG decode (IHDR parse, IDAT inflate, scanline unfilter) and
+    per-channel mean features, floor-integerized so the output is
+    bit-deterministic."""
+    import numpy as np
 
-    STUB: derives deterministic fake dimensions from the payload bytes.
-    A real deployment replaces the body of ``fake_decode`` with
-    PIL/ffmpeg calls; the batch shape, schema, and partitioning are
-    exactly what the real decoder needs.
-    """
-
-    def fake_decode(payload: bytes) -> tuple[int, int, int, str]:
-        if REAL_DECODERS_AVAILABLE:  # pragma: no cover
-            raise NotImplementedError("plug real codec here")
-        # deterministic fake: dimensions from content, not randomness
-        n = len(payload)
-        w = 64 + (payload[0] % 64) if n else 0
-        h = 64 + (payload[-1] % 64) if n else 0
-        return w, h, 1 + n % 4, "fake/v1"
+    from neo_olap_spark.functions.png_codec import decode_png
 
     for pdf in batches:
-        decoded = [fake_decode(p) for p in pdf["payload"]]
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"].values,
-                "n_bytes": [len(p) for p in pdf["payload"]],
-                "width": [d[0] for d in decoded],
-                "height": [d[1] for d in decoded],
-                "n_frames": [d[2] for d in decoded],
-                "codec": [d[3] for d in decoded],
-            }
-        )
+        rows: dict[str, list] = {
+            "doc_id": [], "n_bytes": [], "width": [], "height": [],
+            "mean_r": [], "mean_g": [], "mean_b": [], "codec": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = decode_png(payload)
+            h, w = arr.shape[:2]
+            means = arr.reshape(-1, 3).mean(axis=0)
+            rows["doc_id"].append(doc_id)
+            rows["n_bytes"].append(len(payload))
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["mean_r"].append(int(np.floor(means[0])))
+            rows["mean_g"].append(int(np.floor(means[1])))
+            rows["mean_b"].append(int(np.floor(means[2])))
+            rows["codec"].append(MEDIA_CODEC)
+        yield pd.DataFrame(rows)
 
 
 def decode_multimodal(m: DataFrame) -> DataFrame:
-    """Run the (stubbed) decoder over payloads with mapInPandas —
-    Arrow batches in, Arrow batches out, no per-row Python overhead."""
+    """Run the real decoder over payloads with mapInPandas — Arrow
+    batches in, Arrow batches out, no per-row Python round-trips
+    through the driver."""
     return m.select("doc_id", "payload").mapInPandas(_decode_batches, DECODE_SCHEMA)
 
 
 @query("q_multimodal_decode")
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode/feature-extract stub over binary payloads (rows-only:
-    the fake decode is deterministic, but not SQL-expressible)."""
-    return decode_multimodal(multimodal_table(spark, sf_dir))
+    """Decode + feature-extract over binary image payloads: REAL PNG
+    decode via the stdlib codec (functions/png_codec.py), emitting
+    true dimensions and per-channel mean features. Rows-only: inflate
+    + unfilter is not SQL-expressible; decode correctness is pinned by
+    tests (round-trip vs the synthesizer's known dimensions/pattern).
+
+    Scale shape: 1:1 Arrow-batched projection — payloads stay on
+    executors, the kernel is embarrassingly parallel, and nothing
+    shuffles; at 100 TB the only knob is input split size."""
+    return decode_multimodal(media_table(spark, sf_dir))
 
 
 RESIZE_SCHEMA = "doc_id long, payload binary, width long, height long, codec string"
-TARGET_W, TARGET_H = 64, 64
+TARGET_W, TARGET_H = 16, 16
 
 
 def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Resize kernel (mapInPandas): binary in, binary out — the
-    transform stays on executors; payloads never visit the driver.
-
-    STUB: a real deployment replaces ``fake_resize`` with
-    PIL.Image.resize; the fake maps the payload onto a deterministic
-    TARGET_W*TARGET_H byte grid by even-stride sampling, so output
-    payload size is exactly what a real thumbnail pipeline produces
-    and downstream operators (content hash, dedup) are exercised for
-    real."""
-
-    def fake_resize(payload: bytes) -> bytes:
-        if REAL_DECODERS_AVAILABLE:  # pragma: no cover
-            raise NotImplementedError("plug real codec here")
-        n = len(payload)
-        size = TARGET_W * TARGET_H
-        if n == 0:
-            return bytes(size)
-        return bytes(payload[(i * n) // size] for i in range(size))
+    """Thumbnail kernel (mapInPandas): REAL decode -> nearest-neighbor
+    resize -> REAL re-encode. Binary in, binary out — payloads never
+    visit the driver."""
+    from neo_olap_spark.functions.png_codec import (
+        decode_png,
+        encode_png,
+        resize_nearest,
+    )
 
     for pdf in batches:
+        out = [
+            encode_png(resize_nearest(decode_png(p), TARGET_W, TARGET_H))
+            for p in pdf["payload"]
+        ]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].values,
-                "payload": [fake_resize(p) for p in pdf["payload"]],
+                "payload": out,
                 "width": TARGET_W,
                 "height": TARGET_H,
-                "codec": "fake-raw/v1",
+                "codec": MEDIA_CODEC,
             }
         )
 
 
 @query("q_multimodal_resize")
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize plumbing over binary payloads (rows-only): mapInPandas
-    binary→binary, then the content hash of the resized payload —
-    the thumbnail-then-dedup shape of a media ingest pipeline."""
-    m = multimodal_table(spark, sf_dir)
+    """Thumbnail pipeline over binary payloads (rows-only): real
+    decode -> 16x16 nearest-neighbor resize -> real PNG re-encode ->
+    content hash of the thumbnail — the resize-then-dedup shape of a
+    media ingest pipeline. The output payload is a valid PNG."""
+    m = media_table(spark, sf_dir)
     resized = m.select("doc_id", "payload").mapInPandas(_resize_batches, RESIZE_SCHEMA)
     return resized.select(
         "doc_id",
@@ -162,37 +207,76 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-FRAMES_SCHEMA = "doc_id long, frame_no long, frame_sha string"
-FRAMES_PER_DOC = 3
+FRAMES_SCHEMA = "doc_id long, frame_no long, width long, height long, frame_sha string"
+FRAME_STRIDE = 2  # sample every 2nd frame
+
+
+def video_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-frame media: each doc's "video" is a stream of 2-4
+    back-to-back PNG frames (frame count = 2 + doc_id % 3; each frame
+    a real PNG whose pattern varies by frame index)."""
+    import numpy as np
+
+    from neo_olap_spark.functions.png_codec import encode_png
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(doc_id: int) -> bytes:
+            n_frames = 2 + doc_id % 3
+            w = 16 + doc_id % 9
+            h = 16 + (doc_id * 3) % 7
+            frames = []
+            for k in range(n_frames):
+                y, x = np.mgrid[0:h, 0:w]
+                r = (x * 2 + k * 31 + doc_id) % 256
+                g = (y * 3 + k * 17) % 256
+                b = (x + y + k * 7 + doc_id // 5) % 256
+                frames.append(encode_png(np.stack([r, g, b], -1).astype(np.uint8)))
+            return b"".join(frames)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [one(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(synth, "doc_id long, payload binary")
 
 
 def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """1-to-N frame sampling kernel (mapInPandas): each payload emits
-    FRAMES_PER_DOC frame rows. STUB: a real decoder seeks to evenly
-    spaced frames with ffmpeg; the fake hashes evenly spaced byte
-    slices, so output cardinality/schema/partitioning are the real
-    plumbing and the content is deterministic."""
+    """1-to-N frame sampling kernel (mapInPandas): split the frame
+    stream at real PNG boundaries (chunk walk to IEND), keep every
+    FRAME_STRIDE-th frame, decode its true dimensions, and hash it."""
     import hashlib
 
+    from neo_olap_spark.functions.png_codec import png_dimensions, split_png_stream
+
     for pdf in batches:
-        rows: dict[str, list] = {"doc_id": [], "frame_no": [], "frame_sha": []}
+        rows: dict[str, list] = {
+            "doc_id": [], "frame_no": [], "width": [], "height": [], "frame_sha": [],
+        }
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            n = max(len(payload), 1)
-            for k in range(FRAMES_PER_DOC):
-                lo = (k * n) // FRAMES_PER_DOC
-                hi = ((k + 1) * n) // FRAMES_PER_DOC
+            frames = split_png_stream(payload)
+            for k in range(0, len(frames), FRAME_STRIDE):
+                w, h = png_dimensions(frames[k])
                 rows["doc_id"].append(doc_id)
                 rows["frame_no"].append(k)
-                rows["frame_sha"].append(hashlib.sha256(bytes(payload[lo:hi])).hexdigest())
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["frame_sha"].append(hashlib.sha256(frames[k]).hexdigest())
         yield pd.DataFrame(rows)
 
 
 @query("q_multimodal_frames")
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling plumbing over binary payloads: Arrow batches in,
-    FRAMES_PER_DOC rows out per document (rows-only; deterministic
-    fake frames, real schema/batch shape)."""
-    m = multimodal_table(spark, sf_dir)
+    """Frame sampling over multi-frame media (rows-only): REAL frame
+    boundaries (PNG chunk walk), every-2nd-frame selection, true
+    per-frame dimensions from the IHDR — the metadata-only fast path
+    that never inflates pixel data it won't use — plus the content
+    hash a frame-level dedup would key on."""
+    m = video_table(spark, sf_dir)
     return m.select("doc_id", "payload").mapInPandas(_frame_sample_batches, FRAMES_SCHEMA)
 
 

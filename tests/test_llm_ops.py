@@ -13,7 +13,7 @@ from neo_olap_spark.operators.llm_dedup import (
     simhash_signatures,
 )
 from neo_olap_spark.operators.llm_similarity import brute_force_topk, ivf_topk
-from neo_olap_spark.operators.multimodal import decode_multimodal, multimodal_table
+from neo_olap_spark.operators.multimodal import decode_multimodal
 from neo_olap_spark.tables import load
 
 
@@ -160,16 +160,66 @@ def test_near_clusters_refine_exact_clusters(spark, sf_dir):
         assert exact[doc] == exact[canon], (doc, canon)
 
 
-def test_multimodal_decode_shape(spark, sf_dir):
-    m = multimodal_table(spark, sf_dir)
+def test_multimodal_decode_real_png(spark, sf_dir):
+    """The decode key must recover the TRUE dimensions and channel
+    means of the synthesized PNGs — verified against a local
+    re-synthesis of the same deterministic pattern."""
+    import numpy as np
+
+    from neo_olap_spark.operators.multimodal import media_table
+
+    m = media_table(spark, sf_dir)
     out = decode_multimodal(m)
     rows = out.collect()
     assert len(rows) == m.count()
-    r = rows[0]
-    assert r.n_bytes > 0 and 64 <= r.width < 128 and r.codec == "fake/v1"
-    # deterministic: same payload -> same fake dimensions
+    for r in rows[:25]:
+        assert r.width == 24 + r.doc_id % 17
+        assert r.height == 24 + (r.doc_id * 7) % 13
+        assert r.codec == "png/rgb8" and r.n_bytes > 0
+    # pixel-exact: decode one payload locally and compare the features
+    r0 = rows[0]
+    doc_id, h, w = r0.doc_id, r0.height, r0.width
+    y, x = np.mgrid[0:h, 0:w]
+    arr = np.stack(
+        [(x * 3 + doc_id) % 256, (y * 5 + doc_id // 3) % 256, (x + y + doc_id % 97) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    means = arr.reshape(-1, 3).mean(axis=0)
+    assert (r0.mean_r, r0.mean_g, r0.mean_b) == tuple(int(np.floor(v)) for v in means)
+    # deterministic across runs
     again = {x.doc_id: (x.width, x.height) for x in decode_multimodal(m).collect()}
     assert all(again[x.doc_id] == (x.width, x.height) for x in rows)
+
+
+def test_multimodal_resize_roundtrip(spark, sf_dir):
+    """The resized payload must be a VALID 16x16 PNG whose pixels are
+    the nearest-neighbor mapping of the original — decoded and checked
+    locally with the same stdlib codec."""
+    import numpy as np
+
+    from neo_olap_spark.functions.png_codec import decode_png, resize_nearest
+    from neo_olap_spark.operators.multimodal import (
+        TARGET_H,
+        TARGET_W,
+        _resize_batches,
+        media_table,
+    )
+
+    m = media_table(spark, sf_dir)
+    sample = m.limit(5).collect()
+    import pandas as pd
+
+    out = next(
+        _resize_batches(
+            iter([pd.DataFrame({"doc_id": [r.doc_id for r in sample],
+                                "payload": [bytes(r.payload) for r in sample]})])
+        )
+    )
+    for (_, row), src in zip(out.iterrows(), sample):
+        thumb = decode_png(row["payload"])
+        assert thumb.shape == (TARGET_H, TARGET_W, 3)
+        expected = resize_nearest(decode_png(bytes(src.payload)), TARGET_W, TARGET_H)
+        assert np.array_equal(thumb, expected)
 
 
 def test_lsh_recall_vs_brute_force(spark, sf_dir):

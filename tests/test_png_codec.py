@@ -1,0 +1,98 @@
+"""Unit tests for the stdlib-only PNG codec (functions/png_codec.py):
+encode→decode identity, all five scanline filters on decode, header
+fast path, nearest-neighbor resize, and frame-stream splitting."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from neo_olap_spark.functions.png_codec import (
+    PNG_SIG,
+    _chunk,
+    decode_png,
+    encode_png,
+    png_dimensions,
+    resize_nearest,
+    split_png_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def img():
+    rng = np.random.RandomState(42)
+    return rng.randint(0, 256, (37, 23, 3), dtype=np.uint8)
+
+
+def test_roundtrip_identity(img):
+    data = encode_png(img)
+    assert np.array_equal(decode_png(data), img)
+    assert png_dimensions(data) == (23, 37)
+
+
+def _refilter(arr: np.ndarray, ftype: int) -> bytes:
+    """Reference scanline filterer (per PNG spec) to build inputs the
+    encoder never emits, exercising every decode branch."""
+    h, w, _ = arr.shape
+    stride = w * 3
+    flat = arr.reshape(h, stride).astype(np.int32)
+    out = bytearray()
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        out.append(ftype)
+        up = prev
+        for i in range(stride):
+            a = flat[y][i - 3] if i >= 3 else 0
+            b = up[i]
+            c = up[i - 3] if i >= 3 else 0
+            if ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            out.append((flat[y][i] - pred) & 0xFF)
+        prev = flat[y]
+    return bytes(out)
+
+
+@pytest.mark.parametrize("ftype", [1, 2, 3, 4])
+def test_decode_all_filters(img, ftype):
+    ihdr = struct.pack(">IIBBBBB", img.shape[1], img.shape[0], 8, 2, 0, 0, 0)
+    data = (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(_refilter(img, ftype)))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(data), img)
+
+
+def test_resize_nearest_mapping(img):
+    out = resize_nearest(img, 16, 16)
+    assert out.shape == (16, 16, 3)
+    # spot-check the index mapping
+    assert np.array_equal(out[0, 0], img[0, 0])
+    assert np.array_equal(out[15, 15], img[(15 * 37) // 16, (15 * 23) // 16])
+
+
+def test_split_png_stream(img):
+    a = encode_png(img)
+    b = encode_png(resize_nearest(img, 8, 8))
+    frames = split_png_stream(a + b + a)
+    assert [png_dimensions(f) for f in frames] == [(23, 37), (8, 8), (23, 37)]
+    assert frames[0] == a and frames[1] == b
+
+
+def test_reject_garbage():
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+    with pytest.raises(ValueError):
+        split_png_stream(encode_png(np.zeros((4, 4, 3), np.uint8)) + b"trailing junk")

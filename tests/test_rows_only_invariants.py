@@ -20,13 +20,26 @@ def test_sample_bounds_and_determinism(spark, sf_dir):
 
 
 def test_multimodal_frames_cardinality(spark, sf_dir):
-    from neo_olap_spark.operators.multimodal import FRAMES_PER_DOC
+    """Each doc's video has 2 + doc_id % 3 frames; sampling every
+    FRAME_STRIDE-th keeps ceil(n_frames / stride) — verify the exact
+    per-doc cardinality and that sampled frame dims match the
+    synthesizer's formula."""
+    import math
+
+    from neo_olap_spark.operators.multimodal import FRAME_STRIDE
 
     frames = queries()["q_multimodal_frames"](spark, sf_dir)
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-    assert frames.count() == n_docs * FRAMES_PER_DOC
-    per_doc = frames.groupBy("doc_id").count()
-    assert per_doc.where(F.col("count") != FRAMES_PER_DOC).isEmpty()
+    per_doc = {r["doc_id"]: r["count"] for r in frames.groupBy("doc_id").count().collect()}
+    assert len(per_doc) == n_docs
+    for doc_id, cnt in per_doc.items():
+        n_frames = 2 + doc_id % 3
+        assert cnt == math.ceil(n_frames / FRAME_STRIDE), doc_id
+    # real decode: width/height come from the frame's own IHDR and must
+    # match the synthesizer's dimension formula
+    for r in frames.limit(50).collect():
+        assert r["width"] == 16 + r["doc_id"] % 9
+        assert r["height"] == 16 + (r["doc_id"] * 3) % 7
 
 
 def test_winnow_detects_shared_run(spark):
