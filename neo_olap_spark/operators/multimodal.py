@@ -321,3 +321,97 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_copies",
         (F.col("doc_id") != F.col("keeper_id")).alias("is_dup"),
     )
+
+
+AUDIO_SCHEMA = (
+    "doc_id long, n_bytes long, sample_rate long, n_samples long, "
+    "duration_ms long, rms long, peak long, codec string"
+)
+AUDIO_RATE = 8000
+
+
+def audio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio table: one PCM16 mono WAV per document (stdlib
+    ``wave`` writer — a genuine RIFF/WAVE file any player opens).
+    The waveform is a deterministic doc_id-keyed sine mix, 50-250 ms
+    at 8 kHz, synthesized executor-side in Arrow batches."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(doc_id: int) -> bytes:
+            n = AUDIO_RATE * (50 + (doc_id * 13) % 201) // 1000
+            t = np.arange(n, dtype=np.float64)
+            f1 = 100 + doc_id % 400
+            f2 = 500 + (doc_id * 7) % 1000
+            x = 0.6 * np.sin(2 * np.pi * f1 * t / AUDIO_RATE) + 0.3 * np.sin(
+                2 * np.pi * f2 * t / AUDIO_RATE
+            )
+            pcm = np.floor(x * 20000 + 0.5).astype(np.int16)
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(AUDIO_RATE)
+                w.writeframes(pcm.tobytes())
+            return buf.getvalue()
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [one(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(synth, "doc_id long, payload binary")
+
+
+def _audio_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched WAV decode + feature kernel: stdlib ``wave``
+    parses the RIFF header and PCM frames; RMS/peak are integerized
+    (floor) so the features are bit-deterministic."""
+    import io
+    import wave
+
+    import numpy as np
+
+    for pdf in batches:
+        rows: dict[str, list] = {k: [] for k in (
+            "doc_id", "n_bytes", "sample_rate", "n_samples",
+            "duration_ms", "rms", "peak", "codec")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                rate = w.getframerate()
+                n = w.getnframes()
+                pcm = np.frombuffer(w.readframes(n), dtype=np.int16)
+            rows["doc_id"].append(doc_id)
+            rows["n_bytes"].append(len(payload))
+            rows["sample_rate"].append(rate)
+            rows["n_samples"].append(n)
+            rows["duration_ms"].append(n * 1000 // rate)
+            rows["rms"].append(int(np.floor(np.sqrt(np.mean(pcm.astype(np.float64) ** 2)))))
+            rows["peak"].append(int(np.max(np.abs(pcm.astype(np.int32)))))
+            rows["codec"].append("wav/pcm16")
+        yield pd.DataFrame(rows)
+
+
+@query("q_multimodal_audio")
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode + feature extraction over binary WAV payloads:
+    REAL RIFF/WAVE parsing via the stdlib ``wave`` codec — sample
+    rate, frame count, duration, and integerized RMS/peak loudness,
+    the features an audio-corpus quality gate filters on (silence,
+    clipping, wrong sample rate). Rows-only: PCM decode is not
+    SQL-expressible; decode correctness is pinned by tests against
+    the synthesizer's closed-form waveform.
+
+    Scale shape: 1:1 Arrow-batched projection, payloads never leave
+    executors, no shuffle — identical plan shape to the image decode
+    (the multimodal triad: image/audio/video all run the same
+    mapInPandas pattern with typed schemas)."""
+    m = audio_table(spark, sf_dir)
+    return m.select("doc_id", "payload").mapInPandas(_audio_decode_batches, AUDIO_SCHEMA)

@@ -274,3 +274,31 @@ def test_pca_invariants(spark, sf_dir):
     again = {r["vec_id"]: r["pc"] for r in q_embed_pca(spark, sf_dir).collect()}
     for r in rows[:50]:
         assert np.allclose(again[r["vec_id"]], r["pc"])
+
+
+def test_multimodal_audio_decode(spark, sf_dir):
+    """q_multimodal_audio must recover the synthesizer's closed-form
+    waveform properties: exact sample counts/duration from the RIFF
+    header, and RMS/peak matching a local re-synthesis bit-for-bit."""
+    import numpy as np
+
+    from neo_olap_spark.operators.multimodal import AUDIO_RATE, q_multimodal_audio
+
+    rows = q_multimodal_audio(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:25]:
+        n_expected = AUDIO_RATE * (50 + (r.doc_id * 13) % 201) // 1000
+        assert r.sample_rate == AUDIO_RATE
+        assert r.n_samples == n_expected
+        assert r.duration_ms == n_expected * 1000 // AUDIO_RATE
+        assert r.codec == "wav/pcm16"
+        # local re-synthesis: identical features
+        t = np.arange(n_expected, dtype=np.float64)
+        f1 = 100 + r.doc_id % 400
+        f2 = 500 + (r.doc_id * 7) % 1000
+        x = 0.6 * np.sin(2 * np.pi * f1 * t / AUDIO_RATE) + 0.3 * np.sin(
+            2 * np.pi * f2 * t / AUDIO_RATE
+        )
+        pcm = np.floor(x * 20000 + 0.5).astype(np.int16)
+        assert r.peak == int(np.max(np.abs(pcm.astype(np.int32))))
+        assert r.rms == int(np.floor(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))))
