@@ -104,7 +104,7 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DECODE_SCHEMA = (
-    "doc_id long, n_bytes long, width long, height long, "
+    "doc_id long, width long, height long, "
     "mean_r long, mean_g long, mean_b long, codec string"
 )
 
@@ -120,7 +120,7 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
     for pdf in batches:
         rows: dict[str, list] = {
-            "doc_id": [], "n_bytes": [], "width": [], "height": [],
+            "doc_id": [], "width": [], "height": [],
             "mean_r": [], "mean_g": [], "mean_b": [], "codec": [],
         }
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -128,7 +128,6 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             h, w = arr.shape[:2]
             means = arr.reshape(-1, 3).mean(axis=0)
             rows["doc_id"].append(doc_id)
-            rows["n_bytes"].append(len(payload))
             rows["width"].append(w)
             rows["height"].append(h)
             rows["mean_r"].append(int(np.floor(means[0])))
@@ -145,13 +144,39 @@ def decode_multimodal(m: DataFrame) -> DataFrame:
     return m.select("doc_id", "payload").mapInPandas(_decode_batches, DECODE_SCHEMA)
 
 
-@query("q_multimodal_decode")
+@query(
+    "q_multimodal_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(24 + doc_id % 17 AS BIGINT) AS width,
+             CAST(24 + (doc_id * 7) % 13 AS BIGINT) AS height
+      FROM documents
+    ),
+    grid AS (
+      SELECT d.doc_id, d.width, d.height, x.i AS x, y.i AS y
+      FROM dims d,
+           LATERAL (SELECT UNNEST(range(d.width)) AS i) x,
+           LATERAL (SELECT UNNEST(range(d.height)) AS i) y
+    )
+    SELECT doc_id, width, height,
+           CAST(FLOOR(AVG((x * 3 + doc_id) % 256)) AS BIGINT) AS mean_r,
+           CAST(FLOOR(AVG((y * 5 + doc_id // 3) % 256)) AS BIGINT) AS mean_g,
+           CAST(FLOOR(AVG((x + y + doc_id % 97) % 256)) AS BIGINT) AS mean_b,
+           'png/rgb8' AS codec
+    FROM grid GROUP BY doc_id, width, height
+    """,
+)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract over binary image payloads: REAL PNG
     decode via the stdlib codec (functions/png_codec.py), emitting
-    true dimensions and per-channel mean features. Rows-only: inflate
-    + unfilter is not SQL-expressible; decode correctness is pinned by
-    tests (round-trip vs the synthesizer's known dimensions/pattern).
+    true dimensions and per-channel mean features.
+
+    ORACLE-BACKED decode: the synthesized pattern has closed-form
+    channel means, so DuckDB re-derives every output value from first
+    principles and the driver hash-checks the whole decode path —
+    header parse, IDAT inflate, unfilter, and feature math. (Integer
+    sums stay exact in float64, so FLOOR(mean) is engine-exact.)
 
     Scale shape: 1:1 Arrow-batched projection — payloads stay on
     executors, the kernel is embarrassingly parallel, and nothing
