@@ -87,3 +87,70 @@ def test_zorder_zone_map_prunes(spark, sf_dir):
     from neo_olap_spark.tables import load
 
     assert sum(r["n_rows"] for r in rows) == load(spark, sf_dir, "part").count()
+
+
+def test_chunk_reconstruction_property(spark, sf_dir):
+    """Sliding-window chunking must lose nothing: chunk 0 plus the
+    non-overlapping tail of every later chunk reconstructs the exact
+    token sequence of the document, and every chunk except the last
+    is exactly CHUNK_TOKENS long."""
+    from neo_olap_spark.operators.llm_pipeline import (
+        CHUNK_OVERLAP,
+        CHUNK_TOKENS,
+        q_text_chunk,
+    )
+    from neo_olap_spark.tables import load
+
+    chunks = q_text_chunk(spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    docs = {
+        r["doc_id"]: r["text"].strip().split()
+        for r in load(spark, sf_dir, "documents").limit(2000).collect()
+    }
+    checked = 0
+    for doc_id, toks in docs.items():
+        if not toks or doc_id not in by_doc:
+            continue
+        rows = sorted(by_doc[doc_id], key=lambda r: r["chunk_id"])
+        # exact reconstruction: overlay each chunk at its stride-aligned
+        # offset — the result must be the document's token sequence
+        stride = CHUNK_TOKENS - CHUNK_OVERLAP
+        rebuilt = list(rows[0]["chunk_text"].split())
+        for r in rows[1:]:
+            start = r["chunk_id"] * stride
+            rebuilt = rebuilt[:start] + r["chunk_text"].split()
+        assert rebuilt == toks, doc_id
+        # each chunk's declared length is the clamped window size
+        for r in rows:
+            start = r["chunk_id"] * stride
+            assert r["n_tokens"] == min(CHUNK_TOKENS, len(toks) - start)
+            assert len(r["chunk_text"].split()) == r["n_tokens"]
+        checked += 1
+    assert checked > 0
+
+
+def test_entropy_matches_python_reference(spark, sf_dir):
+    """q_text_entropy must agree with a plain-Python Counter-based
+    entropy over the same 27+1-symbol alphabet (to the emitted 1e-4
+    rounding) on a sample of real documents."""
+    import math
+    from collections import Counter
+
+    from neo_olap_spark.operators.quality import _ALPHABET, q_text_entropy
+    from neo_olap_spark.tables import load
+
+    got = {r["doc_id"]: r for r in q_text_entropy(spark, sf_dir).collect()}
+    sample = load(spark, sf_dir, "documents").limit(100).collect()
+    alpha = set(_ALPHABET)
+    for doc in sample:
+        text = doc["text"].lower()
+        if not text:
+            continue
+        c = Counter(ch if ch in alpha else "\x00" for ch in text)
+        n = len(text)
+        ent = -sum((v / n) * math.log2(v / n) for v in c.values())
+        r = got[doc["doc_id"]]
+        assert r["n_chars"] == n
+        assert abs(r["entropy_bits"] - ent) < 5e-4, doc["doc_id"]
