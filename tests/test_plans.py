@@ -410,3 +410,80 @@ def test_first_last_single_window_exchange(q):
     # all four navigation windows share one partitioning: one Exchange
     p = plan_str(q("q_window_first_last"), mode="simple")
     assert p.count("Exchange") == 1, p
+
+
+def test_entropy_zero_shuffle(q):
+    # the entropy projection fuses into the scan: no Exchange at all
+    # (the only allowed exchange is the oracle-ordering rangepartition)
+    p = plan_str(q("q_text_entropy"), mode="simple")
+    assert "hashpartitioning" not in p, p
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p, p
+
+
+def test_chunk_zero_shuffle(q):
+    # chunking = tokenize + explode + slice, all per-row: no hash
+    # exchange (explode is a generator, not a shuffle)
+    p = plan_str(q("q_text_chunk"), mode="simple")
+    assert "hashpartitioning" not in p, p
+    assert "Generate" in p, p  # the explode is there
+
+
+def test_dq_audit_row_checks_fuse_into_one_scan(q):
+    # four row-level checks = ONE lineitem aggregate; the FK check's
+    # anti join must stay anti (probe side never widens)
+    df = q("q_dq_audit")
+    assert_in_plan(df, "LeftAnti")
+    p = plan_str(df, mode="simple")
+    # 6 checks, 4 scans total: one fused lineitem aggregate carrying
+    # ALL four row-level checks, one orders PK scan, and the two
+    # orphan-probe sides — never one scan per check
+    assert p.count("FileScan parquet") == 4, p
+    assert "count(CASE WHEN isnull(l_orderkey" in p, p  # fused agg
+
+
+def test_skew_profile_bounded_topn(q):
+    # the heavy-hitter cut must be a bounded TakeOrderedAndProject,
+    # never a global Sort of all keys
+    df = q("q_skew_profile")
+    assert_in_plan(df, "TakeOrderedAndProject")
+    assert_in_plan(df, "BroadcastNestedLoopJoin")  # 1-row stats scalar
+
+
+def test_dedup_incremental_single_key_partitioning(q):
+    # anti join + groupBy share the md5 hash key; no sort-merge join
+    # (the digest registry hash-joins)
+    df = q("q_dedup_incremental")
+    p = plan_str(df, mode="simple")
+    assert "LeftAnti" in p, p
+
+
+def test_keywords_partial_window_group_limit(q):
+    # only K rows per doc may cross the added doc_id exchange: Spark
+    # must plan a PARTIAL WindowGroupLimit before it
+    p = plan_str(q("q_text_keywords"))
+    assert "WindowGroupLimit" in p, p
+    i_partial = p.find("Partial")
+    assert i_partial != -1, p
+
+
+def test_zorder_no_global_window_funnel(q):
+    # curve ranking must be per-partition windows (partitioned by
+    # _pid), never an unpartitioned global row_number
+    p = plan_str(q("q_zorder_layout"))
+    assert "windowspecdefinition(_pid" in p, p
+
+
+def test_snapshot_diff_is_one_full_outer_join(q):
+    df = q("q_snapshot_diff")
+    assert_in_plan(df, "FullOuter")
+    p = plan_str(df, mode="simple")
+    assert p.count("Join") == 1, p
+
+
+def test_distinct_running_no_per_user_window(q):
+    # the rewrite must aggregate users away BEFORE any window: the
+    # window runs over the per-day relation, and there is no window
+    # partitioned by user
+    p = plan_str(q("q_window_distinct_running"))
+    assert "windowspecdefinition(user_id" not in p, p
+    assert "HashAggregate" in p, p
