@@ -81,6 +81,8 @@ HEADLINE2 = [
     "q_text_keywords",
     "q_snapshot_diff",
     "q_window_distinct_running",
+    "q_agg_histogram_eqdepth",
+    "q_multimodal_motion",
 ]
 
 

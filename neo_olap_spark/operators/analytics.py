@@ -1815,3 +1815,90 @@ def q_window_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_agg_histogram_eqdepth — quantile (equi-depth) binning
+# ---------------------------------------------------------------------------
+
+EQDEPTH_BUCKETS = 16
+
+
+@query(
+    "q_agg_histogram_eqdepth",
+    oracle=f"""
+    WITH priced AS (
+      SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents, l_orderkey, l_linenumber) - 1
+               AS rk,
+             (SELECT COUNT(*) FROM priced) AS n
+      FROM priced
+    )
+    SELECT CAST(FLOOR({EQDEPTH_BUCKETS} * 1.0 * rk / n) AS BIGINT) AS bucket,
+           COUNT(*) AS n_rows,
+           MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
+    FROM ranked GROUP BY 1 ORDER BY bucket
+    """,
+)
+def q_agg_histogram_eqdepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) histogram of l_extendedprice: every
+    bucket holds ~1/{EQDEPTH_BUCKETS} of the rows and the bucket
+    edges ARE the exact quantile boundaries — the feature-binning
+    primitive (equal-population bins feed models; the equi-WIDTH
+    q_agg_histogram feeds dashboards).
+
+    Scale shape: the exact global rank comes from the distributed
+    dense-rank pattern (range-partition by value → per-partition
+    row_number → bounded offset join), NEVER a global window funnel;
+    prices are cents-integerized so ordering and bucket edges are
+    engine-exact (ties broken by PK for a total order). Production
+    swaps the exact rank for approx_percentile boundaries when ±ε
+    bins suffice; this operator is the exact tier."""
+    from pyspark.sql.window import Window as W2
+
+    li = load(spark, sf_dir, "lineitem")
+    priced = li.select(
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    parts = (
+        priced.repartitionByRange(32, "cents", "l_orderkey", "l_linenumber")
+        .sortWithinPartitions("cents", "l_orderkey", "l_linenumber")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()  # pin partition ids across the two passes
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in parts.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    total = acc
+    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    w = W2.partitionBy("_pid").orderBy("cents", "l_orderkey", "l_linenumber")
+    ranked = parts.join(F.broadcast(off_df), "_pid").withColumn(
+        "rk", F.col("_off") + F.row_number().over(w) - 1
+    )
+    return (
+        ranked.select(
+            F.floor(
+                F.lit(float(EQDEPTH_BUCKETS)) * F.col("rk") / F.lit(total)
+            ).alias("bucket"),
+            "cents",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+        .orderBy("bucket")
+    )

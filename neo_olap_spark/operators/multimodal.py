@@ -440,3 +440,86 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas pattern with typed schemas)."""
     m = audio_table(spark, sf_dir)
     return m.select("doc_id", "payload").mapInPandas(_audio_decode_batches, AUDIO_SCHEMA)
+
+
+@query(
+    "q_multimodal_motion",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(2 + doc_id % 3 AS BIGINT) AS n_frames,
+             CAST(16 + doc_id % 9 AS BIGINT) AS width,
+             CAST(16 + (doc_id * 3) % 7 AS BIGINT) AS height
+      FROM documents WHERE 2 + doc_id % 3 >= 2
+    ),
+    steps AS (
+      SELECT d.*, k.i AS k
+      FROM dims d, LATERAL (SELECT UNNEST(range(d.n_frames - 1)) AS i) k
+    ),
+    grid AS (
+      SELECT s.doc_id, s.k, s.width, s.height, x.i AS x, y.i AS y
+      FROM steps s,
+           LATERAL (SELECT UNNEST(range(s.width)) AS i) x,
+           LATERAL (SELECT UNNEST(range(s.height)) AS i) y
+    ),
+    px AS (
+      SELECT doc_id, k, width, height,
+             ABS(((x * 2 + (k + 1) * 31 + doc_id) % 256) - ((x * 2 + k * 31 + doc_id) % 256))
+           + ABS(((y * 3 + (k + 1) * 17) % 256)          - ((y * 3 + k * 17) % 256))
+           + ABS(((x + y + (k + 1) * 7 + doc_id // 5) % 256) - ((x + y + k * 7 + doc_id // 5) % 256))
+             AS adiff
+      FROM grid
+    )
+    SELECT doc_id, CAST(k AS BIGINT) AS step,
+           CAST(SUM(adiff) AS BIGINT) AS abs_diff_sum,
+           CAST(FLOOR(SUM(adiff) * 1.0 / (width * height * 3)) AS BIGINT)
+             AS mean_abs_diff
+    FROM px GROUP BY doc_id, k, width, height
+    ORDER BY doc_id, step
+    """,
+)
+def q_multimodal_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Motion estimation over multi-frame media: decode every
+    consecutive frame pair of each video and emit the per-step sum
+    and mean of absolute pixel differences — the scene-change /
+    static-clip signal a video-corpus quality gate thresholds on.
+
+    ORACLE-BACKED real decode, like q_multimodal_decode: the frame
+    patterns have closed forms, so DuckDB re-derives every per-step
+    diff from first principles over a LATERAL pixel grid, and the
+    driver hash-checks the full pipeline — frame-boundary split,
+    per-frame PNG decode, and the numpy diff kernel. Sums are integer
+    (exact in any engine); the mean is FLOOR of an exact-integer
+    division context.
+
+    Scale shape: 1:1→(frames-1) Arrow-batched projection; payloads
+    never leave executors and nothing shuffles (the final orderBy is
+    oracle-ordering only)."""
+    import numpy as np
+
+    from neo_olap_spark.functions.png_codec import decode_png, split_png_stream
+
+    def motion(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: dict[str, list] = {
+            "doc_id": [], "step": [], "abs_diff_sum": [], "mean_abs_diff": [],
+        }
+        for pdf in batches:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = [
+                    decode_png(f).astype(np.int32)
+                    for f in split_png_stream(payload)
+                ]
+                for k in range(len(frames) - 1):
+                    d = np.abs(frames[k + 1] - frames[k])
+                    s = int(d.sum())
+                    rows["doc_id"].append(doc_id)
+                    rows["step"].append(k)
+                    rows["abs_diff_sum"].append(s)
+                    rows["mean_abs_diff"].append(s // d.size)
+        yield pd.DataFrame(rows)
+
+    m = video_table(spark, sf_dir)
+    out = m.select("doc_id", "payload").mapInPandas(
+        motion, "doc_id long, step long, abs_diff_sum long, mean_abs_diff long"
+    )
+    return out.orderBy("doc_id", "step")
