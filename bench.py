@@ -83,6 +83,7 @@ HEADLINE2 = [
     "q_window_distinct_running",
     "q_agg_histogram_eqdepth",
     "q_multimodal_motion",
+    "q_time_ewma",
 ]
 
 

@@ -1902,3 +1902,62 @@ def q_agg_histogram_eqdepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_time_ewma — exponentially weighted moving average (dyadic weights)
+# ---------------------------------------------------------------------------
+
+EWMA_K = 8  # lag horizon; weight for lag j is 0.5^j (exact in binary)
+
+
+def _ewma_terms_sql() -> tuple[str, str]:
+    nums, dens = [], []
+    for j in range(EWMA_K):
+        w = 0.5**j  # dyadic => exactly representable, repr() is exact
+        lag = f"LAG(value, {j}) OVER w" if j else "value"
+        nums.append(f"CASE WHEN {lag} IS NOT NULL THEN ({lag}) * {w!r} ELSE 0.0 END")
+        dens.append(f"CASE WHEN {lag} IS NOT NULL THEN {w!r} ELSE 0.0 END")
+    return " + ".join(nums), " + ".join(dens)
+
+
+@query(
+    "q_time_ewma",
+    oracle=f"""
+    SELECT event_id, user_id,
+           ROUND(value, 4) AS value,
+           ROUND(({_ewma_terms_sql()[0]}) / ({_ewma_terms_sql()[1]}), 4) AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_time_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of each user's event
+    values (halving weights, horizon {EWMA_K}) — the smoothing every
+    metrics/monitoring series runs. The weights 0.5^j are DYADIC, so
+    they are exactly representable and both engines compute
+    bit-identical per-row arithmetic; missing lags at a series head
+    renormalize the weight sum instead of biasing toward zero.
+
+    Scale shape: {EWMA_K} LAG terms over ONE window partitioning =
+    one Exchange on the entity key; everything else is per-row
+    arithmetic in whole-stage codegen. The recursive-EWMA
+    formulation (y = a·x + (1-a)·y_prev) is not window-expressible;
+    the bounded-horizon form is its 2^-{EWMA_K}-accurate declarative
+    equivalent and what SQL engines actually ship."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    e = load(spark, sf_dir, "events")
+    num, den = None, None
+    for j in range(EWMA_K):
+        wt = 0.5**j
+        lag = F.col("value") if j == 0 else F.lag("value", j).over(w)
+        n_t = F.when(lag.isNotNull(), lag * F.lit(wt)).otherwise(F.lit(0.0))
+        d_t = F.when(lag.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+        num = n_t if num is None else num + n_t
+        den = d_t if den is None else den + d_t
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round("value", 4).alias("value"),
+        F.round(num / den, 4).alias("ewma"),
+    )
