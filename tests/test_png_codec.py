@@ -96,3 +96,12 @@ def test_reject_garbage():
         decode_png(b"not a png at all")
     with pytest.raises(ValueError):
         split_png_stream(encode_png(np.zeros((4, 4, 3), np.uint8)) + b"trailing junk")
+
+
+def test_roundtrip_property_random_shapes():
+    """Hypothesis-style sweep without Spark: every (h, w) from 1x1 to
+    a ragged sample of sizes round-trips pixel-exactly."""
+    rng = np.random.RandomState(7)
+    for h, w in [(1, 1), (1, 17), (40, 1), (3, 3), (13, 29), (64, 64), (7, 51)]:
+        arr = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(arr)), arr), (h, w)
