@@ -84,6 +84,7 @@ HEADLINE2 = [
     "q_agg_histogram_eqdepth",
     "q_multimodal_motion",
     "q_time_ewma",
+    "q_graph_sssp",
 ]
 
 

@@ -272,3 +272,37 @@ def test_label_propagation_isolated_node_keeps_label(spark):
     # LPA oscillation); after an odd round count they are swapped —
     # deterministic, which is exactly what the fixed round count buys
     assert got[0] == 1 and got[1] == 0
+
+
+def test_sssp_prefers_cheap_long_path(spark):
+    """Weighted SSSP must take the 3-hop cost-3 path over the 1-hop
+    cost-10 edge — the exact case hop-BFS gets wrong — and must
+    relax nodes even after first arrival."""
+    from neo_olap_spark.operators.graph_algos import sssp
+
+    edges = spark.createDataFrame(
+        [
+            (0, 1, 10),  # direct but expensive
+            (0, 2, 1), (2, 3, 1), (3, 1, 1),  # long but cheap
+            (1, 4, 1),
+        ],
+        "src long, dst long, w long",
+    )
+    sym = edges.unionAll(edges.selectExpr("dst as src", "src as dst", "w"))
+    dist = {r["node_id"]: r["dist"] for r in sssp(sym, 0, max_rounds=10).collect()}
+    assert dist == {0: 0, 1: 3, 2: 1, 3: 2, 4: 4}
+
+
+def test_sssp_raises_when_ceiling_too_low(spark):
+    """A chain longer than the round ceiling must RAISE, never return
+    partial distances (the convergence safety contract)."""
+    import pytest as _pytest
+
+    from neo_olap_spark.operators.graph_algos import sssp
+
+    chain = spark.createDataFrame(
+        [(i, i + 1, 1) for i in range(6)], "src long, dst long, w long"
+    )
+    sym = chain.unionAll(chain.selectExpr("dst as src", "src as dst", "w"))
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        sssp(sym, 0, max_rounds=3)
