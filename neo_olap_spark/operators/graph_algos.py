@@ -1798,7 +1798,7 @@ def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_graph_sssp — weighted single-source shortest paths (bounded Bellman-Ford)
 # ---------------------------------------------------------------------------
 
-SSSP_MAX_ROUNDS = 30
+SSSP_MAX_ROUNDS = 40  # measured depth 26 at sf0.1; headroom for larger SFs
 _SSSP_INF = 1 << 60
 
 

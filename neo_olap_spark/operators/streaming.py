@@ -762,3 +762,60 @@ def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(final.collect(), final.schema)
     finally:
         shutil.rmtree(events_dir, ignore_errors=True)
+
+
+EVENT_TYPES = ("signup", "click", "error", "view", "purchase")
+VALUE_CAP = 200.0  # outlier threshold: ~p99 of the value distribution
+
+
+def build_quality_audit(events: DataFrame) -> DataFrame:
+    """Per-hour data-quality counters over the event stream: total
+    rows, null keys, domain violations, and value outliers — the
+    always-on ingest monitor every streaming pipeline runs next to
+    its business aggregates. Mode-agnostic: same builder serves the
+    batch twin and the live stream."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("user_id").isNull(), 1)).alias("null_user"),
+            F.count(
+                F.when(~F.col("event_type").isin(*EVENT_TYPES), 1)
+            ).alias("bad_type"),
+            F.count(F.when(F.col("value") < 0, 1)).alias("neg_value"),
+            F.count(F.when(F.col("value") > VALUE_CAP, 1)).alias("outlier_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "n_rows",
+            "null_user",
+            "bad_type",
+            "neg_value",
+            "outlier_value",
+        )
+    )
+
+
+@query(
+    "q_stream_quality",
+    oracle=f"""
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(*) FILTER (WHERE user_id IS NULL) AS BIGINT) AS null_user,
+           CAST(COUNT(*) FILTER (WHERE event_type NOT IN
+             ('signup', 'click', 'error', 'view', 'purchase')) AS BIGINT) AS bad_type,
+           CAST(COUNT(*) FILTER (WHERE value < 0) AS BIGINT) AS neg_value,
+           CAST(COUNT(*) FILTER (WHERE value > {VALUE_CAP}) AS BIGINT)
+             AS outlier_value
+    FROM events GROUP BY 1
+    """,
+)
+def q_stream_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming data-quality audit, batch twin (the streaming path
+    is driven in tests/test_streaming.py over a real stream): hourly
+    violation counters as count_if expressions inside one windowed
+    aggregate — at 100 TB/day this is one watermarked shuffle whose
+    output is a few counters per hour, the cheapest possible
+    always-on monitor. The oracle CASTs DuckDB's COUNT_IF HUGEINT to
+    BIGINT (repo float-landmine (c))."""
+    return build_quality_audit(load(spark, sf_dir, "events"))

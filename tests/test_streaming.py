@@ -206,3 +206,19 @@ def test_parquet_sink_exactly_once_across_restart(spark, sf_dir):
         assert sunk.select("event_id").distinct().count() == ev.count()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_quality_matches_batch(spark, sf_dir, events_dir):
+    """The streaming quality audit over a REAL stream must agree with
+    its batch twin, and the clean fixture must show zero violations
+    in every window except the (intentional) value-outlier counter."""
+    from neo_olap_spark.operators.streaming import build_quality_audit
+
+    batch = build_quality_audit(load(spark, sf_dir, "events"))
+    stream = build_quality_audit(stream_events(spark, events_dir))
+    run_stream_once(stream, "t_quality_test", output_mode="complete")
+    got = _rows(spark.sql("SELECT * FROM t_quality_test"))
+    assert got == _rows(batch)
+    for (_, n_rows, null_user, bad_type, neg_value, outlier) in got:
+        assert null_user == 0 and bad_type == 0 and neg_value == 0
+        assert 0 <= outlier <= n_rows
