@@ -1965,3 +1965,153 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         wsym.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
     )
     return sssp(wsym, source_id, n_edges=edge_count_estimate(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# q_graph_closeness — sampled closeness centrality (multi-source SSSP)
+# ---------------------------------------------------------------------------
+
+CLOSENESS_SOURCES = 4
+
+
+def _closeness_oracle(n_rounds: int) -> str:
+    """Unrolled multi-source Bellman-Ford on (source, node) keys,
+    same ceiling/idempotence contract as _sssp_oracle. DuckDB SUM of
+    BIGINT is HUGEINT — CAST back (float-landmine (c))."""
+    parts = [
+        f"""
+    e AS (
+      SELECT o_custkey AS src, {_ORD} + o_orderkey AS dst,
+             CAST(1 AS BIGINT) AS w
+      FROM orders
+      UNION ALL
+      SELECT {_ORD} + l_orderkey, {_PRT} + l_partkey,
+             CAST(MIN(l_quantity) AS BIGINT)
+      FROM lineitem GROUP BY 1, 2
+    ),
+    sym AS MATERIALIZED (
+      SELECT src, dst, w FROM e
+      UNION ALL SELECT dst AS src, src AS dst, w FROM e),
+    srcs AS MATERIALIZED (
+      SELECT CAST(c_custkey AS BIGINT) AS source FROM customer
+      ORDER BY c_custkey LIMIT {CLOSENESS_SOURCES}),
+    d0 AS MATERIALIZED (
+      SELECT source, source AS node, CAST(0 AS BIGINT) AS dist FROM srcs)"""
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f"""
+    d{r} AS MATERIALIZED (
+      SELECT COALESCE(d.source, m.source) AS source,
+             COALESCE(d.node, m.node) AS node,
+             LEAST(COALESCE(d.dist, {_SSSP_INF}), COALESCE(m.cand, {_SSSP_INF}))
+               AS dist
+      FROM d{r - 1} d FULL OUTER JOIN (
+        SELECT p.source, s.dst AS node, MIN(p.dist + s.w) AS cand
+        FROM d{r - 1} p JOIN sym s ON p.node = s.src
+        GROUP BY p.source, s.dst
+      ) m ON d.source = m.source AND d.node = m.node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT source,
+           COUNT(*) AS n_reached,
+           CAST(SUM(dist) AS BIGINT) AS sum_dist,
+           CAST(FLOOR((COUNT(*) - 1) * 1000000.0 / SUM(dist) + 0.5) AS BIGINT)
+             AS closeness_micro
+    FROM d{n_rounds} GROUP BY source ORDER BY source"""
+    )
+
+
+@query("q_graph_closeness", oracle=_closeness_oracle(SSSP_MAX_ROUNDS))
+def q_graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled closeness centrality: weighted SSSP from
+    {CLOSENESS_SOURCES} deterministic source customers run
+    SIMULTANEOUSLY in one loop keyed on (source, node) — k sources
+    cost one traversal, not k. Closeness = (reached − 1) / Σdist,
+    micro-integerized (floor-shift) so the output is engine-exact.
+
+    With the walk counts (degree centrality's cousin, R1) and sampled
+    betweenness (R2), this completes the classical centrality trio
+    the reference's workload family approximates. Same per-round
+    accounting and converge-or-raise contract as q_graph_sssp; the
+    (source, node) key multiplies state, not rounds — at 100 TB,
+    sources batch in groups sized to executor memory."""
+    srcs = [
+        int(r[0])
+        for r in load(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+        .limit(CLOSENESS_SOURCES)
+        .collect()
+    ]
+    from neo_olap_spark.graph import edge_count_estimate
+
+    wsym = weighted_edges(spark, sf_dir)
+    wsym = wsym.unionAll(
+        wsym.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    n_edges = edge_count_estimate(spark, sf_dir)
+    spark_ = wsym.sparkSession
+    with _no_aqe(spark_), _loop_shuffle_partitions(spark_, n_edges):
+        edges_p = wsym.repartition("src").persist()
+        dist = spark_.createDataFrame(
+            [(s, s, 0) for s in srcs], "source long, node long, dist long"
+        ).localCheckpoint()
+        frontier = dist
+        converged = False
+        for _ in range(SSSP_MAX_ROUNDS):
+            pushed = (
+                frontier.hint("shuffle_hash")
+                .join(edges_p, frontier.node == edges_p.src)
+                .select(
+                    "source",
+                    F.col("dst").alias("node"),
+                    (F.col("dist") + F.col("w")).alias("cand"),
+                )
+                .groupBy("source", "node")
+                .agg(F.min("cand").alias("cand"))
+            )
+            merged = (
+                dist.withColumnRenamed("dist", "old")
+                .join(pushed, ["source", "node"], "full_outer")
+                .select(
+                    "source",
+                    "node",
+                    F.least(
+                        F.coalesce("old", F.lit(_SSSP_INF)),
+                        F.coalesce("cand", F.lit(_SSSP_INF)),
+                    ).alias("dist"),
+                    "old",
+                )
+                .localCheckpoint()
+            )
+            frontier = merged.where(
+                F.col("dist") < F.coalesce("old", F.lit(_SSSP_INF))
+            ).select("source", "node", "dist")
+            dist = merged.select("source", "node", "dist")
+            if frontier.isEmpty():
+                converged = True
+                break
+        edges_p.unpersist()
+        if not converged:
+            raise RuntimeError(
+                f"closeness did not converge in {SSSP_MAX_ROUNDS} rounds — "
+                "raise SSSP_MAX_ROUNDS"
+            )
+    return (
+        dist.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.sum("dist").alias("sum_dist"),
+            F.floor(
+                (F.count(F.lit(1)) - 1) * F.lit(1000000.0) / F.sum("dist") + 0.5
+            )
+            .cast("long")
+            .alias("closeness_micro"),
+        )
+        .orderBy("source")
+    )
