@@ -752,3 +752,59 @@ def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rk", "token", "tfidf")
         .orderBy("doc_id", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_vocab_build — frequency-ranked vocabulary construction
+# ---------------------------------------------------------------------------
+
+VOCAB_SIZE = 1000
+
+
+@query(
+    "q_vocab_build",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents
+    ),
+    freq AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token),
+    ranked AS (
+      SELECT token, freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, token) - 1 AS token_id
+      FROM freq
+    )
+    SELECT CAST(token_id AS BIGINT) AS token_id, token, freq
+    FROM ranked WHERE token_id < {VOCAB_SIZE}
+    ORDER BY token_id
+    """,
+)
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction: the {VOCAB_SIZE} most frequent corpus
+    tokens, assigned dense ids in (freq DESC, token) order — the
+    token→id mapping every tokenizer training run materializes first.
+    The token tie-break makes the id assignment a total order, so the
+    mapping is reproducible across engines and runs.
+
+    Scale shape: one (token) shuffle with map-side partial counts,
+    then a bounded TopN ({VOCAB_SIZE} rows) numbered in ONE sorted
+    partition via monotonically_increasing_id — the repo's
+    numbered_sample pattern (no unpartitioned WindowExec; the set is
+    already TopN-pruned, so the single partition holds {VOCAB_SIZE}
+    rows regardless of corpus size). At 100 TB the shuffle carries
+    (token, partial-count) pairs only, and the vocab broadcasts back
+    to encode the corpus."""
+    d = load(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(ws_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    topn = freq.orderBy(F.desc("freq"), "token").limit(VOCAB_SIZE)
+    return (
+        topn.coalesce(1)
+        .sortWithinPartitions(F.desc("freq"), "token")
+        .withColumn("token_id", F.monotonically_increasing_id())
+        .select("token_id", "token", "freq")
+        .orderBy("token_id")
+    )
