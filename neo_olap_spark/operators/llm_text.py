@@ -808,3 +808,88 @@ def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token_id", "token", "freq")
         .orderBy("token_id")
     )
+
+
+_VOCAB_CTE = f"""
+    tok0 AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents
+    ),
+    freq AS (SELECT token, COUNT(*) AS freq FROM tok0 GROUP BY token),
+    vocab AS MATERIALIZED (
+      SELECT token,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, token) - 1 AS token_id
+      FROM freq QUALIFY token_id < {VOCAB_SIZE}
+    )"""
+
+
+@query(
+    "q_text_encode",
+    oracle=f"""
+    WITH {_VOCAB_CTE},
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tok AS (
+      SELECT doc_id, r.i, t[r.i] AS token
+      FROM toks, UNNEST(range(1, len(t) + 1)) AS r(i)
+    ),
+    mapped AS (
+      SELECT tok.doc_id, tok.i, COALESCE(v.token_id, -1) AS id
+      FROM tok LEFT JOIN vocab v USING (token)
+    )
+    SELECT doc_id,
+           string_agg(CAST(id AS VARCHAR), ',' ORDER BY i) AS ids_csv,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE id = -1) AS BIGINT) AS n_oov
+    FROM mapped GROUP BY doc_id
+    """,
+)
+def q_text_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus encoding against the built vocabulary: every document's
+    token sequence becomes a dense-id sequence (OOV → -1), emitted as
+    CSV so the driver hash covers every position exactly, plus the
+    OOV count the coverage report needs. With q_vocab_build this is
+    the full tokenizer-apply step of a training pipeline.
+
+    Scale shape: the vocabulary collapses to a ONE-ROW map column
+    (map_from_entries over {VOCAB_SIZE} entries) broadcast to every
+    task; encoding is then a per-row array transform fused into the
+    scan — no token explode, no shuffle on the corpus side at all.
+    The corpus is read once and written once, which is the floor."""
+    d = load(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(ws_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    vocab = (
+        freq.orderBy(F.desc("freq"), "token")
+        .limit(VOCAB_SIZE)
+        .coalesce(1)
+        .sortWithinPartitions(F.desc("freq"), "token")
+        .withColumn("token_id", F.monotonically_increasing_id())
+    )
+    vmap = vocab.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("token", "token_id"))
+        ).alias("vmap")
+    )
+    toks = d.select("doc_id", ws_tokens(F.col("text")).alias("t")).where(
+        F.size("t") > 0
+    )
+    ids = F.transform(
+        "t", lambda tk: F.coalesce(F.element_at("vmap", tk), F.lit(-1).cast("long"))
+    )
+    return (
+        toks.crossJoin(F.broadcast(vmap))
+        .select(
+            "doc_id",
+            F.concat_ws(",", F.transform(ids, lambda v: v.cast("string"))).alias(
+                "ids_csv"
+            ),
+            F.size("t").cast("long").alias("n_tokens"),
+            F.size(F.filter(ids, lambda v: v == -1)).cast("long").alias("n_oov"),
+        )
+    )
