@@ -1961,3 +1961,66 @@ def q_time_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 4).alias("value"),
         F.round(num / den, 4).alias("ewma"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_feature_target_enc — leave-one-out target encoding
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_feature_target_enc",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(SUM(cents) AS BIGINT) AS total, COUNT(*) AS n
+      FROM c GROUP BY event_type
+    )
+    SELECT c.event_id, c.event_type,
+           CASE WHEN s.n > 1
+                THEN CAST(FLOOR((s.total - c.cents) * 10.0 / (s.n - 1) + 0.5)
+                          AS BIGINT)
+                ELSE NULL END AS loo_mean_millicents_x10
+    FROM c JOIN stats s USING (event_type)
+    """,
+)
+def q_feature_target_enc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding: each event's feature is the
+    mean target value of its category EXCLUDING itself — the standard
+    high-cardinality categorical encoding that avoids leaking a row's
+    own label into its feature.
+
+    Exactness: values integerize to cents first, so the per-category
+    sums are exact integers (order-independent — the one rule that
+    matters for cross-engine SUM), and the leave-one-out mean is a
+    single floor-shift division of two exact integers.
+
+    Scale shape: one groupBy on the category (map-side partials) →
+    a tiny stats table broadcast back onto the events — the category
+    cardinality is orders of magnitude below the row count, so the
+    encode pass is scan + broadcast-join, never a per-row window over
+    the category (which would shuffle every event)."""
+    e = load(spark, sf_dir, "events")
+    c = e.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    stats = c.groupBy("event_type").agg(
+        F.sum("cents").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    return c.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("n") > 1,
+            F.floor(
+                (F.col("total") - F.col("cents")) * 10.0 / (F.col("n") - 1) + 0.5
+            ).cast("long"),
+        ).alias("loo_mean_millicents_x10"),
+    )
