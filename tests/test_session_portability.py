@@ -147,3 +147,21 @@ def test_time_interpolate_tz_proof(spark, sf_dir):
         assert spark.conf.get(tz_key) == "UTC"
     finally:
         spark.conf.set(tz_key, prev)
+
+
+def test_third_wave_time_keys_on_bare_session(bare_conf, sf_dir):
+    """Third-wave events-touching keys must survive a session without
+    the nanos conf (the driver's shape): skew profiling, running
+    distinct, EWMA, target encoding, and the streaming audit all read
+    events.ts / events.value through tables.load."""
+    from neo_olap_spark.registry import queries
+
+    qs = queries()
+    for key in (
+        "q_skew_profile",
+        "q_window_distinct_running",
+        "q_time_ewma",
+        "q_feature_target_enc",
+        "q_stream_quality",
+    ):
+        assert qs[key](bare_conf, sf_dir).count() > 0, key
