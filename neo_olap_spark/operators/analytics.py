@@ -2024,3 +2024,165 @@ def q_feature_target_enc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         ).alias("loo_mean_millicents_x10"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_window_rolling_corr — rolling lag-1 autocorrelation per series
+# ---------------------------------------------------------------------------
+
+CORR_WINDOW = 100
+CORR_MIN_PAIRS = 10
+
+
+@query(
+    "q_window_rolling_corr",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_id, event_type, ts,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x
+      FROM events
+    ),
+    lagd AS (
+      SELECT *, LAG(x) OVER w AS y FROM c
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ),
+    sums AS (
+      SELECT event_id, event_type,
+        CAST(COUNT(y) OVER f AS DOUBLE) AS n,
+        CAST(SUM(CASE WHEN y IS NULL THEN 0 ELSE x END) OVER f AS DOUBLE) AS sx,
+        CAST(SUM(CASE WHEN y IS NULL THEN 0 ELSE y END) OVER f AS DOUBLE) AS sy,
+        CAST(SUM(CASE WHEN y IS NULL THEN 0 ELSE x * x END) OVER f AS DOUBLE) AS sxx,
+        CAST(SUM(CASE WHEN y IS NULL THEN 0 ELSE y * y END) OVER f AS DOUBLE) AS syy,
+        CAST(SUM(CASE WHEN y IS NULL THEN 0 ELSE x * y END) OVER f AS DOUBLE) AS sxy
+      FROM lagd
+      WINDOW f AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN {CORR_WINDOW - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, event_type,
+           CASE WHEN n >= {CORR_MIN_PAIRS}
+                 AND (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+                THEN CAST(FLOOR((n * sxy - sx * sy)
+                     / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                     * 1000000 + 0.5) AS BIGINT)
+                ELSE NULL END AS autocorr_micro
+    FROM sums
+    """,
+)
+def q_window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling lag-1 autocorrelation of each event-type series over
+    the trailing {CORR_WINDOW} observations — the standard regime /
+    trend detector in metrics monitoring.
+
+    Exactness discipline: values integerize to cents, so every window
+    sum is an exact integer; the moment sums are then CAST TO DOUBLE
+    before combination (Sx² can exceed int64 — in doubles both
+    engines perform the IDENTICAL correctly-rounded operation
+    sequence, and IEEE sqrt is exactly specified), and the result is
+    floor-shift micro-integerized. COUNT(y) counts only real pairs,
+    so series heads renormalize instead of diluting toward zero.
+
+    Scale shape: one Exchange on the series key shared by BOTH
+    windows (lag + frame sums — same partitioning and order), then
+    pure per-row arithmetic; the frame is row-bounded so state per
+    series is O({CORR_WINDOW})."""
+    wo = W.partitionBy("event_type").orderBy("ts", "event_id")
+    wf = wo.rowsBetween(-(CORR_WINDOW - 1), W.currentRow)
+    e = load(spark, sf_dir, "events")
+    c = e.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("x"),
+    )
+    lagd = c.withColumn("y", F.lag("x").over(wo))
+    pair = lambda expr: F.when(F.col("y").isNull(), F.lit(0)).otherwise(expr)  # noqa: E731
+    sums = lagd.select(
+        "event_id",
+        "event_type",
+        F.count("y").over(wf).cast("double").alias("n"),
+        F.sum(pair(F.col("x"))).over(wf).cast("double").alias("sx"),
+        F.sum(pair(F.col("y"))).over(wf).cast("double").alias("sy"),
+        F.sum(pair(F.col("x") * F.col("x"))).over(wf).cast("double").alias("sxx"),
+        F.sum(pair(F.col("y") * F.col("y"))).over(wf).cast("double").alias("syy"),
+        F.sum(pair(F.col("x") * F.col("y"))).over(wf).cast("double").alias("sxy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return sums.select(
+        "event_id",
+        "event_type",
+        F.when(
+            (F.col("n") >= CORR_MIN_PAIRS) & (vx * vy > 0),
+            F.floor(cov / F.sqrt(vx * vy) * 1000000 + 0.5).cast("long"),
+        ).alias("autocorr_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_events_transitions — behavioral transition matrix (first-order Markov)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_events_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    totals AS (
+      SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_total
+      FROM trans GROUP BY prev_type
+    )
+    SELECT t.prev_type, t.next_type, t.n,
+           CAST(FLOOR(t.n * 1000000.0 / tt.row_total + 0.5) AS BIGINT)
+             AS prob_micro
+    FROM trans t JOIN totals tt USING (prev_type)
+    ORDER BY prev_type, next_type
+    """,
+)
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event
+    sequences: for every (previous event type → next event type)
+    pair, the observed count and micro-integerized transition
+    probability — the behavioral model behind next-action prediction
+    and anomaly detection on session flows.
+
+    Scale shape: ONE Exchange on user_id for the sequence lag, then a
+    tiny (types²) aggregate with map-side partials and a broadcast of
+    the per-row totals. The output is bounded by the type-vocabulary
+    square regardless of corpus size — the classic
+    big-data-in/small-model-out shape."""
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    e = load(spark, sf_dir, "events")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(wo).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = trans.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    return (
+        trans.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.floor(F.col("n") * 1000000.0 / F.col("row_total") + 0.5)
+            .cast("long")
+            .alias("prob_micro"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
