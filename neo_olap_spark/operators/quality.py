@@ -451,3 +451,59 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_join_cardinality — pre-flight join output estimation
+# ---------------------------------------------------------------------------
+
+CARD_TOP = 10
+
+
+@query(
+    "q_join_cardinality",
+    oracle=f"""
+    WITH l AS (SELECT l_orderkey AS k, COUNT(*) AS nl FROM lineitem GROUP BY 1),
+    o AS (SELECT o_orderkey AS k, COUNT(*) AS no FROM orders GROUP BY 1),
+    m AS (
+      SELECT l.k, l.nl, o.no, CAST(l.nl * o.no AS BIGINT) AS out_rows
+      FROM l JOIN o USING (k)
+    ),
+    tot AS (SELECT CAST(SUM(out_rows) AS BIGINT) AS total_out FROM m)
+    SELECT m.k AS key, m.nl, m.no, m.out_rows, t.total_out
+    FROM m, tot t
+    ORDER BY m.out_rows DESC, m.k
+    LIMIT {CARD_TOP}
+    """,
+)
+def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join cardinality estimate for lineitem ⋈ orders:
+    exact per-key output contributions (n_left × n_right) plus the
+    total output row count — the reconnaissance that decides whether
+    a join is safe to run, needs a key-level cap, or signals a data
+    bug (a key with out_rows ≫ mean is the classic accidental many-to-many).
+
+    Scale shape: two map-side-combined groupBys (each input reduced
+    to per-key counts BEFORE any join — the count tables are orders
+    of magnitude smaller than the data), one equi-join of count
+    tables, a broadcast 1-row total, and a bounded
+    TakeOrderedAndProject. The estimate costs a scan of each side's
+    join column, never the join itself."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    l_cnt = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("nl")
+    )
+    o_cnt = o.groupBy(F.col("o_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("no")
+    )
+    m = l_cnt.join(o_cnt, "key").withColumn(
+        "out_rows", (F.col("nl") * F.col("no")).cast("long")
+    )
+    tot = m.agg(F.sum("out_rows").cast("long").alias("total_out"))
+    return (
+        m.crossJoin(F.broadcast(tot))
+        .orderBy(F.desc("out_rows"), "key")
+        .limit(CARD_TOP)
+        .select("key", "nl", "no", "out_rows", "total_out")
+    )
