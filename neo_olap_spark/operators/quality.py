@@ -507,3 +507,58 @@ def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(CARD_TOP)
         .select("key", "nl", "no", "out_rows", "total_out")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_privacy_kanon — k-anonymity audit over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+KANON_K = 5
+
+
+@query(
+    "q_privacy_kanon",
+    oracle=f"""
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             COUNT(*) AS class_size
+      FROM customer
+      GROUP BY 1, 2, 3
+    )
+    SELECT COUNT(*) AS n_classes,
+           CAST(COUNT(*) FILTER (WHERE class_size < {KANON_K}) AS BIGINT)
+             AS n_violating_classes,
+           CAST(COALESCE(SUM(class_size) FILTER (WHERE class_size < {KANON_K}), 0)
+                AS BIGINT) AS n_rows_at_risk,
+           CAST(MIN(class_size) AS BIGINT) AS min_class_size,
+           CAST(SUM(class_size) AS BIGINT) AS n_rows
+    FROM classes
+    """,
+)
+def q_privacy_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit: group the table by its quasi-identifier
+    tuple (nation, market segment, account-balance band) and report
+    how many equivalence classes fall below k={KANON_K} members and
+    how many rows those classes expose — the re-identification-risk
+    check a dataset must pass before release or training use.
+
+    Scale shape: one map-side-combined groupBy on the QI tuple, then
+    a 1-row aggregate over the (much smaller) class table. The
+    balance band is floor-integerized so the banding is engine-exact.
+    At 100 TB the class table is bounded by the QI domain product,
+    not the row count."""
+    c = load(spark, sf_dir, "customer")
+    classes = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("class_size"))
+    small = F.when(F.col("class_size") < KANON_K, F.col("class_size"))
+    return classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.count(small).alias("n_violating_classes"),
+        F.coalesce(F.sum(small), F.lit(0)).cast("long").alias("n_rows_at_risk"),
+        F.min("class_size").alias("min_class_size"),
+        F.sum("class_size").cast("long").alias("n_rows"),
+    )
