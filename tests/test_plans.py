@@ -487,3 +487,46 @@ def test_distinct_running_no_per_user_window(q):
     p = plan_str(q("q_window_distinct_running"))
     assert "windowspecdefinition(user_id" not in p, p
     assert "HashAggregate" in p, p
+
+
+def test_ewma_single_exchange(q):
+    # 8 LAG terms must share one window partitioning: one Exchange
+    p = plan_str(q("q_time_ewma"), mode="simple")
+    assert p.count("Exchange") == 1, p
+
+
+def test_rolling_corr_single_exchange(q):
+    # lag window + frame-sum window share partitioning AND order:
+    # one Exchange, one sort
+    p = plan_str(q("q_window_rolling_corr"), mode="simple")
+    assert p.count("Exchange") == 1, p
+
+
+def test_target_enc_broadcasts_stats(q):
+    # category stats must broadcast back; no sort-merge join of the
+    # events against themselves
+    df = q("q_feature_target_enc")
+    assert_in_plan(df, "BroadcastHashJoin")
+    assert_not_in_plan(df, "SortMergeJoin")
+
+
+def test_join_cardinality_never_joins_raw_tables(q):
+    # the estimate joins per-key COUNT tables: both join inputs must
+    # be aggregates (counts), so the plan has exactly one join and it
+    # sits above two HashAggregates
+    p = plan_str(q("q_join_cardinality"))
+    import re as _re
+
+    assert len(_re.findall(r"Join ", p)) >= 1
+    # no output-exploding join of the raw fact tables: the join keys
+    # are the aggregated count relations, visible as aggregates on
+    # both sides feeding the join
+    assert p.count("HashAggregate") >= 4, p
+
+
+def test_transitions_single_sequence_exchange(q):
+    # one user_id Exchange for the lag; the (types x types) aggregate
+    # and totals broadcast are tiny
+    df = q("q_events_transitions")
+    assert_in_plan(df, "BroadcastHashJoin")
+    assert_not_in_plan(df, "SortMergeJoin")
