@@ -562,3 +562,82 @@ def q_privacy_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("class_size").alias("min_class_size"),
         F.sum("class_size").cast("long").alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_privacy_erase — right-to-be-forgotten deletion sweep
+# ---------------------------------------------------------------------------
+
+ERASE_MOD = 97  # user_id % ERASE_MOD == 0 stands in for the deletion list
+
+
+@query(
+    "q_privacy_erase",
+    oracle=f"""
+    WITH del AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % {ERASE_MOD} = 0
+    ),
+    marked AS (
+      SELECT e.user_id, e.event_id,
+             (d.user_id IS NOT NULL) AS to_erase
+      FROM events e LEFT JOIN del d ON e.user_id = d.user_id
+    )
+    SELECT CAST(COUNT(*) FILTER (WHERE to_erase) AS BIGINT) AS n_erased,
+           CAST(COUNT(*) FILTER (WHERE NOT to_erase) AS BIGINT) AS n_kept,
+           CAST((SELECT COUNT(*) FROM del) AS BIGINT) AS n_subjects,
+           CAST(MIN(CASE WHEN NOT to_erase THEN user_id END) AS BIGINT)
+             AS min_kept_user,
+           md5(string_agg(CAST(event_id AS VARCHAR), ','
+               ORDER BY event_id) FILTER (WHERE to_erase)) AS erased_digest
+    FROM marked
+    """,
+)
+def q_privacy_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten sweep: given a deletion list (user_id %
+    {ERASE_MOD} == 0 stands in for the legal request queue), account
+    for every event to erase vs keep, and emit an order-canonical
+    digest of the erased event ids — the audit artifact a GDPR/CCPA
+    erasure run must produce BEFORE the destructive rewrite.
+
+    Scale shape: the deletion list is tiny and broadcasts; the sweep
+    is one scan with a broadcast-semi membership flag. The digest is
+    md5 over the sorted erased ids, so two independent runs (or two
+    engines) prove they would delete the IDENTICAL row set. The
+    subsequent rewrite is the anti-join side of the same plan."""
+    e = load(spark, sf_dir, "events")
+    del_list = (
+        e.where(F.col("user_id") % ERASE_MOD == 0).select("user_id").distinct()
+    )
+    n_subjects = del_list.count()  # bounded scalar (the legal queue)
+    marked = e.join(
+        F.broadcast(del_list.withColumn("to_erase", F.lit(True))),
+        "user_id",
+        "left",
+    ).select(
+        "user_id",
+        "event_id",
+        F.coalesce("to_erase", F.lit(False)).alias("to_erase"),
+    )
+    # digest over sort_array(collect_list): canonical order regardless
+    # of partitioning, so independent runs/engines can compare
+    digest = marked.where("to_erase").agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("event_id")),
+                    lambda v: v.cast("string"),
+                ),
+            )
+        ).alias("erased_digest")
+    )
+    stats = marked.agg(
+        F.count(F.when(F.col("to_erase"), 1)).alias("n_erased"),
+        F.count(F.when(~F.col("to_erase"), 1)).alias("n_kept"),
+        F.min(F.when(~F.col("to_erase"), F.col("user_id"))).alias("min_kept_user"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(digest))
+        .withColumn("n_subjects", F.lit(n_subjects).cast("long"))
+        .select("n_erased", "n_kept", "n_subjects", "min_kept_user", "erased_digest")
+    )
