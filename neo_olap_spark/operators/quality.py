@@ -641,3 +641,68 @@ def q_privacy_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_subjects", F.lit(n_subjects).cast("long"))
         .select("n_erased", "n_kept", "n_subjects", "min_kept_user", "erased_digest")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_time_backfill_gaps — missing-partition detection
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_time_backfill_gaps",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(epoch(date_trunc('day', MIN(ts))) AS BIGINT) AS lo,
+             CAST(epoch(date_trunc('day', MAX(ts))) AS BIGINT) AS hi
+      FROM events
+    ),
+    expected AS (
+      SELECT UNNEST(range(lo, hi + 86400, 86400)) AS day_epoch FROM bounds
+    ),
+    present AS (
+      SELECT DISTINCT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch
+      FROM events
+    )
+    SELECT (SELECT COUNT(*) FROM expected) AS n_expected,
+           (SELECT COUNT(*) FROM present) AS n_present,
+           CAST(COUNT(*) AS BIGINT) AS n_missing,
+           CAST(COALESCE(MIN(e.day_epoch), -1) AS BIGINT) AS first_missing
+    FROM expected e
+    WHERE NOT EXISTS (SELECT 1 FROM present p WHERE p.day_epoch = e.day_epoch)
+    """,
+)
+def q_time_backfill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-partition detection: compare the calendar of days the
+    table SHOULD contain (min..max of the data) against the days
+    actually present, and report the backfill work list size — the
+    first question an on-call asks when a dashboard dips.
+
+    Scale shape: presence reduces to one distinct-day aggregate
+    (map-side combined, output bounded by the calendar); the expected
+    calendar generates from two scalars via sequence(); the anti join
+    runs on day keys — hundreds of rows however big the table is."""
+    e = load(spark, sf_dir, "events")
+    days = e.select(
+        F.date_trunc("day", "ts").cast("long").alias("day_epoch")
+    )
+    bounds = days.agg(
+        F.min("day_epoch").alias("lo"), F.max("day_epoch").alias("hi")
+    )
+    expected = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(86400))
+        ).alias("day_epoch")
+    )
+    present = days.distinct()
+    missing = expected.join(present, "day_epoch", "left_anti")
+    n_expected = expected.agg(F.count(F.lit(1)).alias("n_expected"))
+    n_present = present.agg(F.count(F.lit(1)).alias("n_present"))
+    return (
+        missing.agg(
+            F.count(F.lit(1)).alias("n_missing"),
+            F.coalesce(F.min("day_epoch"), F.lit(-1)).alias("first_missing"),
+        )
+        .crossJoin(F.broadcast(n_expected))
+        .crossJoin(F.broadcast(n_present))
+        .select("n_expected", "n_present", "n_missing", "first_missing")
+    )

@@ -262,3 +262,66 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "change_type", "old_cents", "new_cents")
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_scd2_asof — point-in-time lookup over SCD2 validity intervals
+# ---------------------------------------------------------------------------
+
+SCD2_ASOF_EPOCH = 820540800  # 1996-01-01 UTC — mid-history probe date
+
+
+@query(
+    "q_scd2_asof",
+    oracle=f"""
+    WITH hist AS (
+      SELECT o_custkey,
+             CAST(epoch(o_orderdate) AS BIGINT) AS valid_from,
+             CAST(epoch(LEAD(o_orderdate) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) AS BIGINT)
+               AS valid_to,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+      FROM orders
+    )
+    SELECT o_custkey, valid_from, price_cents
+    FROM hist
+    WHERE valid_from <= {SCD2_ASOF_EPOCH}
+      AND (valid_to IS NULL OR valid_to > {SCD2_ASOF_EPOCH})
+    ORDER BY o_custkey, valid_from
+    """,
+)
+def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) read over the SCD2 dimension history:
+    for a fixed probe instant, select each customer's row whose
+    validity interval contains it — the consumption side of
+    q_scd2_build, and what every temporal-table query compiles to.
+
+    One window (the same partitioning the build pays) + a per-row
+    interval predicate; no join at all, because interval containment
+    against a CONSTANT instant is a filter. A probe against a column
+    of instants would become q_join_asof's union-and-window shape.
+    Ties on (custkey, date) are broken by orderkey in the interval
+    construction, so at most one interval per customer contains the
+    probe... except same-timestamp changes, where each gets a
+    zero-length or duplicate-from interval — both engines construct
+    them identically, so the hash agrees."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    hist = o.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("valid_from"),
+        F.lead("o_orderdate")
+        .over(w)
+        .cast("timestamp")
+        .cast("long")
+        .alias("valid_to"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("price_cents"),
+    )
+    return (
+        hist.where(
+            (F.col("valid_from") <= SCD2_ASOF_EPOCH)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > SCD2_ASOF_EPOCH))
+        )
+        .select("o_custkey", "valid_from", "price_cents")
+        .orderBy("o_custkey", "valid_from")
+    )
