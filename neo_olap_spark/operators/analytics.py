@@ -2186,3 +2186,136 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_agg_weighted_median — exact weighted median (integer weights)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_agg_weighted_median",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag AS flag,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+    ),
+    cum AS (
+      SELECT flag, cents, w,
+             SUM(w) OVER (PARTITION BY flag ORDER BY cents, w
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(w) OVER (PARTITION BY flag) AS tw
+      FROM c
+    )
+    SELECT flag, MIN(cents) AS weighted_median_cents,
+           CAST(MIN(tw) AS BIGINT) AS total_weight
+    FROM cum WHERE cw * 2 >= tw GROUP BY flag ORDER BY flag
+    """,
+)
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median of price per return flag, weighted by
+    quantity — the robust central-tendency statistic where every unit
+    sold votes, not every order line. Defined as the smallest value
+    whose cumulative weight reaches half the total: integer weights
+    and cents-integerized values make the definition engine-exact
+    with no interpolation ambiguity.
+
+    Scale shape: one Exchange on the group key shared by both window
+    sums (cumulative + total), then a filter and a per-group MIN.
+    Exact medians sort per group (documented trade, same as
+    q_agg_median); the sketch tier at scale is a weighted
+    approx_percentile."""
+    c = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    wo = W.partitionBy("flag").orderBy("cents", "w").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wt = W.partitionBy("flag")
+    cum = c.select(
+        "flag",
+        "cents",
+        F.sum("w").over(wo).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    return (
+        cum.where(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("flag")
+        .agg(
+            F.min("cents").alias("weighted_median_cents"),
+            F.min("tw").cast("long").alias("total_weight"),
+        )
+        .orderBy("flag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_events_active_users — DAU / WAU rolling distinct actives
+# ---------------------------------------------------------------------------
+
+WAU_DAYS = 7
+
+
+@query(
+    "q_events_active_users",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+    wau AS (
+      SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+      FROM days d JOIN ud u
+        ON u.day BETWEEN d.day - {(WAU_DAYS - 1) * 86400} AND d.day
+      GROUP BY d.day
+    )
+    SELECT d.day, dau.dau, wau.wau
+    FROM days d JOIN dau USING (day) JOIN wau USING (day)
+    ORDER BY d.day
+    """,
+)
+def q_events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU and trailing-{WAU_DAYS}-day WAU per day — the product
+    metric pair every events pipeline serves. COUNT(DISTINCT) over a
+    sliding window has no direct window form; the scalable rewrite
+    dedups to (user, day) pairs ONCE, then expands each pair into the
+    {WAU_DAYS} window-ends it supports and dedups per (user,
+    window_end) — data volume is user-days x {WAU_DAYS}, independent
+    of raw event count, and every step is a hash aggregate.
+
+    (The oracle computes the same thing declaratively with a range
+    join — fine for DuckDB at test scale, quadratic-prone at 100 TB,
+    which is exactly why the explode rewrite exists.)"""
+    e = load(spark, sf_dir, "events")
+    ud = (
+        e.select(
+            "user_id", F.date_trunc("day", "ts").cast("long").alias("day")
+        ).distinct()
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    days = ud.select("day").distinct()
+    supported = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.col("day") + F.lit((WAU_DAYS - 1) * 86400),
+                    F.lit(86400),
+                )
+            ).alias("wend"),
+        )
+        .join(days.withColumnRenamed("day", "wend"), "wend")  # real days only
+        .distinct()
+    )
+    wau = supported.groupBy(F.col("wend").alias("day")).agg(
+        F.count(F.lit(1)).alias("wau")
+    )
+    return dau.join(wau, "day").select("day", "dau", "wau").orderBy("day")
