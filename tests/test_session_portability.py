@@ -163,5 +163,10 @@ def test_third_wave_time_keys_on_bare_session(bare_conf, sf_dir):
         "q_time_ewma",
         "q_feature_target_enc",
         "q_stream_quality",
+        "q_events_transitions",
+        "q_window_rolling_corr",
+        "q_time_backfill_gaps",
+        "q_events_active_users",
+        "q_scd2_asof",
     ):
         assert qs[key](bare_conf, sf_dir).count() > 0, key
