@@ -103,3 +103,40 @@ def numbered_sample(df, n: int, order_col: str, idx_name: str):
         .sortWithinPartitions(order_col)
         .withColumn(idx_name, F.monotonically_increasing_id().cast("int"))
     )
+
+
+def distributed_row_number(df, order_cols: list[str], n_parts: int, idx_name: str = "rk"):
+    """0-based global row number over ``order_cols``, DISTRIBUTED:
+    range-partition on the order columns, rank within each partition,
+    add per-partition offsets (n_parts scalars to the driver). The
+    naive global row_number window funnels every row through one task
+    — fine at 300k rows, fatal at 1e9 (same argument as
+    graph_algos.dense_index, which is the distinct-values variant).
+    Returns (df columns..., idx_name, _total) where _total is the row
+    count (free from the offset pass)."""
+    from pyspark.sql import functions as F  # local: avoid cycle at import
+    from pyspark.sql.window import Window as W
+
+    spark = df.sparkSession
+    parts = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()  # pin partition ids across the two passes
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in parts.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    w = W.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        parts.join(F.broadcast(off_df), "_pid")
+        .withColumn(idx_name, F.col("_off") + F.row_number().over(w) - 1)
+        .withColumn("_total", F.lit(acc))
+        .drop("_pid", "_off")
+    )

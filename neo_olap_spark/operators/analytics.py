@@ -1859,7 +1859,7 @@ def q_agg_histogram_eqdepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-exact (ties broken by PK for a total order). Production
     swaps the exact rank for approx_percentile boundaries when ±ε
     bins suffice; this operator is the exact tier."""
-    from pyspark.sql.window import Window as W2
+    from neo_olap_spark.functions import distributed_row_number
 
     li = load(spark, sf_dir, "lineitem")
     priced = li.select(
@@ -1867,30 +1867,13 @@ def q_agg_histogram_eqdepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     )
-    parts = (
-        priced.repartitionByRange(32, "cents", "l_orderkey", "l_linenumber")
-        .sortWithinPartitions("cents", "l_orderkey", "l_linenumber")
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()  # pin partition ids across the two passes
-    )
-    counts = {
-        r["_pid"]: r["cnt"]
-        for r in parts.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
-    }
-    offsets, acc = [], 0
-    for pid in sorted(counts):
-        offsets.append((pid, acc))
-        acc += counts[pid]
-    total = acc
-    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
-    w = W2.partitionBy("_pid").orderBy("cents", "l_orderkey", "l_linenumber")
-    ranked = parts.join(F.broadcast(off_df), "_pid").withColumn(
-        "rk", F.col("_off") + F.row_number().over(w) - 1
+    ranked = distributed_row_number(
+        priced, ["cents", "l_orderkey", "l_linenumber"], 32
     )
     return (
         ranked.select(
             F.floor(
-                F.lit(float(EQDEPTH_BUCKETS)) * F.col("rk") / F.lit(total)
+                F.lit(float(EQDEPTH_BUCKETS)) * F.col("rk") / F.col("_total")
             ).alias("bucket"),
             "cents",
         )

@@ -1828,23 +1828,25 @@ def weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sssp(
     wsym: DataFrame,
-    source_id: int,
+    sources: list[int],
     max_rounds: int = SSSP_MAX_ROUNDS,
     n_edges: int | None = None,
 ) -> DataFrame:
-    """Distributed Bellman-Ford with frontier relaxation: only nodes
-    whose distance IMPROVED last round push tentative distances; a
-    node adopts any smaller candidate. Terminates when no distance
-    improves — O(weighted-tree hop depth) rounds. Raises if the round
-    ceiling is hit, so a partial (wrong) answer can never be returned
-    — the same safety contract as connected_components."""
+    """Distributed multi-source Bellman-Ford with frontier relaxation,
+    keyed on (source, node): only entries whose distance IMPROVED last
+    round push tentative distances; a node adopts any smaller
+    candidate. k sources cost one traversal (k x state, same rounds).
+    Terminates when no distance improves — O(weighted-tree hop depth)
+    rounds. Raises if the round ceiling is hit, so a partial (wrong)
+    answer can never be returned — the same safety contract as
+    connected_components. Returns (source, node, dist)."""
     spark = wsym.sparkSession
     if n_edges is None:
         n_edges = wsym.count()
     with _no_aqe(spark), _loop_shuffle_partitions(spark, n_edges):
         edges_p = wsym.repartition("src").persist()
         dist = spark.createDataFrame(
-            [(source_id, 0)], "node long, dist long"
+            [(s, s, 0) for s in sources], "source long, node long, dist long"
         ).localCheckpoint()
         frontier = dist
         converged = False
@@ -1853,16 +1855,18 @@ def sssp(
                 frontier.hint("shuffle_hash")
                 .join(edges_p, frontier.node == edges_p.src)
                 .select(
+                    "source",
                     F.col("dst").alias("node"),
                     (F.col("dist") + F.col("w")).alias("cand"),
                 )
-                .groupBy("node")
+                .groupBy("source", "node")
                 .agg(F.min("cand").alias("cand"))
             )
             merged = (
                 dist.withColumnRenamed("dist", "old")
-                .join(pushed, "node", "full_outer")
+                .join(pushed, ["source", "node"], "full_outer")
                 .select(
+                    "source",
                     "node",
                     F.least(
                         F.coalesce("old", F.lit(_SSSP_INF)),
@@ -1874,8 +1878,8 @@ def sssp(
             )
             frontier = merged.where(
                 F.col("dist") < F.coalesce("old", F.lit(_SSSP_INF))
-            ).select("node", "dist")
-            dist = merged.select("node", "dist")
+            ).select("source", "node", "dist")
+            dist = merged.select("source", "node", "dist")
             if frontier.isEmpty():
                 converged = True
                 break
@@ -1886,7 +1890,14 @@ def sssp(
                 "SSSP_MAX_ROUNDS; returning partial distances would be "
                 "silently wrong"
             )
-        return dist.select(F.col("node").alias("node_id"), "dist")
+        return dist
+
+
+def _weighted_sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = weighted_edges(spark, sf_dir)
+    return w.unionAll(
+        w.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
 
 
 def _sssp_oracle(n_rounds: int) -> str:
@@ -1960,11 +1971,12 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src_row = load(spark, sf_dir, "customer").agg(F.min("c_custkey")).collect()
     source_id = int(src_row[0][0])
-    wsym = weighted_edges(spark, sf_dir)
-    wsym = wsym.unionAll(
-        wsym.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    out = sssp(
+        _weighted_sym_edges(spark, sf_dir),
+        [source_id],
+        n_edges=edge_count_estimate(spark, sf_dir),
     )
-    return sssp(wsym, source_id, n_edges=edge_count_estimate(spark, sf_dir))
+    return out.select(F.col("node").alias("node_id"), "dist")
 
 
 # ---------------------------------------------------------------------------
@@ -2020,8 +2032,9 @@ def _closeness_oracle(n_rounds: int) -> str:
     SELECT source,
            COUNT(*) AS n_reached,
            CAST(SUM(dist) AS BIGINT) AS sum_dist,
-           CAST(FLOOR((COUNT(*) - 1) * 1000000.0 / SUM(dist) + 0.5) AS BIGINT)
-             AS closeness_micro
+           CASE WHEN SUM(dist) > 0 THEN
+             CAST(FLOOR((COUNT(*) - 1) * 1000000.0 / SUM(dist) + 0.5) AS BIGINT)
+           ELSE NULL END AS closeness_micro
     FROM d{n_rounds} GROUP BY source ORDER BY source"""
     )
 
@@ -2050,68 +2063,25 @@ def q_graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     from neo_olap_spark.graph import edge_count_estimate
 
-    wsym = weighted_edges(spark, sf_dir)
-    wsym = wsym.unionAll(
-        wsym.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    dist = sssp(
+        _weighted_sym_edges(spark, sf_dir),
+        srcs,
+        n_edges=edge_count_estimate(spark, sf_dir),
     )
-    n_edges = edge_count_estimate(spark, sf_dir)
-    spark_ = wsym.sparkSession
-    with _no_aqe(spark_), _loop_shuffle_partitions(spark_, n_edges):
-        edges_p = wsym.repartition("src").persist()
-        dist = spark_.createDataFrame(
-            [(s, s, 0) for s in srcs], "source long, node long, dist long"
-        ).localCheckpoint()
-        frontier = dist
-        converged = False
-        for _ in range(SSSP_MAX_ROUNDS):
-            pushed = (
-                frontier.hint("shuffle_hash")
-                .join(edges_p, frontier.node == edges_p.src)
-                .select(
-                    "source",
-                    F.col("dst").alias("node"),
-                    (F.col("dist") + F.col("w")).alias("cand"),
-                )
-                .groupBy("source", "node")
-                .agg(F.min("cand").alias("cand"))
-            )
-            merged = (
-                dist.withColumnRenamed("dist", "old")
-                .join(pushed, ["source", "node"], "full_outer")
-                .select(
-                    "source",
-                    "node",
-                    F.least(
-                        F.coalesce("old", F.lit(_SSSP_INF)),
-                        F.coalesce("cand", F.lit(_SSSP_INF)),
-                    ).alias("dist"),
-                    "old",
-                )
-                .localCheckpoint()
-            )
-            frontier = merged.where(
-                F.col("dist") < F.coalesce("old", F.lit(_SSSP_INF))
-            ).select("source", "node", "dist")
-            dist = merged.select("source", "node", "dist")
-            if frontier.isEmpty():
-                converged = True
-                break
-        edges_p.unpersist()
-        if not converged:
-            raise RuntimeError(
-                f"closeness did not converge in {SSSP_MAX_ROUNDS} rounds — "
-                "raise SSSP_MAX_ROUNDS"
-            )
+    # isolated-source guard: sum_dist = 0 (nothing reached) must yield
+    # NULL in BOTH engines — unguarded, Spark's 0.0/0 -> NaN path and
+    # DuckDB's NULL diverge
+    n_r = F.count(F.lit(1))
+    s_d = F.sum("dist")
     return (
         dist.groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_reached"),
-            F.sum("dist").alias("sum_dist"),
-            F.floor(
-                (F.count(F.lit(1)) - 1) * F.lit(1000000.0) / F.sum("dist") + 0.5
-            )
-            .cast("long")
-            .alias("closeness_micro"),
+            n_r.alias("n_reached"),
+            s_d.alias("sum_dist"),
+            F.when(
+                s_d > 0,
+                F.floor((n_r - 1) * F.lit(1000000.0) / s_d + 0.5).cast("long"),
+            ).alias("closeness_micro"),
         )
         .orderBy("source")
     )

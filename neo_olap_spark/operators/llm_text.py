@@ -761,6 +761,28 @@ def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 VOCAB_SIZE = 1000
 
 
+def _build_vocab(d: DataFrame) -> DataFrame:
+    """The ONE vocabulary construction both q_vocab_build and
+    q_text_encode share — any change to the ordering, size, or
+    tie-break applies to the published vocabulary AND the encoder
+    simultaneously (a split here would silently encode against a
+    different token→id mapping). Returns (token_id, token, freq);
+    bounded TopN numbered in one sorted partition (numbered_sample
+    pattern — no WindowExec)."""
+    freq = (
+        d.select(F.explode(ws_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return (
+        freq.orderBy(F.desc("freq"), "token")
+        .limit(VOCAB_SIZE)
+        .coalesce(1)
+        .sortWithinPartitions(F.desc("freq"), "token")
+        .withColumn("token_id", F.monotonically_increasing_id())
+    )
+
+
 @query(
     "q_vocab_build",
     oracle=f"""
@@ -794,20 +816,9 @@ def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows regardless of corpus size). At 100 TB the shuffle carries
     (token, partial-count) pairs only, and the vocab broadcasts back
     to encode the corpus."""
-    d = load(spark, sf_dir, "documents")
-    freq = (
-        d.select(F.explode(ws_tokens(F.col("text"))).alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
-    topn = freq.orderBy(F.desc("freq"), "token").limit(VOCAB_SIZE)
-    return (
-        topn.coalesce(1)
-        .sortWithinPartitions(F.desc("freq"), "token")
-        .withColumn("token_id", F.monotonically_increasing_id())
-        .select("token_id", "token", "freq")
-        .orderBy("token_id")
-    )
+    return _build_vocab(load(spark, sf_dir, "documents")).select(
+        "token_id", "token", "freq"
+    ).orderBy("token_id")
 
 
 _VOCAB_CTE = f"""
@@ -859,18 +870,7 @@ def q_text_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan — no token explode, no shuffle on the corpus side at all.
     The corpus is read once and written once, which is the floor."""
     d = load(spark, sf_dir, "documents")
-    freq = (
-        d.select(F.explode(ws_tokens(F.col("text"))).alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
-    vocab = (
-        freq.orderBy(F.desc("freq"), "token")
-        .limit(VOCAB_SIZE)
-        .coalesce(1)
-        .sortWithinPartitions(F.desc("freq"), "token")
-        .withColumn("token_id", F.monotonically_increasing_id())
-    )
+    vocab = _build_vocab(d)
     vmap = vocab.agg(
         F.map_from_entries(
             F.collect_list(F.struct("token", "token_id"))

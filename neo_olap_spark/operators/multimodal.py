@@ -64,11 +64,6 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MEDIA_CODEC = "png/rgb8"
 
-# Real decoders: a spec-compliant stdlib-only PNG codec
-# (functions/png_codec.py) — no PIL/ffmpeg needed for correctness; a
-# native library is a drop-in swap for throughput.
-REAL_DECODERS_AVAILABLE = True
-
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive a REAL image table: one deterministic RGB8 PNG per
@@ -500,10 +495,12 @@ def q_multimodal_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo_olap_spark.functions.png_codec import decode_png, split_png_stream
 
     def motion(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rows: dict[str, list] = {
-            "doc_id": [], "step": [], "abs_diff_sum": [], "mean_abs_diff": [],
-        }
+        # yield PER BATCH: output stays proportional to the Arrow batch,
+        # never the whole partition (bounded executor memory)
         for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "step": [], "abs_diff_sum": [], "mean_abs_diff": [],
+            }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 frames = [
                     decode_png(f).astype(np.int32)
@@ -516,7 +513,7 @@ def q_multimodal_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows["step"].append(k)
                     rows["abs_diff_sum"].append(s)
                     rows["mean_abs_diff"].append(s // d.size)
-        yield pd.DataFrame(rows)
+            yield pd.DataFrame(rows)
 
     m = video_table(spark, sf_dir)
     out = m.select("doc_id", "payload").mapInPandas(

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from neo_olap_spark.functions import distributed_row_number
 from neo_olap_spark.registry import query
 from neo_olap_spark.tables import load
 
@@ -411,34 +412,14 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor("p_retailprice").cast("long") % (1 << ZBITS)).alias("db"),
     )
     z = b.withColumn("zval", F.expr(_interleave_sql("da", "db")))
-    # Distributed curve ranking (same shape as graph_algos.dense_index):
-    # range-partition along the curve, rank within each partition, add
-    # per-partition offsets — a bounded-scalar collect instead of the
-    # single-task global window that would funnel the table at scale.
-    parts = (
-        z.repartitionByRange(ZFILES, "zval", "p_partkey")
-        .sortWithinPartitions("zval", "p_partkey")
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()  # pin partition ids across the two passes
-    )
-    counts = {
-        r["_pid"]: r["cnt"]
-        for r in parts.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
-    }
-    offsets, acc = [], 0
-    for pid in sorted(counts):
-        offsets.append((pid, acc))
-        acc += counts[pid]
-    total = acc
-    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
-    wp = W.partitionBy("_pid").orderBy("zval", "p_partkey")
-    filed = parts.join(F.broadcast(off_df), "_pid").withColumn(
+    # Distributed curve ranking (functions.distributed_row_number —
+    # the shared range-partition/offset pattern): a bounded-scalar
+    # collect instead of the single-task global window that would
+    # funnel the table at scale.
+    ranked = distributed_row_number(z, ["zval", "p_partkey"], ZFILES)
+    filed = ranked.withColumn(
         "file_id",
-        F.floor(
-            F.lit(float(ZFILES))
-            * (F.col("_off") + F.row_number().over(wp) - 1)
-            / F.lit(total)
-        ),
+        F.floor(F.lit(float(ZFILES)) * F.col("rk") / F.col("_total")),
     )
     return (
         filed.groupBy("file_id")
@@ -608,7 +589,6 @@ def q_privacy_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
     del_list = (
         e.where(F.col("user_id") % ERASE_MOD == 0).select("user_id").distinct()
     )
-    n_subjects = del_list.count()  # bounded scalar (the legal queue)
     marked = e.join(
         F.broadcast(del_list.withColumn("to_erase", F.lit(True))),
         "user_id",
@@ -618,29 +598,26 @@ def q_privacy_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.coalesce("to_erase", F.lit(False)).alias("to_erase"),
     )
-    # digest over sort_array(collect_list): canonical order regardless
-    # of partitioning, so independent runs/engines can compare
-    digest = marked.where("to_erase").agg(
+    # ONE aggregate pass over the marked events: counts, subject count,
+    # and the canonical digest (collect_list skips the NULLs the when()
+    # leaves for kept rows; sort_array makes the order partition-proof)
+    erased_id = F.when(F.col("to_erase"), F.col("event_id"))
+    erased_user = F.when(F.col("to_erase"), F.col("user_id"))
+    return marked.agg(
+        F.count(erased_id).alias("n_erased"),
+        F.count(F.when(~F.col("to_erase"), 1)).alias("n_kept"),
+        F.count_distinct(erased_user).alias("n_subjects"),
+        F.min(F.when(~F.col("to_erase"), F.col("user_id"))).alias("min_kept_user"),
         F.md5(
             F.concat_ws(
                 ",",
                 F.transform(
-                    F.sort_array(F.collect_list("event_id")),
+                    F.sort_array(F.collect_list(erased_id)),
                     lambda v: v.cast("string"),
                 ),
             )
-        ).alias("erased_digest")
-    )
-    stats = marked.agg(
-        F.count(F.when(F.col("to_erase"), 1)).alias("n_erased"),
-        F.count(F.when(~F.col("to_erase"), 1)).alias("n_kept"),
-        F.min(F.when(~F.col("to_erase"), F.col("user_id"))).alias("min_kept_user"),
-    )
-    return (
-        stats.crossJoin(F.broadcast(digest))
-        .withColumn("n_subjects", F.lit(n_subjects).cast("long"))
-        .select("n_erased", "n_kept", "n_subjects", "min_kept_user", "erased_digest")
-    )
+        ).alias("erased_digest"),
+    ).select("n_erased", "n_kept", "n_subjects", "min_kept_user", "erased_digest")
 
 
 # ---------------------------------------------------------------------------

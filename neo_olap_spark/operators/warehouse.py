@@ -268,7 +268,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_scd2_asof — point-in-time lookup over SCD2 validity intervals
 # ---------------------------------------------------------------------------
 
-SCD2_ASOF_EPOCH = 820540800  # 1996-01-01 UTC — mid-history probe date
+SCD2_ASOF_EPOCH = 820540800  # 1996-01-02 00:00 UTC — mid-history probe instant
 
 
 @query(

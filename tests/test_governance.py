@@ -19,8 +19,25 @@ def test_erase_digest_partitioning_invariant(spark, sf_dir):
 
     qs = queries()
     row = qs["q_privacy_erase"](spark, sf_dir).collect()[0]
-    again = qs["q_privacy_erase"](spark, sf_dir).collect()[0]
-    assert row["erased_digest"] == again["erased_digest"]
+    # recompute the digest from a DIFFERENTLY-PARTITIONED manual
+    # pipeline: collect_list order changes, sort_array must not
+    e = load(spark, sf_dir, "events").repartition(7, "event_id")
+    manual = (
+        e.where(F.col("user_id") % ERASE_MOD == 0)
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(F.collect_list("event_id")),
+                        lambda v: v.cast("string"),
+                    ),
+                )
+            ).alias("d")
+        )
+        .collect()[0]["d"]
+    )
+    assert row["erased_digest"] == manual
     # accounting closes: erased + kept == table size; every erased
     # user is on the deletion list
     e = load(spark, sf_dir, "events")

@@ -289,7 +289,7 @@ def test_sssp_prefers_cheap_long_path(spark):
         "src long, dst long, w long",
     )
     sym = edges.unionAll(edges.selectExpr("dst as src", "src as dst", "w"))
-    dist = {r["node_id"]: r["dist"] for r in sssp(sym, 0, max_rounds=10).collect()}
+    dist = {r["node"]: r["dist"] for r in sssp(sym, [0], max_rounds=10).collect()}
     assert dist == {0: 0, 1: 3, 2: 1, 3: 2, 4: 4}
 
 
@@ -305,4 +305,4 @@ def test_sssp_raises_when_ceiling_too_low(spark):
     )
     sym = chain.unionAll(chain.selectExpr("dst as src", "src as dst", "w"))
     with _pytest.raises(RuntimeError, match="did not converge"):
-        sssp(sym, 0, max_rounds=3)
+        sssp(sym, [0], max_rounds=3)

@@ -459,11 +459,12 @@ def test_dedup_incremental_single_key_partitioning(q):
 
 def test_keywords_partial_window_group_limit(q):
     # only K rows per doc may cross the added doc_id exchange: Spark
-    # must plan a PARTIAL WindowGroupLimit before it
-    p = plan_str(q("q_text_keywords"))
-    assert "WindowGroupLimit" in p, p
-    i_partial = p.find("Partial")
-    assert i_partial != -1, p
+    # must plan a PARTIAL WindowGroupLimit (mode on the operator line,
+    # not just any partial aggregate elsewhere in the plan)
+    p = plan_str(q("q_text_keywords"), mode="simple")
+    wgl_lines = [ln for ln in p.splitlines() if "WindowGroupLimit" in ln]
+    assert wgl_lines, p
+    assert any("Partial" in ln for ln in wgl_lines), wgl_lines
 
 
 def test_zorder_no_global_window_funnel(q):
