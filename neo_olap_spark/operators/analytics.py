@@ -858,7 +858,8 @@ TPCH_Q4_SQL = """
 
 TPCH_Q10_SQL = """
     SELECT c_custkey, c_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS DOUBLE) / 100.0 AS revenue,
            ROUND(c_acctbal, 2) AS acctbal
     FROM customer, orders, lineitem
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -870,18 +871,25 @@ TPCH_Q10_SQL = """
 """
 
 TPCH_Q14_SQL = """
-    SELECT ROUND(100.00 * SUM(CASE WHEN p_type = 'PROMO'
-                                   THEN l_extendedprice * (1 - l_discount)
-                                   ELSE 0 END)
-           / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue,
-           COUNT(*) AS n_rows
-    FROM lineitem, part
-    WHERE l_partkey = p_partkey
-      AND l_shipdate >= '1997-03-01' AND l_shipdate < '1997-04-01'
+    SELECT FLOOR(100.0 * CAST(CAST(pc AS BIGINT) AS DOUBLE)
+                 / CAST(CAST(tc AS BIGINT) AS DOUBLE) * 10000 + 0.5) / 10000
+             AS promo_revenue,
+           n_rows
+    FROM (
+      SELECT SUM(CASE WHEN p_type = 'PROMO'
+                      THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS pc,
+             SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS tc,
+             COUNT(*) AS n_rows
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey
+        AND l_shipdate >= '1997-03-01' AND l_shipdate < '1997-04-01'
+    )
 """
 
 TPCH_Q19_SQL = """
-    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    SELECT CAST(CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS DOUBLE) / 100.0 AS revenue,
            COUNT(*) AS n_rows
     FROM lineitem, part
     WHERE p_partkey = l_partkey
@@ -895,7 +903,8 @@ TPCH_Q19_SQL = """
 
 TPCH_Q5_SQL = """
     SELECT n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS DOUBLE) / 100.0 AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -987,8 +996,17 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # money-cents rule: per-row floor-shift to exact integer
+            # cents, sum the integers (order-independent), one final
+            # division — a double SUM here is summation-order-dependent
+            (
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                        + 0.5
+                    ).cast("long")
+                ).cast("double")
+                / 100.0
             ).alias("revenue")
         )
     )
@@ -1298,17 +1316,28 @@ Z_THRESHOLD = 3.0
 @query(
     "q_anomaly_zscore",
     oracle=f"""
-    WITH stats AS (
+    WITH c AS (
+      SELECT event_id, event_type, value,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    stats AS (
       SELECT event_type,
-             AVG(value) AS mu,
-             STDDEV_SAMP(value) AS sigma
-      FROM events GROUP BY event_type
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE) AS sc,
+             CAST(CAST(SUM(cents * cents) AS BIGINT) AS DOUBLE) AS scc
+      FROM c GROUP BY event_type
+    ),
+    z AS (
+      SELECT e.event_id, e.event_type, e.value,
+             (e.cents - s.sc / s.n)
+             / sqrt((s.scc - s.sc * s.sc / s.n) / (s.n - 1)) AS zscore
+      FROM c e JOIN stats s USING (event_type)
     )
-    SELECT e.event_id, e.event_type,
-           ROUND(e.value, 4) AS value,
-           ROUND((e.value - s.mu) / s.sigma, 3) AS zscore
-    FROM events e JOIN stats s USING (event_type)
-    WHERE ABS((e.value - s.mu) / s.sigma) > {Z_THRESHOLD}
+    SELECT event_id, event_type,
+           ROUND(value, 4) AS value,
+           FLOOR(zscore * 1000 + 0.5) / 1000 AS zscore
+    FROM z WHERE ABS(zscore) > {Z_THRESHOLD}
     """,
 )
 def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1320,11 +1349,22 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-type partitions; the stats aggregate is partial-aggregable and
     the rejoin is broadcast — the full pass stays embarrassingly
     parallel at 100 TB."""
-    ev = load(spark, sf_dir, "events")
-    stats = ev.groupBy("event_type").agg(
-        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    ev = load(spark, sf_dir, "events").withColumn(
+        "cents", F.floor(F.col("value") * 100 + 0.5).cast("long")
     )
-    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    # exactness: cents sums are exact integers (order-independent);
+    # mu/sigma then come from ONE deterministic double expression per
+    # group instead of the engines' internal AVG/STDDEV accumulation
+    # order — threshold membership near |z| = 3 is engine-exact
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("cents").cast("double").alias("sc"),
+        F.sum(F.col("cents") * F.col("cents")).cast("double").alias("scc"),
+    )
+    z = (F.col("cents") - F.col("sc") / F.col("n")) / F.sqrt(
+        (F.col("scc") - F.col("sc") * F.col("sc") / F.col("n"))
+        / (F.col("n") - 1)
+    )
     return (
         ev.join(F.broadcast(stats), "event_type")
         .where(F.abs(z) > Z_THRESHOLD)
@@ -1332,7 +1372,7 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "event_type",
             F.round("value", 4).alias("value"),
-            F.round(z, 3).alias("zscore"),
+            (F.floor(z * 1000 + 0.5) / 1000).alias("zscore"),
         )
     )
 
@@ -1718,12 +1758,14 @@ def q_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     days AS (SELECT unnest(generate_series(lo, hi, 1)) AS d FROM b)
     SELECT d AS day_epoch,
            CAST((d + 4) % 7 AS BIGINT) AS dow,
-           (d + 4) % 7 IN (5, 6) AS is_weekend,
+           (d + 4) % 7 IN (0, 6) AS is_weekend,
            CAST(FLOOR(d / 7) AS BIGINT) AS week_no,
-           strftime(CAST(to_timestamp(d * 86400) AS TIMESTAMP), '%Y-%m-%d')
+           strftime(DATE '1970-01-01' + CAST(d AS INTEGER), '%Y-%m-%d')
              AS iso_date,
-           CAST(EXTRACT(YEAR FROM to_timestamp(d * 86400)) AS BIGINT) AS year,
-           CAST(EXTRACT(MONTH FROM to_timestamp(d * 86400)) AS BIGINT) AS month
+           CAST(EXTRACT(YEAR FROM (DATE '1970-01-01' + CAST(d AS INTEGER)))
+                AS BIGINT) AS year,
+           CAST(EXTRACT(MONTH FROM (DATE '1970-01-01' + CAST(d AS INTEGER)))
+                AS BIGINT) AS month
     FROM days
     """,
 )
@@ -1736,12 +1778,15 @@ def q_time_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     Built DISTRIBUTED from a 1-row bounds aggregate (sequence +
     explode — never a driver-side loop, so a 200-year range is still
     one tiny job). Engine portability: dow and week come from pure
-    epoch-day arithmetic ((d+4) % 7, day 0 = Thursday 1970-01-01 —
+    epoch-day arithmetic ((d+4) % 7 with 0=Sunday — 1970-01-01 was a
+    Thursday, so d=0 maps to 4; weekend = dow IN (0, 6) = Sun/Sat —
     both engines agree by construction, where native DOW functions
-    number days differently), and year/month/date-string go through
-    each engine's UTC calendar on the identical epoch, which agree for
-    dates. ~11k rows per 30 years: always broadcastable to fact
-    joins."""
+    number days differently). The oracle's date attributes use DATE
+    '1970-01-01' + d arithmetic, which is TZ-FREE in DuckDB — the
+    earlier to_timestamp() form was TIMESTAMPTZ and shifted a day on
+    any non-UTC connection (the driver owns its own connection, so
+    the oracle must not depend on connection settings). ~11k rows per
+    30 years: always broadcastable to fact joins."""
     o = load(spark, sf_dir, "orders")
     bounds = o.select(
         F.floor(
@@ -1755,7 +1800,7 @@ def q_time_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return days.select(
         F.col("d").alias("day_epoch"),
         ((F.col("d") + 4) % 7).cast("long").alias("dow"),
-        ((F.col("d") + 4) % 7).isin(5, 6).alias("is_weekend"),
+        ((F.col("d") + 4) % 7).isin(0, 6).alias("is_weekend"),
         F.floor(F.col("d") / 7).cast("long").alias("week_no"),
         F.date_format(ts, "yyyy-MM-dd").alias("iso_date"),
         F.year(ts).cast("long").alias("year"),

@@ -1218,7 +1218,11 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     is community-keyed (tiny)."""
     from neo_olap_spark.graph import edge_count_estimate
 
-    e = edges(spark, sf_dir)
+    # e is consumed FOUR times (count action, intra-edge join, and
+    # sym feeds LPA + the degree rollup): materialize the distinct
+    # edge build once — the multiple-consumption pattern that cost
+    # decontaminate 5x before its localCheckpoint (NEXT landmine 1)
+    e = edges(spark, sf_dir).localCheckpoint()
     sym = symmetrize(e)
     labels = label_propagation(
         sym, all_nodes(spark, sf_dir), n_edges=edge_count_estimate(spark, sf_dir)
@@ -1338,17 +1342,6 @@ def oriented_edge_intersections(pairs: DataFrame) -> DataFrame:
     )
 
 
-def oriented_triangles(pairs: DataFrame) -> DataFrame:
-    """Triangle rows ``(ta, tb, tc)``, each triangle exactly once
-    (vertex order follows the degree orientation, not ids) — the
-    exploded view of ``oriented_edge_intersections``."""
-    return oriented_edge_intersections(pairs).select(
-        F.col("src").alias("ta"),
-        F.col("dst").alias("tb"),
-        F.explode("tcs").alias("tc"),
-    )
-
-
 def oriented_triangle_count(pairs: DataFrame) -> tuple[int, int]:
     """(n_edges, n_triangles). The edge list is materialized eagerly
     ONCE (localCheckpoint) — the naive form would execute the upstream
@@ -1365,15 +1358,26 @@ def oriented_triangle_count(pairs: DataFrame) -> tuple[int, int]:
     return pairs.count(), int(n_tris)
 
 
+# Cap on distinct parts considered per order in the co-purchase edge
+# builder. The basket self-join is quadratic in parts-per-order: one
+# degenerate 100k-item basket yields ~5e9 pairs from a single key. Keep
+# the MAX_BASKET_PARTS lowest part ids per order (deterministic, and
+# DuckDB-reproducible for the oracle), bounding the join at
+# O(orders * cap^2 / 2) worst-case. TPC-H baskets are <=7 lines, so at
+# any tested SF the cap is invisible — it exists for the degenerate
+# tail at 100x, the same shape MAX_SHINGLE_DF guards in llm_dedup.
+MAX_BASKET_PARTS = 1024
+
+
 @query(
     "q_triangle_count",
-    oracle="""
+    oracle=f"""
     WITH op AS (
       SELECT o, p FROM (
         SELECT l_orderkey AS o, l_partkey AS p,
                ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
         FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
-      ) WHERE rn <= 1024
+      ) WHERE rn <= {MAX_BASKET_PARTS}
     ),
     e AS (
       SELECT DISTINCT a.p AS u, b.p AS v
@@ -1518,15 +1522,6 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         return k_core(sym, k=2)
 
 
-# Cap on distinct parts considered per order in the co-purchase edge
-# builder. The basket self-join is quadratic in parts-per-order: one
-# degenerate 100k-item basket yields ~5e9 pairs from a single key. Keep
-# the MAX_BASKET_PARTS lowest part ids per order (deterministic, and
-# DuckDB-reproducible for the oracle), bounding the join at
-# O(orders * cap^2 / 2) worst-case. TPC-H baskets are <=7 lines, so at
-# any tested SF the cap is invisible — it exists for the degenerate
-# tail at 100x, the same shape MAX_SHINGLE_DF guards in llm_dedup.
-MAX_BASKET_PARTS = 1024
 
 
 def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1568,13 +1563,13 @@ def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_graph_clustering",
-    oracle="""
+    oracle=f"""
     WITH op AS (
       SELECT o, p FROM (
         SELECT l_orderkey AS o, l_partkey AS p,
                ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
         FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
-      ) WHERE rn <= 1024
+      ) WHERE rn <= {MAX_BASKET_PARTS}
     ),
     e AS (
       SELECT DISTINCT a.p AS u, b.p AS v
@@ -1700,13 +1695,13 @@ def q_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_graph_jaccard",
-    oracle="""
+    oracle=f"""
     WITH op AS (
       SELECT o, p FROM (
         SELECT l_orderkey AS o, l_partkey AS p,
                ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
         FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
-      ) WHERE rn <= 1024
+      ) WHERE rn <= {MAX_BASKET_PARTS}
     ),
     e AS (
       SELECT DISTINCT a.p AS u, b.p AS v

@@ -350,7 +350,8 @@ def q_scalar_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_scalar_trycast",
     oracle="""
     SELECT doc_id,
-           TRY_CAST(SUBSTRING(text, 1, 4) AS BIGINT) AS lead_int,
+           TRY_CAST(regexp_extract(SUBSTRING(text, 1, 4), '^[0-9]+')
+                    AS BIGINT) AS lead_int,
            TRY_CAST(lang AS BIGINT) AS lang_int,
            TRY_CAST(CAST(n_chars AS VARCHAR) AS BIGINT) AS chars_rt,
            COALESCE(TRY_CAST(source AS BIGINT), -1) AS src_or_default,
@@ -373,7 +374,13 @@ def q_scalar_trycast(spark: SparkSession, sf_dir: str) -> DataFrame:
     divisor = (F.col("doc_id") % 7).cast("long")
     return d.select(
         "doc_id",
-        F.substring("text", 1, 4).try_cast("bigint").alias("lead_int"),
+        # digits-only prefix before the cast: raw TRY_CAST of e.g.
+        # '1.5 ' DIVERGES cross-engine (DuckDB rounds to 2, Spark
+        # NULLs) — anchoring on ^[0-9]+ makes the parse identical by
+        # construction
+        F.regexp_extract(F.substring("text", 1, 4), "^[0-9]+", 0)
+        .try_cast("bigint")
+        .alias("lead_int"),
         F.col("lang").try_cast("bigint").alias("lang_int"),
         F.col("n_chars").cast("string").try_cast("bigint").alias("chars_rt"),
         F.coalesce(F.col("source").try_cast("bigint"), F.lit(-1)).alias(

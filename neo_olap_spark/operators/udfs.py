@@ -128,7 +128,14 @@ def q_udf_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         num, den = n * sxy - sx * sy, n * sxx - sx * sx
         import math
 
-        slope = math.floor(num / den * OLS_SCALE + 0.5) / OLS_SCALE
+        # degenerate group (all observations in one hour bucket):
+        # slope is undefined — emit NULL, matching the oracle's
+        # x/0 -> NULL instead of crashing the worker
+        slope = (
+            math.floor(num / den * OLS_SCALE + 0.5) / OLS_SCALE
+            if den != 0
+            else None
+        )
         return pd.DataFrame(
             {
                 "event_type": [pdf["event_type"].iloc[0]],
