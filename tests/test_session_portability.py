@@ -170,3 +170,35 @@ def test_third_wave_time_keys_on_bare_session(bare_conf, sf_dir):
         "q_scd2_asof",
     ):
         assert qs[key](bare_conf, sf_dir).count() > 0, key
+
+
+def test_oracles_survive_non_utc_duckdb_connection(spark, sf_dir):
+    """The driver owns its own DuckDB connection and never pins its
+    TimeZone — every oracle must therefore be connection-TZ-free.
+    q_time_calendar regressed exactly this way (to_timestamp() is
+    TIMESTAMPTZ; formatting shifted a day under a western zone):
+    re-run the date-emitting oracles under a hostile New-York zone
+    and require parity with the Spark side."""
+    import duckdb
+
+    from neo_olap_spark.registry import REGISTRY, queries
+
+    queries()
+    con = duckdb.connect()
+    con.execute("SET TimeZone='America/New_York'")
+    for t in ("orders", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    for key in ("q_time_calendar", "q_window_distinct_running", "q_events_active_users"):
+        q = REGISTRY[key]
+        spark_pdf = (
+            q.fn(spark, sf_dir).toPandas().astype(str).sort_values(
+                by=list(q.fn(spark, sf_dir).columns)
+            ).reset_index(drop=True)
+        )
+        oracle_pdf = con.execute(q.oracle).df()[spark_pdf.columns].astype(str)
+        oracle_pdf = oracle_pdf.sort_values(by=list(oracle_pdf.columns)).reset_index(
+            drop=True
+        )
+        assert spark_pdf.equals(oracle_pdf), key
