@@ -305,7 +305,7 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_Q3_SQL = """
 SELECT l_orderkey,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS revenue,
        CAST(o_orderdate AS STRING) AS o_orderdate_s,
        o_orderpriority
 FROM customer
@@ -324,7 +324,7 @@ LIMIT 10
     "q_sql_surface",
     oracle="""
     SELECT l_orderkey,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS revenue,
            strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS o_orderdate_s,
            o_orderpriority
     FROM customer
