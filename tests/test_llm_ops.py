@@ -302,3 +302,49 @@ def test_multimodal_audio_decode(spark, sf_dir):
         pcm = np.floor(x * 20000 + 0.5).astype(np.int16)
         assert r.peak == int(np.max(np.abs(pcm.astype(np.int32))))
         assert r.rms == int(np.floor(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))))
+
+
+def test_multimodal_audio_resample(spark, sf_dir):
+    """q_multimodal_audio_resample: the decimated output must match a
+    local re-synthesis + identical integer DSP bit-for-bit (RMS and
+    payload hash), and the emitted payload must be a valid 4 kHz
+    WAV."""
+    import hashlib
+    import io
+    import wave
+
+    import numpy as np
+
+    from neo_olap_spark.operators.multimodal import (
+        AUDIO_RATE,
+        RESAMPLE_FACTOR,
+        q_multimodal_audio_resample,
+    )
+
+    rows = q_multimodal_audio_resample(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:10]:
+        assert r.in_rate == AUDIO_RATE
+        assert r.out_rate == AUDIO_RATE // RESAMPLE_FACTOR
+        assert r.out_samples == r.in_samples // RESAMPLE_FACTOR
+        # local re-synthesis -> identical DSP -> identical sha
+        n = AUDIO_RATE * (50 + (r.doc_id * 13) % 201) // 1000
+        t = np.arange(n, dtype=np.float64)
+        f1 = 100 + r.doc_id % 400
+        f2 = 500 + (r.doc_id * 7) % 1000
+        x = 0.6 * np.sin(2 * np.pi * f1 * t / AUDIO_RATE) + 0.3 * np.sin(
+            2 * np.pi * f2 * t / AUDIO_RATE
+        )
+        pcm = np.floor(x * 20000 + 0.5).astype(np.int16)
+        m = (n // RESAMPLE_FACTOR) * RESAMPLE_FACTOR
+        out = np.floor(
+            pcm[:m].astype(np.int32).reshape(-1, RESAMPLE_FACTOR).mean(axis=1)
+        ).astype(np.int16)
+        assert r.out_rms == int(np.floor(np.sqrt(np.mean(out.astype(np.float64) ** 2))))
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wo:
+            wo.setnchannels(1)
+            wo.setsampwidth(2)
+            wo.setframerate(AUDIO_RATE // RESAMPLE_FACTOR)
+            wo.writeframes(out.tobytes())
+        assert r.out_sha == hashlib.sha256(buf.getvalue()).hexdigest()
