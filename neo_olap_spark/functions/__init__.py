@@ -140,3 +140,23 @@ def distributed_row_number(df, order_cols: list[str], n_parts: int, idx_name: st
         .withColumn("_total", F.lit(acc))
         .drop("_pid", "_off")
     )
+
+
+def money_sum(col_name: str):
+    """Order-independent money sum (repo landmine-(e) rule): per-row
+    floor-shift to exact integer cents, SUM the integers, divide once
+    — a double SUM's accumulation order is engine- and
+    partitioning-dependent, so ROUND(SUM(double), 2) is a coin flip
+    whenever a group lands on a half-cent."""
+    return (
+        F.sum(F.floor(F.col(col_name) * 100 + F.lit(0.5)).cast("long")).cast(
+            "double"
+        )
+        / 100.0
+    )
+
+
+MONEY_SUM_SQL = (
+    "CAST(CAST(SUM(CAST(FLOOR({col} * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+    "AS DOUBLE) / 100.0"
+)

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from neo_olap_spark.functions import money_sum
 from neo_olap_spark.registry import query
 from neo_olap_spark.tables import load
 
@@ -21,7 +22,7 @@ N_SALTS = 16
     "q_star_join",
     oracle="""
     SELECT n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS revenue,
            COUNT(*) AS n_items
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -62,7 +63,15 @@ def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            (
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                        + 0.5
+                    ).cast("long")
+                ).cast("double")
+                / 100.0
+            ).alias(
                 "revenue"
             ),
             F.count("*").alias("n_items"),
@@ -75,7 +84,8 @@ def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
            CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
-           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS sum_value
     FROM events
     GROUP BY ROLLUP(date_trunc('day', ts), date_trunc('hour', ts))
     """,
@@ -93,7 +103,10 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
         .rollup("day_epoch", "hour_epoch")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            money_sum("value").alias("sum_value"),
+        )
     )
 
 
@@ -101,7 +114,8 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_cube",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
-           COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total
+           COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS total
     FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """,
 )
@@ -110,7 +124,10 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            money_sum("o_totalprice").alias("total"),
+        )
     )
 
 
@@ -119,7 +136,8 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT COALESCE(o_orderstatus, 'ALL') AS status,
            COALESCE(o_orderpriority, 'ALL') AS priority,
-           COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total
+           COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
@@ -137,7 +155,8 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT COALESCE(o_orderstatus, 'ALL') AS status,
                COALESCE(o_orderpriority, 'ALL') AS priority,
-               COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total
+               COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS total
         FROM q_gs_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
@@ -694,7 +713,7 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap, in micros
            CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_epoch,
            CAST(floor(epoch(MAX(ts))) AS BIGINT) AS session_end_epoch,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS total_value
+           CAST(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS total_value
     FROM s
     GROUP BY user_id, session_seq
     """,
@@ -729,7 +748,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").cast("long").alias("session_start_epoch"),
             F.max("ts").cast("long").alias("session_end_epoch"),
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            money_sum("value").alias("total_value"),
         )
     )
 
@@ -738,7 +757,8 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_time_gap_fill",
     oracle="""
     WITH hourly AS (
-      SELECT user_id, date_trunc('hour', ts) AS hr, ROUND(SUM(value), 2) AS v
+      SELECT user_id, date_trunc('hour', ts) AS hr,
+             CAST(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS v
       FROM events GROUP BY user_id, date_trunc('hour', ts)
     ),
     bounds AS (SELECT user_id, MIN(hr) AS lo, MAX(hr) AS hi FROM hourly GROUP BY user_id),
@@ -775,7 +795,7 @@ def q_time_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     hourly = (
         ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hr"))
-        .agg(F.round(F.sum("value"), 2).alias("v"))
+        .agg(money_sum("value").alias("v"))
     )
     bounds = hourly.groupBy("user_id").agg(
         F.min("hr").alias("lo"), F.max("hr").alias("hi")
@@ -803,8 +823,8 @@ def q_time_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 TPCH_Q1_SQL = """
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+           CAST(CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS sum_base,
+           CAST(CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS sum_disc,
            COUNT(*) AS n_rows
     FROM lineitem
     WHERE l_shipdate <= '1998-09-02'
@@ -812,7 +832,7 @@ TPCH_Q1_SQL = """
 """
 
 TPCH_Q6_SQL = """
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT CAST(CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS revenue,
            COUNT(*) AS n_rows
     FROM lineitem
     WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
@@ -1904,7 +1924,7 @@ def q_agg_histogram_eqdepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-exact (ties broken by PK for a total order). Production
     swaps the exact rank for approx_percentile boundaries when ±ε
     bins suffice; this operator is the exact tier."""
-    from neo_olap_spark.functions import distributed_row_number
+    from neo_olap_spark.functions import money_sum, distributed_row_number
 
     li = load(spark, sf_dir, "lineitem")
     priced = li.select(

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from neo_olap_spark.graph import ORACLE_SYM_EDGES, ORDER_OFFSET, degrees, edges
+from neo_olap_spark.functions import money_sum
 from neo_olap_spark.registry import query
 from neo_olap_spark.tables import load
 
@@ -58,7 +59,7 @@ def q_scan_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT COUNT(*) AS n_rows,
            CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
-           ROUND(SUM(l_extendedprice), 2) AS sum_price
+           CAST(CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS sum_price
     FROM lineitem WHERE l_orderkey < 1000
     """,
 )
@@ -79,7 +80,7 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg = back.agg(
             F.count("*").alias("n_rows"),
             F.sum("l_orderkey").alias("sum_key"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            money_sum("l_extendedprice").alias("sum_price"),
         )
         # one-row result: materialize so the temp dir can go now
         return spark.createDataFrame(agg.collect(), agg.schema)
@@ -399,7 +400,8 @@ def bucketed_customer_orders(
 @query(
     "q_join_bucketed",
     oracle="""
-    SELECT c_mktsegment, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total
+    SELECT c_mktsegment, COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS total
     FROM customer JOIN orders ON c_custkey = o_custkey
     GROUP BY c_mktsegment
     """,
@@ -427,7 +429,7 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("c_mktsegment")
             .agg(
                 F.count("*").alias("n_orders"),
-                F.round(F.sum("o_totalprice"), 2).alias("total"),
+                money_sum("o_totalprice").alias("total"),
             )
         )
         # materialize before the backing tables/files are dropped
@@ -575,10 +577,13 @@ def q_agg_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(AVG(l_quantity), 4) AS avg_qty,
-           ROUND(AVG(l_discount), 4) AS avg_disc,
+           CAST(CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS sum_base_price,
+           CAST(CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS sum_disc_price,
+           FLOOR(CAST(CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS DOUBLE)
+                 / COUNT(*) * 10000 + 0.5) / 10000 AS avg_qty,
+           FLOOR(CAST(CAST(SUM(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
+                 AS BIGINT) AS DOUBLE) / COUNT(*) / 100 * 10000 + 0.5) / 10000
+             AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
@@ -592,12 +597,38 @@ def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "sum_disc_price"
-        ),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        money_sum("l_extendedprice").alias("sum_base_price"),
+        # disc-price cents inline (two-column product form of money_sum)
+        (
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+                ).cast("long")
+            ).cast("double")
+            / 100.0
+        ).alias("sum_disc_price"),
+        # floor-shifted exact-integer averages (landmine (a): never
+        # ROUND an AVG — integer sums divide deterministically)
+        (
+            F.floor(
+                F.sum(F.col("l_quantity").cast("long")).cast("double")
+                / F.count(F.lit(1))
+                * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("avg_qty"),
+        (
+            F.floor(
+                F.sum(F.floor(F.col("l_discount") * 100 + 0.5).cast("long"))
+                .cast("double")
+                / F.count(F.lit(1))
+                / 100
+                * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("avg_disc"),
         F.count("*").alias("count_order"),
     )
 
@@ -719,7 +750,12 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame aggregate: running sum within each order. (l_orderkey,
     l_linenumber) is not unique in the generated data, so
     l_extendedprice joins the ORDER BY — any remaining ties contribute
-    equal values, keeping the running sums order-independent."""
+    equal values, keeping the running sums order-independent.
+
+    Money-rule note: this double SUM is exempt from the cents
+    retrofit BY CONSTRUCTION — a cumulative frame sum accumulates in
+    frame order, which the total ORDER BY fixes identically in both
+    engines, unlike a hash aggregate's partition-dependent order."""
     w = (
         W.partitionBy("l_orderkey")
         .orderBy("l_linenumber", "l_extendedprice")
@@ -961,13 +997,17 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH g AS (
       SELECT o_orderstatus, o_orderpriority,
-             ROUND(SUM(o_totalprice), 2) AS revenue
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
       FROM orders GROUP BY o_orderstatus, o_orderpriority
     )
-    SELECT o_orderstatus, o_orderpriority, revenue,
-           ROUND(revenue / SUM(revenue) OVER (PARTITION BY o_orderstatus), 4)
-             AS share_of_status,
-           ROUND(revenue / SUM(revenue) OVER (), 4) AS share_of_total
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(cents AS DOUBLE) / 100.0 AS revenue,
+           FLOOR(CAST(cents AS DOUBLE)
+                 / CAST(SUM(cents) OVER (PARTITION BY o_orderstatus) AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS share_of_status,
+           FLOOR(CAST(cents AS DOUBLE) / CAST(SUM(cents) OVER () AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS share_of_total
     FROM g
     """,
 )
@@ -982,19 +1022,36 @@ def q_window_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_subquery_scalar pattern) rather than an unpartitioned window —
     same value, no single-partition WindowExec."""
     o = load(spark, sf_dir, "orders")
+    # shares computed from INTEGER cents sums: exact numerators and
+    # denominators regardless of summation order, then one
+    # floor-shifted division (repo money rule)
     g = o.groupBy("o_orderstatus", "o_orderpriority").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias(
+            "cents"
+        )
     )
     w_status = W.partitionBy("o_orderstatus")
-    total = g.agg(F.sum("revenue").alias("_tot"))
+    total = g.agg(F.sum("cents").alias("_tot"))
     return g.join(F.broadcast(total)).select(
         "o_orderstatus",
         "o_orderpriority",
-        "revenue",
-        F.round(F.col("revenue") / F.sum("revenue").over(w_status), 4).alias(
-            "share_of_status"
-        ),
-        F.round(F.col("revenue") / F.col("_tot"), 4).alias("share_of_total"),
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        (
+            F.floor(
+                F.col("cents").cast("double")
+                / F.sum("cents").over(w_status).cast("double")
+                * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("share_of_status"),
+        (
+            F.floor(
+                F.col("cents").cast("double") / F.col("_tot").cast("double") * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("share_of_total"),
     )
 
 

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+from neo_olap_spark.functions import money_sum
 from neo_olap_spark.registry import query
 from neo_olap_spark.tables import load
 
@@ -35,7 +36,7 @@ def build_tumbling(events: DataFrame) -> DataFrame:
     """1-hour tumbling window aggregate per event_type."""
     return (
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), money_sum("value").alias("sum_value"))
         .select(
             F.col("w.start").cast("long").alias("window_start"),
             "event_type",
@@ -58,7 +59,7 @@ def build_session(events: DataFrame) -> DataFrame:
     """Per-user session windows with a 30-minute inactivity gap."""
     return (
         events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), money_sum("value").alias("sum_value"))
         .select(
             "user_id",
             F.col("w.start").cast("long").alias("session_start"),
@@ -115,7 +116,7 @@ def build_dedup(events: DataFrame) -> DataFrame:
     "q_stream_tumbling",
     oracle="""
     SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
-           event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+           event_type, COUNT(*) AS n_events, CAST(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS sum_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -159,7 +160,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM flagged
     )
     SELECT user_id, CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
-           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+           COUNT(*) AS n_events, CAST(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS sum_value
     FROM sess GROUP BY user_id, sid
     """,
 )
@@ -360,22 +361,33 @@ def run_foreach_batch_to_parquet(df: DataFrame, sink_dir: str, ckpt_dir: str) ->
 # ---------------------------------------------------------------------------
 
 STATEFUL_OUTPUT_SCHEMA = "user_id long, n_events long, sum_value double"
-STATEFUL_STATE_SCHEMA = "n long, s double"
+STATEFUL_STATE_SCHEMA = "n long, s_cents long"
 
 
 def _user_stats_fn(key, pdfs, state):
     """Per-user running (count, sum) held in Spark's state store across
     micro-batches; emits the cumulative row each batch (update mode).
     Arrow-batched: each micro-batch's rows for this key arrive as
-    pandas DataFrames, accumulated with vectorized ops."""
+    pandas DataFrames, accumulated with vectorized ops. The sum is
+    held as exact integer CENTS (repo money rule): a float
+    accumulator's value would depend on micro-batch arrival order."""
+    import numpy as np
     import pandas as pd  # executor-side import
 
-    n, s = state.get if state.exists else (0, 0.0)
+    n, s_cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        s += float(pdf["value"].sum())
-    state.update((n, s))
-    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [s]})
+        s_cents += int(
+            np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype(np.int64).sum()
+        )
+    state.update((n, s_cents))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "sum_value": [s_cents / 100.0],
+        }
+    )
 
 
 def streaming_user_stats(spark: SparkSession, events_dir: str) -> DataFrame:
@@ -557,7 +569,7 @@ def streaming_enriched_segments(
     return (
         ev.join(F.broadcast(customer), ev.user_id == customer.c_custkey)
         .groupBy("c_mktsegment")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), money_sum("value").alias("sum_value"))
     )
 
 
@@ -572,7 +584,7 @@ def _fresh_sink_name(prefix: str) -> str:
 @query(
     "q_stream_enrich",
     oracle="""
-    SELECT c_mktsegment, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    SELECT c_mktsegment, COUNT(*) AS n_events, CAST(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS sum_value
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -604,7 +616,7 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_stream_stateful",
     oracle="""
-    SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    SELECT user_id, COUNT(*) AS n_events, CAST(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS sum_value
     FROM events GROUP BY user_id
     """,
 )
@@ -629,7 +641,7 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         final = (
             mem.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
-            .select("user_id", "n_events", F.round("sum_value", 2).alias("sum_value"))
+            .select("user_id", "n_events", "sum_value")  # exact cents/100
         )
         # materialize before the source dir is deleted
         return spark.createDataFrame(final.collect(), final.schema)

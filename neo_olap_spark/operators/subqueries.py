@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from neo_olap_spark.functions import money_sum
 from neo_olap_spark.registry import query
 from neo_olap_spark.tables import load
 
@@ -33,7 +34,7 @@ from neo_olap_spark.tables import load
     oracle="""
     SELECT o_orderpriority,
            COUNT(*) AS n_above,
-           ROUND(SUM(o_totalprice), 2) AS sum_above
+           CAST(CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS sum_above
     FROM orders
     WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
     GROUP BY o_orderpriority
@@ -58,7 +59,7 @@ def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_above"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_above"),
+            money_sum("o_totalprice").alias("sum_above"),
         )
     )
 
@@ -68,7 +69,7 @@ def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o.o_custkey,
            COUNT(*) AS n_above,
-           ROUND(SUM(o.o_totalprice), 2) AS sum_above
+           CAST(CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS sum_above
     FROM orders o
     WHERE o.o_totalprice > (SELECT AVG(o2.o_totalprice)
                             FROM orders o2
@@ -96,6 +97,6 @@ def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(
             F.count("*").alias("n_above"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_above"),
+            money_sum("o_totalprice").alias("sum_above"),
         )
     )

@@ -145,7 +145,8 @@ INCR_SPLIT_DATE = "1997-01-01"
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS n_rows,
            ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_price
+           CAST(CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS DOUBLE) / 100.0 AS sum_price
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
     """,
@@ -169,7 +170,11 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.groupBy("l_returnflag", "l_linestatus").agg(
             F.count("*").alias("p_n"),
             F.sum("l_quantity").alias("p_qty"),
-            F.sum("l_extendedprice").alias("p_price"),
+            # partials carry exact integer CENTS so the base+delta
+            # merge is order-independent (repo money rule)
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+            ).alias("p_cents"),
         )
 
     base = partial(li.where(F.col("l_shipdate") < INCR_SPLIT_DATE))
@@ -180,7 +185,7 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("p_n").alias("n_rows"),
             F.round(F.sum("p_qty"), 2).alias("sum_qty"),
-            F.round(F.sum("p_price"), 2).alias("sum_price"),
+            (F.sum("p_cents").cast("double") / 100.0).alias("sum_price"),
         )
     )
 
