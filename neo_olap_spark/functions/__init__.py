@@ -142,21 +142,16 @@ def distributed_row_number(df, order_cols: list[str], n_parts: int, idx_name: st
     )
 
 
-def money_sum(col_name: str):
+def money_sum(col):
     """Order-independent money sum (repo landmine-(e) rule): per-row
     floor-shift to exact integer cents, SUM the integers, divide once
     — a double SUM's accumulation order is engine- and
     partitioning-dependent, so ROUND(SUM(double), 2) is a coin flip
-    whenever a group lands on a half-cent."""
-    return (
-        F.sum(F.floor(F.col(col_name) * 100 + F.lit(0.5)).cast("long")).cast(
-            "double"
-        )
-        / 100.0
-    )
-
-
-MONEY_SUM_SQL = (
-    "CAST(CAST(SUM(CAST(FLOOR({col} * 100 + 0.5) AS BIGINT)) AS BIGINT) "
-    "AS DOUBLE) / 100.0"
-)
+    whenever a group lands on a half-cent. Accepts a column name or
+    any Column expression (e.g. price * (1 - discount)). The oracle
+    twin is the inline SQL form
+    CAST(CAST(SUM(CAST(FLOOR(x*100+0.5) AS BIGINT)) AS BIGINT)
+    AS DOUBLE)/100.0 — kept inline per oracle so each string stays a
+    self-contained artifact the driver can run verbatim."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.sum(F.floor(c * 100 + F.lit(0.5)).cast("long")).cast("double") / 100.0

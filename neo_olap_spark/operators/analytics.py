@@ -1296,7 +1296,9 @@ DOWNSAMPLE_HOURS = 6
     SELECT event_type,
            CAST(FLOOR(epoch(ts) / ({DOWNSAMPLE_HOURS} * 3600)) AS BIGINT) AS bucket,
            COUNT(*) AS n_events,
-           FLOOR(AVG(value) * 10000 + 0.5) / 10000 AS avg_value,
+           FLOOR(CAST(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                 AS BIGINT) AS DOUBLE) / COUNT(*) / 100 * 10000 + 0.5) / 10000
+             AS avg_value,
            FLOOR(MIN(value) * 10000 + 0.5) / 10000 AS min_value,
            FLOOR(MAX(value) * 10000 + 0.5) / 10000 AS max_value
     FROM events
@@ -1323,7 +1325,19 @@ def q_time_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             # floor(x*1e4+.5)/1e4, not round(): an avg of k values can
             # land EXACTLY on a half (e.g. 55.12125) and the engines'
             # round-half rules differ — same fix as q_embed_quantize
-            (F.floor(F.avg("value") * 10000 + 0.5) / 10000).alias("avg_value"),
+            # exact avg: integer cents sum / count (a double AVG's
+            # accumulation order is engine-specific — landmine (h))
+            (
+                F.floor(
+                    F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+                    .cast("double")
+                    / F.count(F.lit(1))
+                    / 100
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("avg_value"),
             (F.floor(F.min("value") * 10000 + 0.5) / 10000).alias("min_value"),
             (F.floor(F.max("value") * 10000 + 0.5) / 10000).alias("max_value"),
         )
@@ -1924,7 +1938,7 @@ def q_agg_histogram_eqdepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-exact (ties broken by PK for a total order). Production
     swaps the exact rank for approx_percentile boundaries when ±ε
     bins suffice; this operator is the exact tier."""
-    from neo_olap_spark.functions import money_sum, distributed_row_number
+    from neo_olap_spark.functions import distributed_row_number
 
     li = load(spark, sf_dir, "lineitem")
     priced = li.select(

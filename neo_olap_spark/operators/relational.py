@@ -160,7 +160,8 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_outer",
     oracle="""
     SELECT c_custkey, COUNT(o_orderkey) AS order_cnt,
-           ROUND(COALESCE(SUM(o_totalprice), 0.0), 2) AS total_spend
+           CAST(COALESCE(CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT), 0) AS DOUBLE) / 100.0 AS total_spend
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey
     """,
@@ -175,7 +176,15 @@ def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("order_cnt"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+            (
+                F.coalesce(
+                    F.sum(
+                        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+                    ),
+                    F.lit(0),
+                ).cast("double")
+                / 100.0
+            ).alias("total_spend"),
         )
     )
 
@@ -598,15 +607,9 @@ def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         money_sum("l_extendedprice").alias("sum_base_price"),
-        # disc-price cents inline (two-column product form of money_sum)
-        (
-            F.sum(
-                F.floor(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
-                ).cast("long")
-            ).cast("double")
-            / 100.0
-        ).alias("sum_disc_price"),
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "sum_disc_price"
+        ),
         # floor-shifted exact-integer averages (landmine (a): never
         # ROUND an AVG — integer sums divide deterministically)
         (

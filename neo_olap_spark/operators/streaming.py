@@ -393,8 +393,9 @@ def _user_stats_fn(key, pdfs, state):
 def streaming_user_stats(spark: SparkSession, events_dir: str) -> DataFrame:
     """Custom stateful aggregation the built-in operators can't express
     (arbitrary per-key state machine): running per-user event count and
-    value sum via applyInPandasWithState. State is one (long, double)
-    pair per user — bounded by key cardinality, not stream length."""
+    value sum via applyInPandasWithState. State is one (long, long)
+    pair per user (count + exact integer cents) — bounded by key
+    cardinality, not stream length."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     ev = stream_events(spark, events_dir)

@@ -24,7 +24,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from neo_olap_spark.functions import money_sum
 from neo_olap_spark.registry import query
 from neo_olap_spark.tables import load
 
@@ -32,11 +31,16 @@ from neo_olap_spark.tables import load
 @query(
     "q_subquery_scalar",
     oracle="""
+    WITH c AS (
+      SELECT o_orderpriority,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    t AS (SELECT CAST(SUM(cents) AS BIGINT) AS tot, COUNT(*) AS n FROM c)
     SELECT o_orderpriority,
            COUNT(*) AS n_above,
-           CAST(CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS sum_above
-    FROM orders
-    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+           CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE) / 100.0 AS sum_above
+    FROM c, t WHERE c.cents * t.n > t.tot
     GROUP BY o_orderpriority
     """,
 )
@@ -51,15 +55,22 @@ def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan's codegen stage. The only real shuffle is the tiny final
     groupBy on priority (5 groups).
     """
-    o = load(spark, sf_dir, "orders")
-    global_avg = o.agg(F.avg("o_totalprice").alias("_avg"))
+    o = load(spark, sf_dir, "orders").withColumn(
+        "cents", F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    )
+    # landmine (h): the ROW SET must not depend on a double AVG's
+    # accumulation order — compare in exact integers instead
+    # (price > mean  <=>  cents * n > total_cents)
+    totals = o.agg(
+        F.sum("cents").alias("_tot"), F.count(F.lit(1)).alias("_n")
+    )
     return (
-        o.join(F.broadcast(global_avg))
-        .where(F.col("o_totalprice") > F.col("_avg"))
+        o.join(F.broadcast(totals))
+        .where(F.col("cents") * F.col("_n") > F.col("_tot"))
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_above"),
-            money_sum("o_totalprice").alias("sum_above"),
+            (F.sum("cents").cast("double") / 100.0).alias("sum_above"),
         )
     )
 
@@ -67,14 +78,22 @@ def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_subquery_correlated",
     oracle="""
-    SELECT o.o_custkey,
+    WITH c AS (
+      SELECT o_custkey,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    w AS (
+      SELECT o_custkey, cents,
+             CAST(SUM(cents) OVER (PARTITION BY o_custkey) AS BIGINT) AS tot,
+             COUNT(*) OVER (PARTITION BY o_custkey) AS n
+      FROM c
+    )
+    SELECT o_custkey,
            COUNT(*) AS n_above,
-           CAST(CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS sum_above
-    FROM orders o
-    WHERE o.o_totalprice > (SELECT AVG(o2.o_totalprice)
-                            FROM orders o2
-                            WHERE o2.o_custkey = o.o_custkey)
-    GROUP BY o.o_custkey
+           CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE) / 100.0 AS sum_above
+    FROM w WHERE cents * n > tot
+    GROUP BY o_custkey
     """,
 )
 def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,14 +108,19 @@ def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     average (single-order customers) drop out in both engines: avg of
     one value equals the value, and the comparison is strict.
     """
-    o = load(spark, sf_dir, "orders")
-    cust_avg = F.avg("o_totalprice").over(W.partitionBy("o_custkey"))
+    o = load(spark, sf_dir, "orders").withColumn(
+        "cents", F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    )
+    wc = W.partitionBy("o_custkey")
+    # landmine (h): integer cross-multiplication instead of a double
+    # window AVG — the row set is engine-exact by construction
     return (
-        o.withColumn("_avg", cust_avg)
-        .where(F.col("o_totalprice") > F.col("_avg"))
+        o.withColumn("_tot", F.sum("cents").over(wc))
+        .withColumn("_n", F.count(F.lit(1)).over(wc))
+        .where(F.col("cents") * F.col("_n") > F.col("_tot"))
         .groupBy("o_custkey")
         .agg(
             F.count("*").alias("n_above"),
-            money_sum("o_totalprice").alias("sum_above"),
+            (F.sum("cents").cast("double") / 100.0).alias("sum_above"),
         )
     )
