@@ -1411,6 +1411,49 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Estimated in-memory bytes per broadcast survivor row: one long (8)
+# plus UnsafeRow/oop overhead — deliberately conservative.
+_SURVIVOR_ROW_BYTES = 32
+
+
+def _broadcast_threshold_bytes(spark: SparkSession) -> int:
+    """spark.sql.autoBroadcastJoinThreshold as bytes (handles the
+    '10485760', '10m'/'10MB', and '-1' = disabled forms)."""
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    for suffix in ("kb", "mb", "gb", "tb", "k", "m", "g", "t", "b"):
+        if raw.endswith(suffix):
+            mult = units.get(suffix[0], 1)
+            return int(float(raw[: -len(suffix)]) * mult)
+    n = int(float(raw))
+    return n if n >= 0 else 0
+
+
+def _kcore_round(
+    edges_p: DataFrame, survivors: DataFrame, k: int, do_bcast: bool
+) -> DataFrame:
+    """One peeling round (lazy): filter edges to both-endpoint
+    survivors via two semi joins (broadcast-hinted only when the byte
+    gate says the survivor set fits), recompute degrees, keep nodes
+    with deg >= k. Split out so the plan shape is testable — k_core's
+    per-round localCheckpoint erases the lineage the plan test needs."""
+    alive = edges_p.join(
+        survivors.hint("broadcast") if do_bcast else survivors,
+        edges_p.src == survivors.node,
+        "left_semi",
+    )
+    dsurv = survivors.withColumnRenamed("node", "dnode")
+    alive = alive.join(
+        dsurv.hint("broadcast") if do_bcast else dsurv,
+        alive.dst == F.col("dnode"),
+        "left_semi",
+    )
+    deg = alive.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+    return deg.where(F.col("deg") >= k).select("node")
+
+
 def k_core(sym_edges: DataFrame, k: int, max_iters: int = 100) -> DataFrame:
     """Nodes of the k-core: the maximal subgraph where every node has
     degree >= k, by iterative peeling — drop under-degree nodes,
@@ -1432,22 +1475,16 @@ def k_core(sym_edges: DataFrame, k: int, max_iters: int = 100) -> DataFrame:
         edges_p.select(F.col("src").alias("node")).distinct().localCheckpoint()
     )
     n_prev = survivors.count()
+    # Broadcast the survivor set only while its estimated BYTES fit the
+    # session's autoBroadcastJoinThreshold (one long + row overhead per
+    # survivor) — a row-count gate ages badly if the schema widens, and
+    # the byte gate keeps the decision consistent with what AQE would
+    # pick for a statistics-visible relation.
+    bcast_limit = _broadcast_threshold_bytes(spark)
     converged = False
     for _ in range(max_iters):
-        alive = edges_p.join(
-            survivors.hint("broadcast") if n_prev <= 1_000_000 else survivors,
-            edges_p.src == survivors.node,
-            "left_semi",
-        )
-        alive = alive.join(
-            survivors.withColumnRenamed("node", "dnode").hint("broadcast")
-            if n_prev <= 1_000_000
-            else survivors.withColumnRenamed("node", "dnode"),
-            alive.dst == F.col("dnode"),
-            "left_semi",
-        )
-        deg = alive.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
-        nxt = deg.where(F.col("deg") >= k).select("node").localCheckpoint()
+        do_bcast = n_prev * _SURVIVOR_ROW_BYTES <= bcast_limit
+        nxt = _kcore_round(edges_p, survivors, k, do_bcast).localCheckpoint()
         n_next = nxt.count()
         if n_next == n_prev:
             converged = True

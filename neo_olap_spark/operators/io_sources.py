@@ -12,6 +12,7 @@ accumulate disk.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -26,12 +27,35 @@ from neo_olap_spark.tables import load
 def _materialize_and_clean(df: DataFrame, tmp_root: str) -> DataFrame:
     """Collect the (small, dimension-sized) read-back result so the
     temp directory can be deleted immediately; rebuild a DataFrame
-    with the identical schema for the caller."""
+    with the identical schema for the caller.
+
+    ONLY for dimension-sized roundtrips (nation/region/supplier).
+    Fact-sized sinks must go through :func:`session_sink_dir` and
+    return the lazy read instead — a fact-table collect is a driver
+    OOM at scale."""
     spark = df.sparkSession
     try:
         return spark.createDataFrame(df.collect(), df.schema)
     finally:
         shutil.rmtree(tmp_root, ignore_errors=True)
+
+
+def session_sink_dir(spark: SparkSession, key: str) -> str:
+    """A sink directory that OUTLIVES the query (scoped to this Spark
+    application), so fact-sized sink results can be returned as lazy
+    reads instead of driver collects. Re-running the same key
+    overwrites its own directory (Spark's ``mode("overwrite")`` or an
+    explicit rmtree by the caller), so repeated verification runs
+    don't accumulate disk. On a real cluster this is the job's output
+    location on shared storage — the sink IS the product; nothing
+    ever funnels through the driver."""
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"neo_olap_sinks_{spark.sparkContext.applicationId}",
+        key,
+    )
+    os.makedirs(root, exist_ok=True)
+    return root
 
 
 @query("q_source_csv", oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation")
@@ -87,15 +111,20 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches data: it prunes paths). The oracle hash-match proves the
     roundtrip is lossless AND the pruned read returns exactly the
     partition's rows; the plan-level pruning assertion lives in
-    tests/test_plans.py (hive partition-pruning test)."""
+    tests/test_plans.py (hive partition-pruning test).
+
+    The sink lives in a session-scoped directory (session_sink_dir)
+    and the return is the LAZY pruned read — never a driver collect:
+    this key's result is fact-sized (~20% of orders), unbounded at
+    scale, and the whole point of the partitioned layout is that the
+    consumer reads it directly from storage."""
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
     )
-    root = tempfile.mkdtemp(prefix="neo_olap_part_")
-    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(root + "/orders")
-    back = (
-        spark.read.parquet(root + "/orders")
+    root = session_sink_dir(spark, "sink_partitioned")
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(root)
+    return (
+        spark.read.parquet(root)
         .where(F.col("o_orderpriority") == "1-URGENT")
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
     )
-    return _materialize_and_clean(back, root)

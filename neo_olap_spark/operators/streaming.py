@@ -277,22 +277,15 @@ def streaming_interval_join(
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drives the REAL stream-stream interval join (not a batch twin):
     events replay as two file streams, watermarked and joined in append
-    mode; the memory-sink rows must hash-match the batch theta join —
-    the oracle."""
-    import shutil
-    import tempfile
+    mode; the parquet-sink rows must hash-match the batch theta join —
+    the oracle.
 
-    events_dir = tempfile.mkdtemp(prefix="neo_olap_ssjoin_")
-    try:
-        _copy_events_parquet(spark, sf_dir, events_dir)
-        name = _fresh_sink_name("t_ssjoin")
-        run_stream_once(
-            streaming_interval_join(spark, events_dir), name, output_mode="append"
-        )
-        final = spark.table(name)
-        return spark.createDataFrame(final.collect(), final.schema)
-    finally:
-        shutil.rmtree(events_dir, ignore_errors=True)
+    The sink is foreachBatch -> parquet (run_foreach_batch_to_parquet)
+    and the return is the LAZY parquet read: the output is
+    event-granularity (every click->purchase pair), which at scale is
+    itself a fact table — a memory sink / driver collect would funnel
+    the whole pair set through one process."""
+    return _run_interval_join_to_parquet(spark, sf_dir, "stream_join", "inner")
 
 
 def streaming_interval_join_outer(spark: SparkSession, events_dir: str) -> DataFrame:
@@ -311,19 +304,41 @@ def streaming_interval_join_outer(spark: SparkSession, events_dir: str) -> DataF
 def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drives the REAL stream-stream left-outer interval join
     (rows-only: outer emission depends on final-watermark position,
-    which no batch SQL reproduces; invariants in tests)."""
+    which no batch SQL reproduces; invariants in tests). Same
+    foreachBatch->parquet sink + lazy read as q_stream_join."""
+    return _run_interval_join_to_parquet(
+        spark, sf_dir, "stream_join_outer", "left_outer"
+    )
+
+
+def _run_interval_join_to_parquet(
+    spark: SparkSession, sf_dir: str, key: str, how: str
+) -> DataFrame:
+    """Replay events as two file streams, run the watermarked interval
+    join through the foreachBatch parquet sink, and return the LAZY
+    read of the sink (join columns only — batch_id is sink-layout
+    metadata). The sink+checkpoint live under a session-scoped
+    directory wiped at the start of each invocation, so every run is
+    a fresh replay and at most one copy persists."""
     import shutil
     import tempfile
 
-    events_dir = tempfile.mkdtemp(prefix="neo_olap_ssjoin_outer_")
+    from neo_olap_spark.operators.io_sources import session_sink_dir
+
+    events_dir = tempfile.mkdtemp(prefix=f"neo_olap_{key}_src_")
+    base = session_sink_dir(spark, key)
+    shutil.rmtree(base, ignore_errors=True)  # fresh checkpoint => full replay
+    sink_dir = f"{base}/sink"
     try:
         _copy_events_parquet(spark, sf_dir, events_dir)
-        name = _fresh_sink_name("t_ssjoin_outer")
-        run_stream_once(
-            streaming_interval_join_outer(spark, events_dir), name, output_mode="append"
+        run_foreach_batch_to_parquet(
+            streaming_interval_join(spark, events_dir, how),
+            sink_dir,
+            f"{base}/ckpt",
         )
-        final = spark.table(name)
-        return spark.createDataFrame(final.collect(), final.schema)
+        return spark.read.parquet(sink_dir).select(
+            "click_id", "purchase_id", "user_id"
+        )
     finally:
         shutil.rmtree(events_dir, ignore_errors=True)
 

@@ -147,3 +147,81 @@ def q_udf_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").applyInPandas(
         fit, "event_type string, n_rows long, slope_cents_per_hour double"
     )
+
+
+# UDTF chunk size: one installment row per started 50 000.00 of total
+INSTALLMENT_CHUNK_CENTS = 5_000_000
+
+
+@query(
+    "q_udf_udtf",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey < 2000
+    ),
+    n AS (
+      SELECT o_orderkey,
+             cents // {INSTALLMENT_CHUNK_CENTS} AS k,
+             cents % {INSTALLMENT_CHUNK_CENTS} AS rem
+      FROM o
+    )
+    SELECT n.o_orderkey,
+           CAST(gs.i AS INT) AS installment_no,
+           CAST(CASE WHEN gs.i < n.k THEN {INSTALLMENT_CHUNK_CENTS}
+                     ELSE n.rem END AS BIGINT) AS amount_cents
+    FROM n, LATERAL (
+      SELECT UNNEST(generate_series(
+        0, CAST(n.k + CASE WHEN n.rem > 0 THEN 1 ELSE 0 END - 1 AS BIGINT)
+      )) AS i
+    ) gs
+    """,
+)
+def q_udf_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (the third sanctioned UDF shape, SURVEY.md §2.3):
+    a table function with VARIABLE fan-out — each order row expands
+    into one installment row per started 50k-chunk of its total, so
+    one input row yields 1..N typed output rows. That variable-arity
+    one-to-many is what distinguishes a UDTF from explode-of-builtin
+    (a fixed computed array) and from scalar/grouped pandas UDFs.
+
+    Exactly oracle-checkable: amounts are integer cents (repo money
+    rule), chunk arithmetic is divmod on exact longs, and DuckDB
+    re-derives the fan-out with generate_series.
+
+    Scale shape: evaluated per-partition behind the scan with the
+    o_orderkey filter still pushed down (only surviving rows cross the
+    Python boundary); Arrow-batched evaluation is pinned on
+    (pythonUDTF.arrow.enabled) and plan-asserted in tests — the row
+    stream never funnels through the driver, and the lateral
+    correlation adds no shuffle."""
+    from pyspark.sql.functions import udtf
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+
+    @udtf(returnType="installment_no int, amount_cents long")
+    class Installments:
+        def eval(self, cents: int):
+            k, rem = divmod(int(cents), INSTALLMENT_CHUNK_CENTS)
+            for i in range(k):
+                yield (i, INSTALLMENT_CHUNK_CENTS)
+            if rem:
+                yield (k, rem)
+
+    spark.udtf.register("installments", Installments)
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        )
+    )
+    o.createOrReplaceTempView("udtf_orders_v")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, t.installment_no, t.amount_cents
+        FROM udtf_orders_v o, LATERAL installments(o.cents) t
+        """
+    )

@@ -531,3 +531,74 @@ def test_transitions_single_sequence_exchange(q):
     df = q("q_events_transitions")
     assert_in_plan(df, "BroadcastHashJoin")
     assert_not_in_plan(df, "SortMergeJoin")
+
+
+def test_udtf_arrow_evaluated(q):
+    # the UDTF must run Arrow-batched (not pickled row-at-a-time) and
+    # the orderkey filter must still reach the parquet scan beneath it
+    df = q("q_udf_udtf")
+    assert_in_plan(df, "ArrowEvalPythonUDTF")
+    assert_pushed_filter(df, "LessThan(o_orderkey,2000)")
+
+
+def test_sink_partitioned_returns_lazy_pruned_read(q):
+    # the partitioned-sink key must return the LAZY read of the sink:
+    # a parquet FileScan with the partition filter at directory level
+    # — never a createDataFrame-from-collect (LocalTableScan), which
+    # would funnel a fact-sized result through the driver
+    df = q("q_sink_partitioned")
+    p = plan_str(df)
+    assert "LocalTableScan" not in p, p
+    pf = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("o_orderpriority" in ln for ln in pf), (
+        f"partition filter did not prune the sink read:\n{p}"
+    )
+
+
+def test_kcore_broadcast_gate_respects_byte_threshold(spark):
+    # the k_core survivor semi joins are broadcast only when the
+    # survivor set's estimated BYTES fit autoBroadcastJoinThreshold —
+    # a byte gate, not a row-count proxy. Assert both the threshold
+    # parser and the two plan shapes the gate selects between.
+    from pyspark.sql import functions as F
+
+    from neo_olap_spark.operators.graph_algos import (
+        _SURVIVOR_ROW_BYTES,
+        _broadcast_threshold_bytes,
+        _kcore_round,
+        k_core,
+    )
+
+    # parser: bare bytes, unit suffixes, and the -1 = disabled form
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+    try:
+        for raw, want in [("0", 0), ("10m", 10 << 20), ("-1", 0), ("1048576", 1 << 20)]:
+            spark.conf.set(key, raw)
+            assert _broadcast_threshold_bytes(spark) == want, raw
+    finally:
+        spark.conf.set(key, prev)
+
+    edges = spark.range(100).select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % 100).alias("dst")
+    )
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    survivors = sym.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    n = survivors.count()
+
+    # the gate decision k_core would make at each threshold. With the
+    # hint withheld AND the session threshold disabled, the plan must
+    # fall back to a non-broadcast join (the hint is the only
+    # broadcast force); with the hint, it must broadcast even then.
+    assert n * _SURVIVOR_ROW_BYTES > 0  # over a 0 threshold: no broadcast
+    try:
+        spark.conf.set(key, "-1")
+        p_no = plan_str(_kcore_round(sym, survivors, 2, do_bcast=False))
+        assert "BroadcastHashJoin" not in p_no, p_no
+        p_yes = plan_str(_kcore_round(sym, survivors, 2, do_bcast=True))
+        assert "BroadcastHashJoin" in p_yes, p_yes
+    finally:
+        spark.conf.set(key, prev)
+
+    # end-to-end: a cycle is its own 2-core regardless of gate path
+    assert k_core(sym, k=2).count() == 100
