@@ -88,6 +88,17 @@ HEADLINE2 = [
 ]
 
 
+# Round-4 wave: keys added in round 4 (same frozen-list protocol —
+# HEADLINE/HEADLINE2 stay key-for-key comparable with earlier rounds).
+HEADLINE3 = [
+    "q_udf_udtf",
+    "q_time_ohlc",
+    "q_privacy_mask",
+    "q_sink_partitioned",
+    "q_stream_join",
+]
+
+
 # Full TPC-H 22 (schema-adapted; tpch.py + analytics.py): reported as
 # its own total — the one number warehouse engines are compared by.
 TPCH = [
@@ -112,36 +123,59 @@ def main() -> None:
     # warmup: touch the JVM, codegen, and parquet footer caches
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    def run_set(keys: list[str]) -> dict[str, float]:
-        results: dict[str, float] = {}
+    def run_once(key: str) -> float:
+        t0 = time.perf_counter()
+        df = qs[key](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        elapsed = round(time.perf_counter() - t0, 3)
+        # queries are independent: drop any caches a query persisted
+        # so later queries aren't taxed by earlier queries' storage
+        spark.catalog.clearCache()
+        return elapsed
+
+    def run_set(keys: list[str]) -> tuple[dict[str, float], dict[str, float]]:
+        """Each query runs twice back-to-back: the FIRST time includes
+        whole-stage-codegen JIT of its expression tree (cold), the
+        SECOND reuses the compiled classes (warm). Cold is what a
+        one-shot ad-hoc query pays; warm is the steady-state cost a
+        recurring pipeline pays — reporting both stops round-over-round
+        deltas from chasing JIT noise (VERDICT r3 item 8: q_text_entropy
+        measured 2.4 s cold vs ~1 s warm on an unchanged plan)."""
+        cold: dict[str, float] = {}
+        warm: dict[str, float] = {}
         for key in keys:
             if key not in qs:
                 continue
-            t0 = time.perf_counter()
-            df = qs[key](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            results[key] = round(time.perf_counter() - t0, 3)
-            # queries are independent: drop any caches a query persisted
-            # so later queries aren't taxed by earlier queries' storage
-            spark.catalog.clearCache()
-        return results
+            cold[key] = run_once(key)
+            warm[key] = run_once(key)
+        return cold, warm
 
-    results = run_set(HEADLINE)
-    results2 = run_set(HEADLINE2)
-    results3 = run_set(TPCH)
+    results, warm1 = run_set(HEADLINE)
+    results2, warm2 = run_set(HEADLINE2)
+    results4, warm4 = run_set(HEADLINE3)
+    results3, warm3 = run_set(TPCH)
 
     total = round(sum(results.values()), 3)
     total2 = round(sum(results2.values()), 3)
     total3 = round(sum(results3.values()), 3)
+    warm_all = {**warm1, **warm2, **warm4, **warm3}
     print(
         json.dumps(
             {
+                # headline metric stays COLD-run total for key-for-key
+                # comparability with BENCH_r01..r03 (also cold)
                 "metric": "headline_total",
                 "value": total,
                 "unit": "sec",
-                "queries": {**results, **results2, **results3},
+                "queries": {**results, **results2, **results4, **results3},
+                "queries_warm": warm_all,
+                "headline_warm_total": round(sum(warm1.values()), 3),
                 "headline2_total": total2,
+                "headline2_warm_total": round(sum(warm2.values()), 3),
+                "headline3_total": round(sum(results4.values()), 3),
+                "headline3_warm_total": round(sum(warm4.values()), 3),
                 "tpch_total": total3,
+                "tpch_warm_total": round(sum(warm3.values()), 3),
                 "sf": sf,
             }
         )

@@ -2381,3 +2381,48 @@ def q_events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("wau")
     )
     return dau.join(wau, "day").select("day", "dau", "wau").orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# q_time_ohlc — bar (candlestick) aggregation per hour per event type
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_time_ohlc",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+           event_type,
+           FIRST(value ORDER BY ts, event_id) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           LAST(value ORDER BY ts, event_id) AS close,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_time_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar aggregation (the time-series downsampling staple):
+    per hour per event type, the first/last/max/min of value. Open
+    and close are SELECTIONS of a single row's value — deterministic
+    across engines because the ordering key (ts, event_id) is total;
+    a bare first() without the tie-break would be run-dependent.
+    min_by/max_by on a (ts, event_id) struct gives the ordered
+    selection in one partial-aggregable pass — no window, no sort.
+
+    Scale shape: ONE map-side-combined groupBy on (hour, type); all
+    four extrema merge associatively, so the shuffle moves one partial
+    row per (partition, hour, type) — this is how you downsample a
+    100 TB tick stream to bars without a global sort."""
+    ev = load(spark, sf_dir, "events")
+    ordkey = F.struct("ts", "event_id")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").cast("long").alias("window_start"),
+        "event_type",
+    ).agg(
+        F.min_by("value", ordkey).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", ordkey).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -936,6 +936,7 @@ def connected_components(
     nodes: DataFrame,
     max_iters: int = 20,
     n_edges: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components by frontier-based min-label propagation:
     every node starts as its own label; each round, only nodes whose
@@ -952,7 +953,9 @@ def connected_components(
         labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
         frontier = labels  # round 0: everyone announces
         converged = False
+        rounds = 0
         for _ in range(max_iters):
+            rounds += 1
             pushed = (
                 frontier.hint("shuffle_hash")
                 .join(edges_p, frontier.node == edges_p.src)
@@ -982,6 +985,8 @@ def connected_components(
         else:
             converged = False
         edges_p.unpersist()
+        if stats is not None:
+            stats["rounds"] = rounds
         if not converged:
             raise RuntimeError(
                 f"connected_components did not converge in {max_iters} rounds "
@@ -1454,7 +1459,12 @@ def _kcore_round(
     return deg.where(F.col("deg") >= k).select("node")
 
 
-def k_core(sym_edges: DataFrame, k: int, max_iters: int = 100) -> DataFrame:
+def k_core(
+    sym_edges: DataFrame,
+    k: int,
+    max_iters: int = 100,
+    stats: dict | None = None,
+) -> DataFrame:
     """Nodes of the k-core: the maximal subgraph where every node has
     degree >= k, by iterative peeling — drop under-degree nodes,
     recompute degrees on the induced subgraph, repeat to fixpoint.
@@ -1482,7 +1492,9 @@ def k_core(sym_edges: DataFrame, k: int, max_iters: int = 100) -> DataFrame:
     # pick for a statistics-visible relation.
     bcast_limit = _broadcast_threshold_bytes(spark)
     converged = False
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         do_bcast = n_prev * _SURVIVOR_ROW_BYTES <= bcast_limit
         nxt = _kcore_round(edges_p, survivors, k, do_bcast).localCheckpoint()
         n_next = nxt.count()
@@ -1495,6 +1507,8 @@ def k_core(sym_edges: DataFrame, k: int, max_iters: int = 100) -> DataFrame:
             converged = True
             break
     edges_p.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
     if not converged:
         raise RuntimeError(
             f"k_core({k}) did not reach a fixpoint in {max_iters} rounds"
@@ -1863,6 +1877,7 @@ def sssp(
     sources: list[int],
     max_rounds: int = SSSP_MAX_ROUNDS,
     n_edges: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Distributed multi-source Bellman-Ford with frontier relaxation,
     keyed on (source, node): only entries whose distance IMPROVED last
@@ -1882,7 +1897,9 @@ def sssp(
         ).localCheckpoint()
         frontier = dist
         converged = False
+        rounds = 0
         for _ in range(max_rounds):
+            rounds += 1
             pushed = (
                 frontier.hint("shuffle_hash")
                 .join(edges_p, frontier.node == edges_p.src)
@@ -1916,6 +1933,8 @@ def sssp(
                 converged = True
                 break
         edges_p.unpersist()
+        if stats is not None:
+            stats["rounds"] = rounds
         if not converged:
             raise RuntimeError(
                 f"sssp did not converge in {max_rounds} rounds — raise "

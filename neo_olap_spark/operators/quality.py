@@ -683,3 +683,46 @@ def q_time_backfill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_present))
         .select("n_expected", "n_present", "n_missing", "first_missing")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_privacy_mask — deterministic pseudonymization + generalization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_privacy_mask",
+    oracle="""
+    SELECT SUBSTRING(md5(CAST(c_custkey AS VARCHAR)), 1, 16) AS pseudo_id,
+           'cust-' || SUBSTRING(md5(c_name), 1, 12) AS name_mask,
+           c_nationkey,
+           c_mktsegment,
+           CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band
+    FROM customer
+    """,
+)
+def q_privacy_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level masking — the REMEDIATION for what q_privacy_kanon
+    audits: direct identifiers are pseudonymized with a deterministic
+    keyed digest (md5 here; production swaps an HMAC with a vaulted
+    key — same plan shape), and the sensitive numeric generalizes to
+    a band. Deterministic pseudonyms preserve joinability: two tables
+    masked the same way still join on pseudo_id, which is why masking
+    beats dropping the column for analytics use.
+
+    Scale shape: a pure per-row projection — zero shuffles, whole-
+    stage codegen, trivially parallel at any size. The oracle proves
+    the mask is engine-exact (md5 of the same UTF-8 bytes), i.e. the
+    pseudonymization is a FUNCTION of the data, not of the engine."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 16).alias(
+            "pseudo_id"
+        ),
+        F.concat(
+            F.lit("cust-"), F.substring(F.md5(F.col("c_name")), 1, 12)
+        ).alias("name_mask"),
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    )
