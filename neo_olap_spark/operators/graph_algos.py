@@ -1436,6 +1436,13 @@ def _broadcast_threshold_bytes(spark: SparkSession) -> int:
     return n if n >= 0 else 0
 
 
+def _fits_broadcast(n_rows: int, limit_bytes: int) -> bool:
+    """The k_core loop's broadcast decision: does the survivor set's
+    estimated footprint fit the threshold? One shared expression so
+    the plan test exercises exactly what the loop computes."""
+    return n_rows * _SURVIVOR_ROW_BYTES <= limit_bytes
+
+
 def _kcore_round(
     edges_p: DataFrame, survivors: DataFrame, k: int, do_bcast: bool
 ) -> DataFrame:
@@ -1495,7 +1502,7 @@ def k_core(
     rounds = 0
     for _ in range(max_iters):
         rounds += 1
-        do_bcast = n_prev * _SURVIVOR_ROW_BYTES <= bcast_limit
+        do_bcast = _fits_broadcast(n_prev, bcast_limit)
         nxt = _kcore_round(edges_p, survivors, k, do_bcast).localCheckpoint()
         n_next = nxt.count()
         if n_next == n_prev:

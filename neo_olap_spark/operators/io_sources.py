@@ -41,19 +41,18 @@ def _materialize_and_clean(df: DataFrame, tmp_root: str) -> DataFrame:
 
 
 def session_sink_dir(spark: SparkSession, key: str) -> str:
-    """A sink directory that OUTLIVES the query (scoped to this Spark
-    application), so fact-sized sink results can be returned as lazy
-    reads instead of driver collects. Re-running the same key
-    overwrites its own directory (Spark's ``mode("overwrite")`` or an
-    explicit rmtree by the caller), so repeated verification runs
-    don't accumulate disk. On a real cluster this is the job's output
-    location on shared storage — the sink IS the product; nothing
-    ever funnels through the driver."""
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"neo_olap_sinks_{spark.sparkContext.applicationId}",
-        key,
-    )
+    """A sink directory that OUTLIVES the query, so fact-sized sink
+    results can be returned as lazy reads instead of driver collects.
+
+    The path is FIXED per key (not per applicationId): every run —
+    this session's or a later one's — overwrites the SAME directory
+    (Spark's ``mode("overwrite")`` or an explicit rmtree by the
+    caller), so disk usage is bounded by one copy per key across all
+    applications, ever. An appId-scoped path would leak one sink tree
+    per Spark application into temp space. On a real cluster this is
+    the job's output location on shared storage — the sink IS the
+    product; nothing ever funnels through the driver."""
+    root = os.path.join(tempfile.gettempdir(), "neo_olap_sinks", key)
     os.makedirs(root, exist_ok=True)
     return root
 

@@ -320,6 +320,7 @@ def _run_interval_join_to_parquet(
     metadata). The sink+checkpoint live under a session-scoped
     directory wiped at the start of each invocation, so every run is
     a fresh replay and at most one copy persists."""
+    import glob
     import shutil
     import tempfile
 
@@ -336,9 +337,15 @@ def _run_interval_join_to_parquet(
             sink_dir,
             f"{base}/ckpt",
         )
-        return spark.read.parquet(sink_dir).select(
-            "click_id", "purchase_id", "user_id"
-        )
+        cols = ["click_id", "purchase_id", "user_id"]
+        if not glob.glob(f"{sink_dir}/batch_id=*/part-*"):
+            # every micro-batch was empty: the partitioned writer left
+            # no part files, so a parquet read can't infer a schema —
+            # return the typed empty result the memory sink would have
+            return spark.createDataFrame(
+                [], "click_id long, purchase_id long, user_id long"
+            )
+        return spark.read.parquet(sink_dir).select(*cols)
     finally:
         shutil.rmtree(events_dir, ignore_errors=True)
 

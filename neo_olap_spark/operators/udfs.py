@@ -198,30 +198,42 @@ def q_udf_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlation adds no shuffle."""
     from pyspark.sql.functions import udtf
 
-    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    # pin Arrow evaluation for THIS plan only — the conf is read at
+    # analysis time, so it can be restored immediately after spark.sql
+    # returns the (lazy) DataFrame; leaving it flipped would silently
+    # override a session that chose otherwise
+    conf_key = "spark.sql.execution.pythonUDTF.arrow.enabled"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "true")
+    try:
 
-    @udtf(returnType="installment_no int, amount_cents long")
-    class Installments:
-        def eval(self, cents: int):
-            k, rem = divmod(int(cents), INSTALLMENT_CHUNK_CENTS)
-            for i in range(k):
-                yield (i, INSTALLMENT_CHUNK_CENTS)
-            if rem:
-                yield (k, rem)
+        @udtf(returnType="installment_no int, amount_cents long")
+        class Installments:
+            def eval(self, cents: int):
+                k, rem = divmod(int(cents), INSTALLMENT_CHUNK_CENTS)
+                for i in range(k):
+                    yield (i, INSTALLMENT_CHUNK_CENTS)
+                if rem:
+                    yield (k, rem)
 
-    spark.udtf.register("installments", Installments)
-    o = (
-        load(spark, sf_dir, "orders")
-        .where(F.col("o_orderkey") < 2000)
-        .select(
-            "o_orderkey",
-            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        spark.udtf.register("installments", Installments)
+        o = (
+            load(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") < 2000)
+            .select(
+                "o_orderkey",
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+            )
         )
-    )
-    o.createOrReplaceTempView("udtf_orders_v")
-    return spark.sql(
-        """
-        SELECT o.o_orderkey, t.installment_no, t.amount_cents
-        FROM udtf_orders_v o, LATERAL installments(o.cents) t
-        """
-    )
+        o.createOrReplaceTempView("udtf_orders_v")
+        return spark.sql(
+            """
+            SELECT o.o_orderkey, t.installment_no, t.amount_cents
+            FROM udtf_orders_v o, LATERAL installments(o.cents) t
+            """
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)

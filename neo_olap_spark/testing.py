@@ -38,6 +38,33 @@ def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf.sort_values(by=list(pdf.columns), ignore_index=True, na_position="last")
 
 
+def _column_matches(ls: pd.Series, rs: pd.Series, rtol: float) -> bool:
+    """Value-equality for one canonicalized column pair (floats get a
+    tiny tolerance, NaN==NaN; everything else exact)."""
+    if pd.api.types.is_float_dtype(ls):
+        both_nan = ls.isna() & rs.isna()
+        close = np.isclose(
+            ls.fillna(0.0), rs.fillna(0.0), rtol=rtol, atol=1e-9
+        ) & ~(ls.isna() ^ rs.isna())
+        return bool((close | both_nan).all())
+    return bool(ls.equals(rs))
+
+
+def compare_frames(
+    left: pd.DataFrame, right: pd.DataFrame, rtol: float = 1e-9
+) -> tuple[bool, bool, bool]:
+    """(rows_match, schema_match, hash_match) over two CANONICALIZED
+    frames — the single comparison used by both assert_parity (the
+    test suite) and tools/correctness_local.py (the checked-in
+    ledger), so the two can never diverge in semantics."""
+    rows = len(left) == len(right)
+    schema = list(left.columns) == list(right.columns)
+    if not (rows and schema):
+        return rows, schema, False
+    values = all(_column_matches(left[c], right[c], rtol) for c in left.columns)
+    return rows, schema, values
+
+
 def assert_parity(spark_df: DataFrame, oracle: str, sf_dir: str, rtol: float = 1e-9) -> None:
     left = _canon(spark_df.toPandas())
     con = duck_connect(sf_dir)
@@ -49,15 +76,12 @@ def assert_parity(spark_df: DataFrame, oracle: str, sf_dir: str, rtol: float = 1
     )
     assert len(left) == len(right), f"row count mismatch: spark={len(left)} oracle={len(right)}"
     for c in left.columns:
-        ls, rs = left[c], right[c]
-        if pd.api.types.is_float_dtype(ls):
-            both_nan = ls.isna() & rs.isna()
-            close = np.isclose(
-                ls.fillna(0.0), rs.fillna(0.0), rtol=rtol, atol=1e-9
-            ) & ~(ls.isna() ^ rs.isna())
-            ok = (close | both_nan).all()
-        else:
-            ok = ls.equals(rs)
-        if not ok:
-            diff = left[c].compare(right[c]) if not pd.api.types.is_float_dtype(ls) else None
-            raise AssertionError(f"value mismatch in column {c!r}:\n{diff}\n{ls}\n{rs}")
+        if not _column_matches(left[c], right[c], rtol):
+            diff = (
+                left[c].compare(right[c])
+                if not pd.api.types.is_float_dtype(left[c])
+                else None
+            )
+            raise AssertionError(
+                f"value mismatch in column {c!r}:\n{diff}\n{left[c]}\n{right[c]}"
+            )

@@ -49,7 +49,12 @@ def hub_graph(spark):
 
 
 def _partition_spread(df):
-    """(max, mean) row count over non-empty output partitions."""
+    """(max, mean) row count over non-empty output partitions.
+
+    Measures OUTPUT balance (one row per key post-aggregation) — the
+    weaker of the two skew properties; the load-bearing one is the
+    map-side partial aggregation asserted in the plan check below,
+    which bounds what the hub key can send through the shuffle."""
     counts = [
         r["count"]
         for r in df.withColumn("pid", F.spark_partition_id())
@@ -62,11 +67,19 @@ def _partition_spread(df):
 
 def test_hub_reduce_side_is_not_skewed(hub_graph):
     # the shape every loop round reduces through: aggregate keyed on
-    # the RECEIVING node. Hub fan-out (2000 edges from src=0) must
-    # spread across partitions after the dst-keyed aggregation —
-    # max partition no more than 4x the mean (8 shuffle partitions,
-    # ~2020 uniform keys).
+    # the RECEIVING node. Two properties keep a hub from straggling
+    # the reduce:
+    # (1) MAP-SIDE PARTIAL AGGREGATION — the plan must show a
+    #     partial HashAggregate BELOW the Exchange, so what shuffles
+    #     is one partial row per (map partition, key), never the
+    #     hub's raw fan-in (2000 rows for dst=0 pre-combine);
     agg = hub_graph.groupBy("dst").agg(F.count("*").alias("n"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    pre_exchange = plan.split("Exchange", 1)[-1]
+    assert "partial_count" in pre_exchange, plan
+    # (2) OUTPUT KEY UNIFORMITY — the aggregated relation hashes one
+    #     row per node id, so no reduce partition owns more than its
+    #     share of keys (max <= 4x mean over 8 partitions, ~2020 keys)
     mx, mean = _partition_spread(agg)
     assert mx <= 4 * mean, (mx, mean)
 

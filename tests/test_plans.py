@@ -563,8 +563,8 @@ def test_kcore_broadcast_gate_respects_byte_threshold(spark):
     from pyspark.sql import functions as F
 
     from neo_olap_spark.operators.graph_algos import (
-        _SURVIVOR_ROW_BYTES,
         _broadcast_threshold_bytes,
+        _fits_broadcast,
         _kcore_round,
         k_core,
     )
@@ -586,16 +586,23 @@ def test_kcore_broadcast_gate_respects_byte_threshold(spark):
     survivors = sym.select(F.col("src").alias("node")).distinct().localCheckpoint()
     n = survivors.count()
 
-    # the gate decision k_core would make at each threshold. With the
+    # the gate decision k_core computes (the shared _fits_broadcast
+    # expression, not a re-derivation): a 0/disabled threshold must
+    # say no, a 10 MB threshold must admit 100 survivor longs
+    assert _fits_broadcast(n, 0) is False
+    assert _fits_broadcast(n, 10 << 20) is True
+
+    # and the two plan shapes those decisions select between. With the
     # hint withheld AND the session threshold disabled, the plan must
     # fall back to a non-broadcast join (the hint is the only
     # broadcast force); with the hint, it must broadcast even then.
-    assert n * _SURVIVOR_ROW_BYTES > 0  # over a 0 threshold: no broadcast
     try:
         spark.conf.set(key, "-1")
-        p_no = plan_str(_kcore_round(sym, survivors, 2, do_bcast=False))
+        p_no = plan_str(_kcore_round(sym, survivors, 2, do_bcast=_fits_broadcast(n, 0)))
         assert "BroadcastHashJoin" not in p_no, p_no
-        p_yes = plan_str(_kcore_round(sym, survivors, 2, do_bcast=True))
+        p_yes = plan_str(
+            _kcore_round(sym, survivors, 2, do_bcast=_fits_broadcast(n, 10 << 20))
+        )
         assert "BroadcastHashJoin" in p_yes, p_yes
     finally:
         spark.conf.set(key, prev)

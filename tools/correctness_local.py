@@ -27,34 +27,9 @@ import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np
-import pandas as pd
-
 from neo_olap_spark.registry import REGISTRY, queries
 from neo_olap_spark.session import get_spark
-from neo_olap_spark.testing import _canon, duck_connect
-
-
-def compare(left: pd.DataFrame, right: pd.DataFrame) -> tuple[bool, bool, bool]:
-    """(rows_match, schema_match, hash_match) after canonicalization —
-    hash_match is the local equivalent of the driver's value-hash
-    (exact compare, tiny float tolerance)."""
-    rows = len(left) == len(right)
-    schema = list(left.columns) == list(right.columns)
-    if not (rows and schema):
-        return rows, schema, False
-    for c in left.columns:
-        ls, rs = left[c], right[c]
-        if pd.api.types.is_float_dtype(ls):
-            both_nan = ls.isna() & rs.isna()
-            close = np.isclose(
-                ls.fillna(0.0), rs.fillna(0.0), rtol=1e-9, atol=1e-9
-            ) & ~(ls.isna() ^ rs.isna())
-            if not (close | both_nan).all():
-                return rows, schema, False
-        elif not ls.equals(rs):
-            return rows, schema, False
-    return rows, schema, True
+from neo_olap_spark.testing import _canon, compare_frames, duck_connect
 
 
 def main() -> None:
@@ -87,7 +62,7 @@ def main() -> None:
                 finally:
                     con.close()
                 entry["oracle_rows"] = int(len(right))
-                r, s, h = compare(left, right)
+                r, s, h = compare_frames(left, right)
                 entry.update(rows_match=r, schema_match=s, hash_match=h)
         except Exception:
             entry["err"] = traceback.format_exc(limit=3).splitlines()[-1][:300]
