@@ -153,6 +153,19 @@ def q_udf_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 INSTALLMENT_CHUNK_CENTS = 5_000_000
 
 
+def installment_rows(cents: int):
+    """The UDTF's row generator, module-level so it is unit- and
+    property-testable without a session: split an exact cents total
+    into full chunks plus a remainder row. Invariants (hypothesis-
+    tested): rows sum back to cents, row count = ceil(cents/chunk),
+    every amount is in (0, chunk]."""
+    k, rem = divmod(int(cents), INSTALLMENT_CHUNK_CENTS)
+    for i in range(k):
+        yield (i, INSTALLMENT_CHUNK_CENTS)
+    if rem:
+        yield (k, rem)
+
+
 @query(
     "q_udf_udtf",
     oracle=f"""
@@ -210,11 +223,7 @@ def q_udf_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         @udtf(returnType="installment_no int, amount_cents long")
         class Installments:
             def eval(self, cents: int):
-                k, rem = divmod(int(cents), INSTALLMENT_CHUNK_CENTS)
-                for i in range(k):
-                    yield (i, INSTALLMENT_CHUNK_CENTS)
-                if rem:
-                    yield (k, rem)
+                yield from installment_rows(cents)
 
         spark.udtf.register("installments", Installments)
         o = (

@@ -164,3 +164,27 @@ def test_asof_join_property(spark, events, orders):
 def _warm(spark):
     # one tiny job so hypothesis timing isn't dominated by JVM warmup
     spark.range(10).count()
+
+
+# ---------------------------------------------------------------------------
+# UDTF row-generator invariants (pure Python — no session needed)
+# ---------------------------------------------------------------------------
+
+
+@settings(deadline=None)
+@given(st.integers(min_value=1, max_value=10**9))  # fan-out ≤ 200 rows
+def test_installment_rows_partition_the_total(cents):
+    from neo_olap_spark.operators.udfs import (
+        INSTALLMENT_CHUNK_CENTS,
+        installment_rows,
+    )
+
+    rows = list(installment_rows(cents))
+    # rows reassemble the exact total — the UDTF never loses a cent
+    assert sum(a for _, a in rows) == cents
+    # row count = ceil(cents / chunk): the variable fan-out contract
+    expect_n = -(-cents // INSTALLMENT_CHUNK_CENTS)
+    assert len(rows) == expect_n
+    # installment numbers are dense 0..n-1; amounts in (0, chunk]
+    assert [i for i, _ in rows] == list(range(expect_n))
+    assert all(0 < a <= INSTALLMENT_CHUNK_CENTS for _, a in rows)
