@@ -127,3 +127,50 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("o_orderpriority") == "1-URGENT")
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
     )
+
+
+@query(
+    "q_schema_evolution",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+           CAST(NULL AS VARCHAR) AS o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+           o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution (the lakehouse table-maintenance
+    staple): generation 1 of a dataset was written WITHOUT a column,
+    generation 2 adds it; a ``mergeSchema`` read unifies both file
+    groups into one relation, null-filling the old files' missing
+    column. This is how a 100 TB table grows a column without
+    rewriting history — the alternative (backfill-rewrite) costs a
+    full-table write.
+
+    Deterministic split (orderkey parity) so the oracle re-derives
+    both generations exactly; the return is the LAZY merged read from
+    the session-scoped sink (no driver collect — sink rule). Note the
+    scale caveat the plan makes visible: mergeSchema reads every
+    file's footer at planning time, which is why production tables
+    front this with a catalog-held schema (Delta/Iceberg) — the READ
+    semantics demonstrated here are identical."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("price_cents"),
+        "o_orderpriority",
+    )
+    root = session_sink_dir(spark, "schema_evolution")
+    gen1 = o.where(F.col("o_orderkey") % 2 == 0).drop("o_orderpriority")
+    gen2 = o.where(F.col("o_orderkey") % 2 == 1)
+    gen1.write.mode("overwrite").parquet(f"{root}/gen=1")
+    gen2.write.mode("overwrite").parquet(f"{root}/gen=2")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{root}/gen=1", f"{root}/gen=2")
+        .select("o_orderkey", "price_cents", "o_orderpriority")
+    )
