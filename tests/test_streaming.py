@@ -222,3 +222,17 @@ def test_stream_quality_matches_batch(spark, sf_dir, events_dir):
     for (_, n_rows, null_user, bad_type, neg_value, outlier) in got:
         assert null_user == 0 and bad_type == 0 and neg_value == 0
         assert 0 <= outlier <= n_rows
+
+
+def test_stream_join_replay_is_deterministic(spark, sf_dir):
+    """Two independent replays of the foreachBatch-parquet stream-stream
+    join must return IDENTICAL row sets — the property that lets the
+    driver hash-check the key and lets a restarted pipeline trust its
+    sink. (availableNow batching + watermark advancement are
+    deterministic for a fixed source; the sink dir is wiped per run.)"""
+    from neo_olap_spark.operators.streaming import q_stream_join
+
+    a = sorted(map(tuple, q_stream_join(spark, sf_dir).collect()))
+    b = sorted(map(tuple, q_stream_join(spark, sf_dir).collect()))
+    assert a == b
+    assert len(a) > 0
