@@ -96,6 +96,8 @@ HEADLINE3 = [
     "q_privacy_mask",
     "q_sink_partitioned",
     "q_stream_join",
+    "q_schema_evolution",
+    "q_incremental_join_view",
 ]
 
 

@@ -330,3 +330,64 @@ def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "valid_from", "price_cents")
         .orderBy("o_custkey", "valid_from")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_incremental_join_view — delta maintenance of a join materialization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_incremental_join_view",
+    oracle=f"""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_custkey,
+           CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents,
+           (o.o_orderdate < DATE '{INCR_SPLIT_DATE}') AS order_is_base,
+           (l.l_shipdate  < DATE '{INCR_SPLIT_DATE}') AS line_is_base
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    """,
+)
+def q_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN materialization — the join
+    half of IVM (q_incremental_agg covers the aggregate half). The
+    stored view is O_base |><| L_base (orders placed / lines shipped
+    before the split date). When the delta partitions arrive, the view
+    is NOT recomputed: the update is the three delta quadrants
+      (O_delta |><| L_base) + (O_base |><| L_delta) + (O_delta |><| L_delta)
+    appended to the stored view — valid because the four quadrants
+    PARTITION O x L (every joined pair lands in exactly one). An old
+    order shipping a new lineitem lands in the O_base x L_delta
+    quadrant — the realistic case that makes join IVM non-trivial.
+    The oracle recomputes the full join, proving base + deltas = world.
+
+    Scale shape: the stored quadrant is a read, never a join; each
+    delta quadrant joins a DELTA (a day's arrivals at 100 TB — orders
+    of magnitude smaller than the base) against one base table on the
+    join key, broadcast- or co-partition-friendly. Recompute cost
+    tracks the delta size, not the table size — the entire point of
+    incremental view maintenance."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        (F.col("o_orderdate") < INCR_SPLIT_DATE).alias("order_is_base"),
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("price_cents"),
+        (F.col("l_shipdate") < INCR_SPLIT_DATE).alias("line_is_base"),
+    )
+    o_base, o_delta = o.where("order_is_base"), o.where("NOT order_is_base")
+    l_base, l_delta = li.where("line_is_base"), li.where("NOT line_is_base")
+
+    def quadrant(os_, ls_):
+        return os_.join(ls_, os_.o_orderkey == ls_.l_orderkey).select(
+            "l_orderkey", "l_linenumber", "o_custkey", "price_cents",
+            "order_is_base", "line_is_base",
+        )
+
+    stored = quadrant(o_base, l_base)  # the materialization (here: derived)
+    return (
+        stored
+        .unionByName(quadrant(o_delta, l_base))
+        .unionByName(quadrant(o_base, l_delta))
+        .unionByName(quadrant(o_delta, l_delta))
+    )

@@ -609,3 +609,17 @@ def test_kcore_broadcast_gate_respects_byte_threshold(spark):
 
     # end-to-end: a cycle is its own 2-core regardless of gate path
     assert k_core(sym, k=2).count() == 100
+
+
+def test_incremental_join_view_four_quadrants(q):
+    # join-side IVM: exactly the four quadrant joins (stored + three
+    # deltas), never a recompute-join of the unpartitioned tables and
+    # never a cartesian
+    import re as _re
+
+    p = plan_str(q("q_incremental_join_view"), mode="simple")
+    n_joins = len(
+        _re.findall(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", p)
+    )
+    assert n_joins == 4, p
+    assert "Cartesian" not in p, p
