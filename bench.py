@@ -125,10 +125,19 @@ def main() -> None:
     # warmup: touch the JVM, codegen, and parquet footer caches
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    def run_once(key: str) -> float:
+    errors: dict[str, str] = {}
+
+    def run_once(key: str) -> float | None:
+        """One timed end-to-end run; a failing key records its error
+        and returns None instead of killing the whole record — one bad
+        key must not cost the round its entire bench artifact."""
         t0 = time.perf_counter()
-        df = qs[key](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
+        try:
+            df = qs[key](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as e:  # noqa: BLE001 — report, don't die
+            errors[key] = f"{type(e).__name__}: {e}"[:200]
+            return None
         elapsed = round(time.perf_counter() - t0, 3)
         # queries are independent: drop any caches a query persisted
         # so later queries aren't taxed by earlier queries' storage
@@ -148,8 +157,13 @@ def main() -> None:
         for key in keys:
             if key not in qs:
                 continue
-            cold[key] = run_once(key)
-            warm[key] = run_once(key)
+            c = run_once(key)
+            if c is None:
+                continue  # error recorded; skip the warm run too
+            cold[key] = c
+            w = run_once(key)
+            if w is not None:
+                warm[key] = w
         return cold, warm
 
     results, warm1 = run_set(HEADLINE)
@@ -178,6 +192,7 @@ def main() -> None:
                 "headline3_warm_total": round(sum(warm4.values()), 3),
                 "tpch_total": total3,
                 "tpch_warm_total": round(sum(warm3.values()), 3),
+                "errors": errors,
                 "sf": sf,
             }
         )

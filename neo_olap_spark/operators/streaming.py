@@ -350,7 +350,9 @@ def _run_interval_join_to_parquet(
         shutil.rmtree(events_dir, ignore_errors=True)
 
 
-def run_foreach_batch_to_parquet(df: DataFrame, sink_dir: str, ckpt_dir: str) -> None:
+def run_foreach_batch_to_parquet(
+    df: DataFrame, sink_dir: str, ckpt_dir: str, output_mode: str = "append"
+) -> None:
     """foreachBatch sink: arbitrary per-micro-batch logic with the
     batch DataFrame API — the escape hatch for sinks Structured
     Streaming doesn't ship (JDBC upserts, MERGE, multi-table writes).
@@ -370,6 +372,7 @@ def run_foreach_batch_to_parquet(df: DataFrame, sink_dir: str, ckpt_dir: str) ->
 
     q = (
         df.writeStream.foreachBatch(write_batch)
+        .outputMode(output_mode)
         .option("checkpointLocation", ckpt_dir)
         .trigger(availableNow=True)
         .start()
@@ -645,29 +648,49 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drives the REAL applyInPandasWithState operator (not a batch
-    twin): events replay through a file stream into a memory sink in
-    update mode; the final cumulative emission per user must equal the
-    batch group-by — which is exactly the oracle."""
+    twin): events replay through a file stream; update-mode emissions
+    land in the foreachBatch parquet sink, and the final cumulative
+    emission per user must equal the batch group-by — which is exactly
+    the oracle.
+
+    The final-state extraction (max n_events per user over all
+    emissions) is a DISTRIBUTED window over the lazy sink read, and
+    the return stays lazy: per-user state is user-cardinality-sized —
+    at 100 TB that is itself a large relation, so nothing here may
+    funnel through the driver (same sink rule as the stream-stream
+    join keys)."""
+    import glob
     import shutil
     import tempfile
 
     from pyspark.sql.window import Window as W
 
+    from neo_olap_spark.operators.io_sources import session_sink_dir
+
     events_dir = tempfile.mkdtemp(prefix="neo_olap_stateful_")
+    base = session_sink_dir(spark, "stream_stateful")
+    shutil.rmtree(base, ignore_errors=True)  # fresh checkpoint => full replay
+    sink_dir = f"{base}/sink"
     try:
         _copy_events_parquet(spark, sf_dir, events_dir)
-        name = _fresh_sink_name("t_stateful")
-        run_stream_once(streaming_user_stats(spark, events_dir), name, output_mode="update")
-        mem = spark.table(name)
+        run_foreach_batch_to_parquet(
+            streaming_user_stats(spark, events_dir),
+            sink_dir,
+            f"{base}/ckpt",
+            output_mode="update",
+        )
+        if not glob.glob(f"{sink_dir}/batch_id=*/part-*"):
+            return spark.createDataFrame(
+                [], "user_id long, n_events long, sum_value double"
+            )
+        mem = spark.read.parquet(sink_dir)
         # last (= maximal) cumulative emission per user is the final state
         w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
-        final = (
+        return (
             mem.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
             .select("user_id", "n_events", "sum_value")  # exact cents/100
         )
-        # materialize before the source dir is deleted
-        return spark.createDataFrame(final.collect(), final.schema)
     finally:
         shutil.rmtree(events_dir, ignore_errors=True)
 
