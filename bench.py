@@ -98,6 +98,7 @@ HEADLINE3 = [
     "q_stream_join",
     "q_schema_evolution",
     "q_incremental_join_view",
+    "q_multimodal_phash",
 ]
 
 

@@ -592,3 +592,111 @@ def q_multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("doc_id", "payload").mapInPandas(
         _audio_resample_batches, RESAMPLE_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# q_multimodal_phash — perceptual hash (dHash) over real decoded PNGs
+# ---------------------------------------------------------------------------
+
+PHASH_SCHEMA = "doc_id long, hash_hi long, hash_lo long, n_bits long"
+
+
+def _phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Difference-hash kernel (mapInPandas): REAL PNG decode -> integer
+    luma-sum box grid (8 rows x 9 cols, index-mapped boxes) -> 64
+    horizontal-gradient bits. Entirely integer arithmetic: box
+    comparison is the cross-multiplication s1*c2 > s2*c1 (no division,
+    no float), so the hash is bit-deterministic across engines."""
+    import numpy as np
+
+    from neo_olap_spark.functions.png_codec import decode_png
+
+    for pdf in batches:
+        rows: dict[str, list] = {"doc_id": [], "hash_hi": [], "hash_lo": [], "n_bits": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = decode_png(payload).astype(np.int64)
+            px = arr.sum(axis=2)  # per-pixel r+g+b (monotone luma proxy)
+            h, w = px.shape
+            yi = np.broadcast_to(((np.arange(h) * 8) // h)[:, None], (h, w))
+            xj = np.broadcast_to(((np.arange(w) * 9) // w)[None, :], (h, w))
+            s = np.zeros((8, 9), dtype=np.int64)
+            c = np.zeros((8, 9), dtype=np.int64)
+            np.add.at(s, (yi, xj), px)
+            np.add.at(c, (yi, xj), 1)
+            bits = s[:, :8] * c[:, 1:] > s[:, 1:] * c[:, :8]  # 8x8
+            hi = lo = 0
+            for i in range(8):
+                for j in range(8):
+                    if bits[i, j]:
+                        k = i * 8 + j
+                        if k >= 32:
+                            hi |= 1 << (k - 32)
+                        else:
+                            lo |= 1 << k
+            rows["doc_id"].append(doc_id)
+            rows["hash_hi"].append(hi)
+            rows["hash_lo"].append(lo)
+            rows["n_bits"].append(int(bits.sum()))
+        yield pd.DataFrame(rows)
+
+
+@query(
+    "q_multimodal_phash",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(24 + doc_id % 17 AS BIGINT) AS w,
+             CAST(24 + (doc_id * 7) % 13 AS BIGINT) AS h
+      FROM documents
+    ),
+    grid AS (
+      SELECT d.doc_id, d.w, d.h, x.i AS x, y.i AS y,
+             (x.i * 3 + d.doc_id) % 256
+             + (y.i * 5 + d.doc_id // 3) % 256
+             + (x.i + y.i + d.doc_id % 97) % 256 AS px
+      FROM dims d,
+           LATERAL (SELECT UNNEST(range(d.w)) AS i) x,
+           LATERAL (SELECT UNNEST(range(d.h)) AS i) y
+    ),
+    boxes AS (
+      SELECT doc_id, (y * 8) // h AS bi, (x * 9) // w AS bj,
+             SUM(px) AS s, COUNT(*) AS c
+      FROM grid GROUP BY doc_id, (y * 8) // h, (x * 9) // w
+    ),
+    bits AS (
+      SELECT a.doc_id, a.bi * 8 + a.bj AS k,
+             CASE WHEN a.s * b.c > b.s * a.c THEN 1 ELSE 0 END AS bit
+      FROM boxes a JOIN boxes b
+        ON a.doc_id = b.doc_id AND a.bi = b.bi AND b.bj = a.bj + 1
+      WHERE a.bj < 8
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << (k - 32))
+                         ELSE 0 END) AS BIGINT) AS hash_hi,
+           CAST(SUM(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << k)
+                         ELSE 0 END) AS BIGINT) AS hash_lo,
+           CAST(SUM(bit) AS BIGINT) AS n_bits
+    FROM bits GROUP BY doc_id
+    """,
+)
+def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual hash (dHash) over REAL decoded PNGs — the image
+    near-dup primitive: decode, integer luma-sum an 8x9 box grid
+    (index-mapped boxes handle non-divisible dimensions), emit the 64
+    horizontal-gradient bits as two 32-bit halves plus a popcount.
+    Identical-looking images collide; re-encodes and minor crops land
+    within small Hamming distance (pairing at scale reuses the
+    SimHash banding machinery — llm_dedup's bucket-capped template).
+
+    FULLY ORACLE-BACKED like q_multimodal_decode: every stage is
+    integer arithmetic (box sums, count cross-multiplication instead
+    of average comparison), so DuckDB re-derives all 64 bits of every
+    hash from the synth pattern's closed form and the driver
+    hash-checks the whole path — codec, box binning, gradient bits,
+    bit packing.
+
+    Scale shape: 1:1 Arrow-batched projection, zero shuffles;
+    payloads never leave executors. The hash (16 bytes) is what
+    shuffles in any downstream dedup — never the image."""
+    m = media_table(spark, sf_dir)
+    return m.select("doc_id", "payload").mapInPandas(_phash_batches, PHASH_SCHEMA)
