@@ -105,3 +105,42 @@ def test_roundtrip_property_random_shapes():
     for h, w in [(1, 1), (1, 17), (40, 1), (3, 3), (13, 29), (64, 64), (7, 51)]:
         arr = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
         assert np.array_equal(decode_png(encode_png(arr)), arr), (h, w)
+
+
+# ---------------------------------------------------------------------------
+# dHash kernel invariants (pure Python, no session)
+# ---------------------------------------------------------------------------
+
+
+def _phash_of(arr):
+    import pandas as pd
+
+    from neo_olap_spark.functions.png_codec import encode_png
+    from neo_olap_spark.operators.multimodal import _phash_batches
+
+    batch = pd.DataFrame({"doc_id": [0], "payload": [encode_png(arr)]})
+    out = next(_phash_batches(iter([batch])))
+    return int(out["hash_hi"][0]), int(out["hash_lo"][0]), int(out["n_bits"][0])
+
+
+def test_phash_invariant_under_brightness_shift():
+    """dHash compares box sums via s1*c2 > s2*c1; a constant brightness
+    shift adds k*c1*c2 to BOTH sides, so the hash is EXACTLY invariant
+    — the property that makes it a perceptual (not cryptographic)
+    hash. Verified through the full encode->decode->hash path."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 200, size=(31, 37, 3)).astype(np.uint8)
+    shifted = (img.astype(np.int64) + 40).astype(np.uint8)  # no clipping
+    assert _phash_of(img) == _phash_of(shifted)
+
+
+def test_phash_distinguishes_mirrored_image():
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(29, 33, 3)).astype(np.uint8)
+    hi1, lo1, _ = _phash_of(img)
+    hi2, lo2, _ = _phash_of(img[:, ::-1])  # horizontal mirror flips gradients
+    assert (hi1, lo1) != (hi2, lo2)
