@@ -99,6 +99,7 @@ HEADLINE3 = [
     "q_schema_evolution",
     "q_incremental_join_view",
     "q_multimodal_phash",
+    "q_stream_ohlc",
 ]
 
 

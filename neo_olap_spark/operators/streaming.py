@@ -877,3 +877,62 @@ def q_stream_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     always-on monitor. The oracle CASTs DuckDB's COUNT_IF HUGEINT to
     BIGINT (repo float-landmine (c))."""
     return build_quality_audit(load(spark, sf_dir, "events"))
+
+
+def build_ohlc(events: DataFrame) -> DataFrame:
+    """Hourly OHLC bars per event type — the streaming twin of
+    analytics.q_time_ohlc: open/close are min_by/max_by SELECTIONS on
+    the total (ts, event_id) order, so the aggregate is deterministic
+    and partial-merge-able (each micro-batch's partials combine by
+    re-selecting the extremum — exactly what the state store does)."""
+    ordkey = F.struct("ts", "event_id")
+    return events.groupBy(
+        F.date_trunc("hour", "ts").cast("long").alias("window_start"),
+        "event_type",
+    ).agg(
+        F.min_by("value", ordkey).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", ordkey).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "q_stream_ohlc",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+           event_type,
+           FIRST(value ORDER BY ts, event_id) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           LAST(value ORDER BY ts, event_id) AS close,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives REAL streaming OHLC bars (complete mode): events replay
+    as a file stream; per-(hour, type) open/high/low/close state
+    merges across micro-batches in the state store, and the final
+    memory-sink table must hash-match the batch bars — the oracle.
+    The collected result is (hours x types)-sized: aggregate-sized by
+    construction, so the memory sink is the right tool here (unlike
+    the event-granularity join keys, which go through the parquet
+    sink)."""
+    import shutil
+    import tempfile
+
+    events_dir = tempfile.mkdtemp(prefix="neo_olap_ohlc_")
+    try:
+        _copy_events_parquet(spark, sf_dir, events_dir)
+        name = _fresh_sink_name("t_ohlc")
+        run_stream_once(
+            build_ohlc(stream_events(spark, events_dir)),
+            name,
+            output_mode="complete",
+        )
+        final = spark.table(name)
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(events_dir, ignore_errors=True)

@@ -67,11 +67,74 @@ def build_sf1(spark) -> None:
         copies.write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
 
 
+DOCS10_DIR = "/tmp/neo_olap_docs10"
+
+
+def build_docs10(spark) -> str:
+    """A second scaled fixture dir: documents replicated 10x with
+    doc_id offsets (90% duplicate rate — worst case for the LSH bucket
+    caps, since identical shingle sets pile into the same buckets);
+    every other table symlinked from sf0.1 so the registered dedup
+    keys run unchanged against it."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(DOCS10_DIR, exist_ok=True)
+    for t in TABLES:
+        if t == "documents":
+            continue
+        link = f"{DOCS10_DIR}/{t}.parquet"
+        if not os.path.exists(link):
+            os.symlink(f"{SRC}/{t}.parquet", link)
+    if not os.path.exists(f"{DOCS10_DIR}/documents.parquet/_SUCCESS"):
+        docs = spark.read.parquet(f"{SRC}/documents.parquet")
+        copies = None
+        for k in range(N_COPIES):
+            c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * KEY_OFFSET))
+            copies = c if copies is None else copies.unionByName(c)
+        copies.write.mode("overwrite").parquet(f"{DOCS10_DIR}/documents.parquet")
+    return DOCS10_DIR
+
+
+DEDUP_KEYS = ["q_dedup_exact", "q_dedup_near", "q_dedup_simhash", "q_dedup_ngram"]
+
+
+def soak_dedup_10x(spark, qs) -> dict:
+    """Run the dedup keys at the 10x duplicate-saturated corpus: the
+    claim under test is that the bucket/df caps keep wall time bounded
+    when nearly everything is a duplicate, and the exact path finds
+    each text in a multiple-of-10 group."""
+    from pyspark.sql import functions as F
+
+    d = build_docs10(spark)
+    out: dict = {}
+    t0 = time.time()
+    exact = qs["q_dedup_exact"](spark, d)
+    bad = exact.where(F.col("n_copies") % N_COPIES != 0).count()
+    out["q_dedup_exact"] = {
+        "groups": exact.count(), "non_multiple_of_10": bad,
+        "sec": round(time.time() - t0, 1),
+    }
+    spark.catalog.clearCache()
+    for key in DEDUP_KEYS[1:]:
+        t0 = time.time()
+        try:
+            n = qs[key](spark, d).count()
+            out[key] = {"rows": n, "sec": round(time.time() - t0, 1)}
+        except Exception as e:  # record, keep soaking
+            out[key] = {"err": f"{type(e).__name__}: {e}"[:160]}
+        spark.catalog.clearCache()
+    return out
+
+
+
 def main() -> None:
     keys = sys.argv[1:] or DEFAULT_KEYS
     spark = get_spark(
         "neo-olap-soak-sf1", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     )
+    if keys == ["dedup10"]:
+        print(json.dumps(soak_dedup_10x(spark, queries())))
+        return
     t0 = time.time()
     build_sf1(spark)
     out: dict = {"build_sec": round(time.time() - t0, 1)}
@@ -113,3 +176,4 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
