@@ -129,22 +129,25 @@ def main() -> None:
 
     errors: dict[str, str] = {}
 
-    def run_once(key: str) -> float | None:
+    def run_once(key: str, phase: str) -> float | None:
         """One timed end-to-end run; a failing key records its error
-        and returns None instead of killing the whole record — one bad
+        (tagged cold/warm so the artifact says WHICH run died) and
+        returns None instead of killing the whole record — one bad
         key must not cost the round its entire bench artifact."""
         t0 = time.perf_counter()
         try:
             df = qs[key](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
+            return round(time.perf_counter() - t0, 3)
         except Exception as e:  # noqa: BLE001 — report, don't die
-            errors[key] = f"{type(e).__name__}: {e}"[:200]
+            errors[f"{key}:{phase}"] = f"{type(e).__name__}: {e}"[:200]
             return None
-        elapsed = round(time.perf_counter() - t0, 3)
-        # queries are independent: drop any caches a query persisted
-        # so later queries aren't taxed by earlier queries' storage
-        spark.catalog.clearCache()
-        return elapsed
+        finally:
+            # queries are independent: drop any caches a query persisted
+            # so later queries aren't taxed by earlier queries' storage —
+            # on the ERROR path too, else one failure skews every
+            # subsequent key's memory budget and timing
+            spark.catalog.clearCache()
 
     def run_set(keys: list[str]) -> tuple[dict[str, float], dict[str, float]]:
         """Each query runs twice back-to-back: the FIRST time includes
@@ -159,11 +162,11 @@ def main() -> None:
         for key in keys:
             if key not in qs:
                 continue
-            c = run_once(key)
+            c = run_once(key, "cold")
             if c is None:
                 continue  # error recorded; skip the warm run too
             cold[key] = c
-            w = run_once(key)
+            w = run_once(key, "warm")
             if w is not None:
                 warm[key] = w
         return cold, warm

@@ -2413,16 +2413,12 @@ def q_time_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE map-side-combined groupBy on (hour, type); all
     four extrema merge associatively, so the shuffle moves one partial
     row per (partition, hour, type) — this is how you downsample a
-    100 TB tick stream to bars without a global sort."""
-    ev = load(spark, sf_dir, "events")
-    ordkey = F.struct("ts", "event_id")
-    return ev.groupBy(
-        F.date_trunc("hour", "ts").cast("long").alias("window_start"),
-        "event_type",
-    ).agg(
-        F.min_by("value", ordkey).alias("open"),
-        F.max("value").alias("high"),
-        F.min("value").alias("low"),
-        F.max_by("value", ordkey).alias("close"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
+    100 TB tick stream to bars without a global sort.
+
+    Shares the ONE builder with the streaming twin (q_stream_ohlc),
+    per the repo's batch/stream twin convention — the hash
+    equivalence between the two keys is structural, not maintained by
+    hand in two places."""
+    from neo_olap_spark.operators.streaming import build_ohlc
+
+    return build_ohlc(load(spark, sf_dir, "events"))

@@ -107,13 +107,23 @@ def soak_dedup_10x(spark, qs) -> dict:
 
     d = build_docs10(spark)
     out: dict = {}
+    # exact path first, with its invariant check — ONE aggregated job
+    # so "sec" measures one run (same semantics as the other keys),
+    # and guarded like them so a failure doesn't abort the soak
     t0 = time.time()
-    exact = qs["q_dedup_exact"](spark, d)
-    bad = exact.where(F.col("n_copies") % N_COPIES != 0).count()
-    out["q_dedup_exact"] = {
-        "groups": exact.count(), "non_multiple_of_10": bad,
-        "sec": round(time.time() - t0, 1),
-    }
+    try:
+        exact = qs["q_dedup_exact"](spark, d)
+        stats = exact.agg(
+            F.count(F.lit(1)).alias("groups"),
+            F.sum((F.col("n_copies") % N_COPIES != 0).cast("int")).alias("bad"),
+        ).collect()[0]
+        out["q_dedup_exact"] = {
+            "groups": stats["groups"],
+            "non_multiple_of_10": int(stats["bad"]),
+            "sec": round(time.time() - t0, 1),
+        }
+    except Exception as e:  # record, keep soaking
+        out["q_dedup_exact"] = {"err": f"{type(e).__name__}: {e}"[:160]}
     spark.catalog.clearCache()
     for key in DEDUP_KEYS[1:]:
         t0 = time.time()
