@@ -40,21 +40,74 @@ def _materialize_and_clean(df: DataFrame, tmp_root: str) -> DataFrame:
         shutil.rmtree(tmp_root, ignore_errors=True)
 
 
+_CLEANUP_REGISTERED: set[str] = set()
+
+
+def _sinks_root() -> str:
+    """Per-user sink root: two users on a shared host never share (or
+    squat) each other's sink trees."""
+    import getpass
+
+    try:
+        user = getpass.getuser()
+    except Exception:  # no passwd entry (containers) — fall back to uid
+        user = str(os.getuid()) if hasattr(os, "getuid") else "anon"
+    return os.path.join(tempfile.gettempdir(), f"neo_olap_sinks_{user}")
+
+
 def session_sink_dir(spark: SparkSession, key: str) -> str:
     """A sink directory that OUTLIVES the query, so fact-sized sink
     results can be returned as lazy reads instead of driver collects.
 
-    The path is FIXED per key (not per applicationId): every run —
-    this session's or a later one's — overwrites the SAME directory
-    (Spark's ``mode("overwrite")`` or an explicit rmtree by the
-    caller), so disk usage is bounded by one copy per key across all
-    applications, ever. An appId-scoped path would leak one sink tree
-    per Spark application into temp space. On a real cluster this is
-    the job's output location on shared storage — the sink IS the
-    product; nothing ever funnels through the driver."""
-    root = os.path.join(tempfile.gettempdir(), "neo_olap_sinks", key)
+    Namespaced by USER and Spark applicationId: two concurrent
+    applications (bench.py next to the parity suite, or two users on a
+    shared host) each get their own tree — a world-shared fixed path
+    would let one process rmtree/overwrite a directory the other is
+    mid-write or mid-read on, with no error attribution. Within one
+    application the path is fixed per key, so disk stays bounded at
+    one copy per key per app; the whole app tree is removed at
+    interpreter exit (atexit), so appId scoping doesn't leak one tree
+    per application into temp space. On a real cluster this is the
+    job's output location on shared storage — the sink IS the product;
+    nothing ever funnels through the driver."""
+    import atexit
+    import shutil as _shutil
+
+    app_root = os.path.join(_sinks_root(), spark.sparkContext.applicationId)
+    if app_root not in _CLEANUP_REGISTERED:
+        _CLEANUP_REGISTERED.add(app_root)
+        atexit.register(_shutil.rmtree, app_root, ignore_errors=True)
+    root = os.path.join(app_root, key)
     os.makedirs(root, exist_ok=True)
     return root
+
+
+def generational_sink_dir(spark: SparkSession, key: str):
+    """Generation-scoped sink allocation for keys that RETURN a lazy
+    read of their sink: each invocation writes a fresh ``g<N>``
+    subdirectory and prunes older generations only AFTER its own write
+    completes — so a DataFrame returned by a PREVIOUS invocation stays
+    readable right up until the new result is fully materialized
+    (single-outstanding-result contract: after promote(), only the
+    newest generation survives; an in-flight reader of an older one
+    gets a clean FileNotFound, never mixed rows).
+
+    Returns ``(gen_dir, promote)``: write under ``gen_dir``, call
+    ``promote()`` once the write is durable."""
+    import shutil as _shutil
+
+    base = session_sink_dir(spark, key)
+    gens = sorted(d for d in os.listdir(base) if d.startswith("g"))
+    nxt = (int(gens[-1][1:]) + 1) if gens else 0
+    gen_dir = os.path.join(base, f"g{nxt:06d}")
+    os.makedirs(gen_dir, exist_ok=True)
+
+    def promote() -> None:
+        for d in os.listdir(base):
+            if d.startswith("g") and d != f"g{nxt:06d}":
+                _shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+
+    return gen_dir, promote
 
 
 @query("q_source_csv", oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation")
@@ -120,8 +173,9 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
     )
-    root = session_sink_dir(spark, "sink_partitioned")
+    root, promote = generational_sink_dir(spark, "sink_partitioned")
     o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(root)
+    promote()
     return (
         spark.read.parquet(root)
         .where(F.col("o_orderpriority") == "1-URGENT")
@@ -164,11 +218,12 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("price_cents"),
         "o_orderpriority",
     )
-    root = session_sink_dir(spark, "schema_evolution")
+    root, promote = generational_sink_dir(spark, "schema_evolution")
     gen1 = o.where(F.col("o_orderkey") % 2 == 0).drop("o_orderpriority")
     gen2 = o.where(F.col("o_orderkey") % 2 == 1)
     gen1.write.mode("overwrite").parquet(f"{root}/gen=1")
     gen2.write.mode("overwrite").parquet(f"{root}/gen=2")
+    promote()
     return (
         spark.read.option("mergeSchema", "true")
         .parquet(f"{root}/gen=1", f"{root}/gen=2")

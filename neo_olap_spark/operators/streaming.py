@@ -317,18 +317,19 @@ def _run_interval_join_to_parquet(
     """Replay events as two file streams, run the watermarked interval
     join through the foreachBatch parquet sink, and return the LAZY
     read of the sink (join columns only — batch_id is sink-layout
-    metadata). The sink+checkpoint live under a session-scoped
-    directory wiped at the start of each invocation, so every run is
-    a fresh replay and at most one copy persists."""
+    metadata). Each invocation writes a FRESH generation directory
+    (fresh checkpoint => full replay) and prunes older generations
+    only after its own write completes, so a previous invocation's
+    lazy result stays consistent until this one is durable
+    (generational_sink_dir's single-outstanding-result contract)."""
     import glob
     import shutil
     import tempfile
 
-    from neo_olap_spark.operators.io_sources import session_sink_dir
+    from neo_olap_spark.operators.io_sources import generational_sink_dir
 
     events_dir = tempfile.mkdtemp(prefix=f"neo_olap_{key}_src_")
-    base = session_sink_dir(spark, key)
-    shutil.rmtree(base, ignore_errors=True)  # fresh checkpoint => full replay
+    base, promote = generational_sink_dir(spark, key)
     sink_dir = f"{base}/sink"
     try:
         _copy_events_parquet(spark, sf_dir, events_dir)
@@ -337,6 +338,7 @@ def _run_interval_join_to_parquet(
             sink_dir,
             f"{base}/ckpt",
         )
+        promote()
         cols = ["click_id", "purchase_id", "user_id"]
         if not glob.glob(f"{sink_dir}/batch_id=*/part-*"):
             # every micro-batch was empty: the partitioned writer left
@@ -665,11 +667,10 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.window import Window as W
 
-    from neo_olap_spark.operators.io_sources import session_sink_dir
+    from neo_olap_spark.operators.io_sources import generational_sink_dir
 
     events_dir = tempfile.mkdtemp(prefix="neo_olap_stateful_")
-    base = session_sink_dir(spark, "stream_stateful")
-    shutil.rmtree(base, ignore_errors=True)  # fresh checkpoint => full replay
+    base, promote = generational_sink_dir(spark, "stream_stateful")
     sink_dir = f"{base}/sink"
     try:
         _copy_events_parquet(spark, sf_dir, events_dir)
@@ -679,6 +680,7 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{base}/ckpt",
             output_mode="update",
         )
+        promote()
         if not glob.glob(f"{sink_dir}/batch_id=*/part-*"):
             return spark.createDataFrame(
                 [], "user_id long, n_events long, sum_value double"

@@ -209,6 +209,8 @@ def q_udf_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pythonUDTF.arrow.enabled) and plan-asserted in tests — the row
     stream never funnels through the driver, and the lateral
     correlation adds no shuffle."""
+    import uuid
+
     from pyspark.sql.functions import udtf
 
     # pin Arrow evaluation for THIS plan only — the conf is read at
@@ -225,7 +227,13 @@ def q_udf_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
             def eval(self, cents: int):
                 yield from installment_rows(cents)
 
-        spark.udtf.register("installments", Installments)
+        # per-call unique names: session-global registrations must not
+        # collide with (or clobber) another caller's 'installments' /
+        # view in the same shared SparkSession
+        tag = uuid.uuid4().hex[:12]
+        fn_name = f"installments_{tag}"
+        view_name = f"udtf_orders_v_{tag}"
+        spark.udtf.register(fn_name, Installments)
         o = (
             load(spark, sf_dir, "orders")
             .where(F.col("o_orderkey") < 2000)
@@ -234,11 +242,11 @@ def q_udf_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
             )
         )
-        o.createOrReplaceTempView("udtf_orders_v")
+        o.createOrReplaceTempView(view_name)
         return spark.sql(
-            """
+            f"""
             SELECT o.o_orderkey, t.installment_no, t.amount_cents
-            FROM udtf_orders_v o, LATERAL installments(o.cents) t
+            FROM {view_name} o, LATERAL {fn_name}(o.cents) t
             """
         )
     finally:
