@@ -515,8 +515,10 @@ ROCKSDB_PROVIDER = (
 def has_transform_with_state_runtime() -> bool:
     """transformWithState's state-server protocol is protobuf-based;
     the pyspark driver worker imports google.protobuf at query start.
-    Gate registration on that import so environments without protobuf
-    (like this container) don't register a key that can only crash."""
+    Gate the PREFERRED branch on that import; environments without
+    protobuf take the applyInPandasWithState fallback, which expresses
+    the same running counts without the state-server protocol — so the
+    key registers everywhere (SURVEY §2.3: 209/209)."""
     try:
         from google.protobuf import descriptor  # noqa: F401
 
@@ -525,48 +527,110 @@ def has_transform_with_state_runtime() -> bool:
         return False
 
 
+def _type_count_fn(key, pdfs, state):
+    """Per-(user, event_type) running count held in Spark's state store
+    across micro-batches; emits the cumulative total each time the key
+    receives rows (update mode). Arrow-batched like _user_stats_fn."""
+    import pandas as pd  # executor-side import
+
+    (n,) = state.get if state.exists else (0,)
+    for pdf in pdfs:
+        n += len(pdf)
+    state.update((n,))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "event_type": [key[1]], "n_events": [n]}
+    )
+
+
+def streaming_type_counts_fallback(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Running per-(user, event_type) counts on the PROTOBUF-FREE
+    arbitrary-stateful API (applyInPandasWithState): grouping on the
+    COMPOSITE (user_id, event_type) key flattens the TypeCountProcessor's
+    per-user map-of-type-counts into one scalar count per state key —
+    identical semantics, no transformWithState state-server protocol.
+    State stays bounded by (users × event types), exactly like the
+    MapState formulation; the trade is that per-user multi-valued
+    operations (e.g. emitting a user's full type distribution on every
+    input row) would need a map serialized into the single state tuple,
+    which is why transformWithState remains the preferred branch where
+    its runtime exists."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = stream_events(spark, events_dir)
+    return ev.groupBy("user_id", "event_type").applyInPandasWithState(
+        _type_count_fn,
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@query(
+    "q_stream_transform_state",
+    oracle="""
+    SELECT user_id, event_type, COUNT(*) AS n_events
+    FROM events GROUP BY user_id, event_type
+    """,
+)
 def q_stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Drives the REAL transformWithStateInPandas operator: events
-    replay as a file stream; per-user MapState accumulates per-type
-    counts in update mode; the maximal (= final) emission per
-    (user, type) must equal the batch group-by — the oracle."""
+    """Drives a REAL arbitrary-stateful streaming operator: events
+    replay as a file stream; per-(user, type) running counts accumulate
+    in the state store in update mode; the maximal (= final) emission
+    per (user, type) must equal the batch group-by — the oracle.
+
+    Two branches, one semantics: where google.protobuf exists, the
+    Spark 4.x transformWithStateInPandas operator (per-user MapState
+    keyed by event_type, RocksDB provider); otherwise the
+    applyInPandasWithState fallback on the composite key — so the key
+    is registered in EVERY environment. Update-mode emissions land in
+    the foreachBatch parquet sink and the final-state extraction is a
+    distributed window over the LAZY sink read: (user × type) state is
+    fact-sized at scale, so nothing funnels through the driver (same
+    sink rule as q_stream_stateful)."""
+    import glob
     import shutil
     import tempfile
 
     from pyspark.sql.window import Window as W
 
+    from neo_olap_spark.operators.io_sources import generational_sink_dir
+
     events_dir = tempfile.mkdtemp(prefix="neo_olap_tws_")
+    base, promote = generational_sink_dir(spark, "stream_transform_state")
+    sink_dir = f"{base}/sink"
     provider_key = "spark.sql.streaming.stateStore.providerClass"
     prev_provider = spark.conf.get(provider_key, None)
+    use_tws = has_transform_with_state_runtime()
     try:
         _copy_events_parquet(spark, sf_dir, events_dir)
-        spark.conf.set(provider_key, ROCKSDB_PROVIDER)
-        name = _fresh_sink_name("t_tws")
-        run_stream_once(streaming_type_counts(spark, events_dir), name, output_mode="update")
-        mem = spark.table(name)
+        if use_tws:
+            spark.conf.set(provider_key, ROCKSDB_PROVIDER)
+            stream = streaming_type_counts(spark, events_dir)
+        else:
+            stream = streaming_type_counts_fallback(spark, events_dir)
+        run_foreach_batch_to_parquet(
+            stream, sink_dir, f"{base}/ckpt", output_mode="update"
+        )
+        promote()
+        if not glob.glob(f"{sink_dir}/batch_id=*/part-*"):
+            return spark.createDataFrame(
+                [], "user_id long, event_type string, n_events long"
+            )
+        mem = spark.read.parquet(sink_dir)
         w = W.partitionBy("user_id", "event_type").orderBy(F.col("n_events").desc())
-        final = (
+        return (
             mem.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
             .select("user_id", "event_type", "n_events")
         )
-        return spark.createDataFrame(final.collect(), final.schema)
     finally:
-        if prev_provider is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev_provider)
+        if use_tws:
+            if prev_provider is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, prev_provider)
         shutil.rmtree(events_dir, ignore_errors=True)
-
-
-if has_transform_with_state_runtime():
-    q_stream_transform_state = query(
-        "q_stream_transform_state",
-        oracle="""
-        SELECT user_id, event_type, COUNT(*) AS n_events
-        FROM events GROUP BY user_id, event_type
-        """,
-    )(q_stream_transform_state)
 
 
 def run_to_parquet_sink(df: DataFrame, sink_dir: str, ckpt_dir: str) -> None:

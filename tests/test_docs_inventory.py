@@ -7,7 +7,6 @@ from __future__ import annotations
 import re
 from pathlib import Path
 
-from neo_olap_spark.operators.streaming import has_transform_with_state_runtime
 from neo_olap_spark.registry import queries
 
 SURVEY = Path(__file__).resolve().parent.parent / "SURVEY.md"
@@ -24,9 +23,6 @@ def _inventory_keys() -> set[str]:
 def test_survey_inventory_matches_registry():
     documented = _inventory_keys()
     registered = set(queries())
-    # the gated transformWithState key is documented with its gate note
-    if not has_transform_with_state_runtime():
-        documented.discard("q_stream_transform_state")
     missing_from_docs = registered - documented
     stale_in_docs = documented - registered
     assert not missing_from_docs, f"registered but not in SURVEY §2.4: {sorted(missing_from_docs)}"
