@@ -495,11 +495,107 @@ def resumable_random_walk_counts(
         return counts
 
 
-@query("q_random_walk_counts")
+def _random_walk_oracle(n_walkers: int, n_steps: int, seed: int) -> str:
+    """DuckDB twin of the seeded fixed-step walk: every stochastic
+    choice is a DETERMINISTIC xxhash64 of (walker, step, seed) or
+    (node, seed), so the walk unrolls into per-step CTEs exactly like
+    the pagerank/betweenness twins — no randomness left to model.
+
+    The two hash pipelines come from functions/xxhash_sql.py (bit-exact
+    Spark XXH64, tests/test_xxhash_sql.py): ``selh`` ranks every node
+    by xxhash64(node, seed) to re-derive the 0..n-1 walker numbering,
+    and ``ph`` hashes the (walker, step) grid for the per-step neighbor
+    picks. The data-dependent parts — sorted neighbor arrays, dead-end
+    detection, the dense teleport address space (customer/order/part
+    count prefix sums, _teleport_address_space) — are recomputed from
+    the tables. Walk semantics mirrored from _advance_walkers: pick =
+    nbrs[pmod(h, len)+1] on the ascending-sorted distinct neighbor
+    list; dead ends teleport to node_of_idx(pmod(h, n_nodes))."""
+    from neo_olap_spark.functions.xxhash_sql import xxhash64_sql
+
+    sel = xxhash64_sql(
+        "nodes", ["node"], [("node", "long"), (str(seed), "int")], "sh"
+    )
+    pick = xxhash64_sql(
+        "grid",
+        ["wid", "step"],
+        [("wid", "int"), ("step", "int"), (str(seed), "int")],
+        "h",
+    )
+    steps = []
+    for d in range(1, n_steps + 1):
+        steps.append(
+            f"""s{d} AS (
+      SELECT walker_id,
+             CASE WHEN COALESCE(len(nbrs), 0) > 0
+                  THEN nbrs[CAST(((h % len(nbrs)) + len(nbrs)) % len(nbrs)
+                                 AS INT) + 1]
+                  WHEN tix < nc THEN tix
+                  WHEN tix < nc + no_ THEN {_ORD} + tix - nc
+                  ELSE {_PRT} + tix - nc - no_ END AS node
+      FROM (
+        SELECT q.*, ((h % ntot) + ntot) % ntot AS tix FROM (
+          SELECT w.walker_id, p.h, a.nbrs, c.nc, c.no_,
+                 c.nc + c.no_ + c.np AS ntot
+          FROM s{d - 1} w
+          JOIN ph p ON p.step = {d} AND p.wid = w.walker_id
+          LEFT JOIN adj a ON a.src = w.node
+          CROSS JOIN cnt c
+        ) q
+      )
+    )"""
+        )
+    visits = " UNION ALL ".join(
+        f"SELECT node FROM s{d}" for d in range(n_steps + 1)
+    )
+    return f"""
+    WITH cnt AS (
+      SELECT (SELECT COUNT(*) FROM customer) AS nc,
+             (SELECT COUNT(*) FROM orders) AS no_,
+             (SELECT COUNT(*) FROM part) AS np
+    ),
+    nodes AS (
+      SELECT c_custkey AS node FROM customer
+      UNION ALL SELECT {_ORD} + o_orderkey FROM orders
+      UNION ALL SELECT {_PRT} + p_partkey FROM part
+    ),
+    selh AS ({sel}),
+    walkers AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY sh) - 1 AS INT) AS walker_id,
+             node
+      FROM (SELECT node, sh FROM selh ORDER BY sh LIMIT {n_walkers})
+    ),
+    e AS (
+      SELECT o_custkey AS src, {_ORD} + o_orderkey AS dst FROM orders
+      UNION ALL
+      SELECT {_ORD} + l_orderkey AS src, {_PRT} + l_partkey AS dst
+      FROM lineitem
+    ),
+    sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+    adj AS (
+      SELECT src, list(dst ORDER BY dst) AS nbrs
+      FROM (SELECT DISTINCT src, dst FROM sym) GROUP BY src
+    ),
+    grid AS (
+      SELECT CAST(w.range AS INT) AS wid, CAST(s.range AS INT) AS step
+      FROM range(0, {n_walkers}) w, range(1, {n_steps + 1}) s
+    ),
+    ph AS ({pick}),
+    s0 AS (SELECT walker_id, node FROM walkers),
+    {",".join(steps)},
+    visits AS ({visits})
+    SELECT node AS node_id, COUNT(*) AS visits FROM visits GROUP BY node
+    """
+
+
+@query("q_random_walk_counts", oracle=_random_walk_oracle(256, 16, 42))
 def q_random_walk_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R1: random-walk visit counts (rows-only; invariants tested in
-    tests/test_graph_algos.py: counts sum to walkers×(steps+1), seed
-    determinism)."""
+    """R1: random-walk visit counts. Oracle-backed: the kernel is a
+    seeded deterministic hash trajectory (RandomWalkingRunner.java:24
+    replaces wall-clock randomness with xxhash64 picks, SURVEY §7.3),
+    so the DuckDB twin replays the identical walk; invariants (counts
+    sum to walkers×(steps+1), seed determinism) stay covered in
+    tests/test_graph_algos.py."""
     return random_walk_counts(spark, sf_dir, n_walkers=256, n_steps=16, seed=42)
 
 

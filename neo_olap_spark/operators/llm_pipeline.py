@@ -415,8 +415,7 @@ def q_pipeline_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 PCA_K = 8  # retained components
 
 
-@query("q_embed_pca")  # rows-only: eigenvectors are not SQL-expressible
-def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA over the embedding store: ONE Arrow pass
     computes per-partition moment partials (n, Σx, ΣxᵀX — d + d²
     doubles each), the driver assembles the d×d covariance and
@@ -430,9 +429,10 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Sign convention: each component is flipped so its largest-|coord|
     entry is positive (eigenvector sign is arbitrary; pinning it makes
-    the output stable across runs). Rows-only key: eigen-decomposition
-    has no SQL twin; orthonormality / variance-ordering /
-    reconstruction invariants are asserted in tests/test_llm_ops.py.
+    the output stable across runs). Orthonormality / variance-ordering /
+    reconstruction invariants are asserted in tests/test_llm_ops.py;
+    the registered key q_embed_pca wraps this projection in a
+    hash-checkable verdict row.
 
     No reference analog — driver-mandated training-pipeline surface
     (SURVEY.md §2.3); shares the bounded-driver-state design of the
@@ -442,6 +442,36 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    n_total, mean, cov, comps, _ = _pca_fit(e)
+    comps_b = spark.sparkContext.broadcast(comps)
+    mean_b = spark.sparkContext.broadcast(mean)
+
+    def project(batches):
+        w = comps_b.value
+        mu = mean_b.value
+        for pdf in batches:
+            x = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+            proj = (x - mu) @ w.T if x.size else np.zeros((0, w.shape[0]))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "pc": [row.tolist() for row in proj],
+                }
+            )
+
+    return e.mapInPandas(project, "vec_id long, label int, pc array<double>")
+
+
+def _pca_fit(e: DataFrame):
+    """One-pass moment fit: per-partition Arrow partials (n, Σx, ΣxᵀX)
+    reduce to the driver as O(partitions) rows of O(d²) doubles, the
+    d×d covariance eigendecomposes there (O(d³) on 64 dims), and the
+    top-K components get their signs pinned. Returns
+    (n_total, mean, cov, comps K×d, evals_desc all-d)."""
+    import numpy as np
+    import pandas as pd
+
     dim = 64  # asserted below from the first batch; embeddings are fixed-width
 
     def moment_partials(batches):
@@ -473,6 +503,7 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean = s_total / n_total
     cov = (g_total - n_total * np.outer(mean, mean)) / (n_total - 1)
     evals, evecs = np.linalg.eigh(cov)  # ascending
+    evals_desc = evals[::-1].copy()
     order = np.argsort(evals)[::-1][:PCA_K]
     comps = evecs[:, order].T  # (K, d)
     # pin signs: largest-|coord| entry of each component is positive
@@ -480,24 +511,126 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         j = int(np.argmax(np.abs(comps[i])))
         if comps[i, j] < 0:
             comps[i] = -comps[i]
-    comps_b = spark.sparkContext.broadcast(comps)
-    mean_b = spark.sparkContext.broadcast(mean)
+    return n_total, mean, cov, comps, evals_desc
 
-    def project(batches):
-        w = comps_b.value
-        mu = mean_b.value
-        for pdf in batches:
-            x = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
-            proj = (x - mu) @ w.T if x.size else np.zeros((0, w.shape[0]))
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "label": pdf["label"],
-                    "pc": [row.tolist() for row in proj],
-                }
+
+PCA_QUANT = 10**6  # per-element quantization step for the exact anchors
+
+
+@query(
+    "q_embed_pca",
+    oracle=f"""
+    WITH q AS (
+      SELECT r.i AS pos,
+             CAST(FLOOR(CAST(embedding[r.i] AS DOUBLE) * {PCA_QUANT} + 0.5)
+                  AS BIGINT) AS qv
+      FROM embeddings, range(1, 65) r(i)
+    ),
+    per AS (SELECT pos, SUM(qv) AS sx, SUM(qv * qv) AS sxx FROM q GROUP BY pos),
+    nn AS (SELECT COUNT(*) AS n FROM embeddings)
+    SELECT n AS n_vectors, 64 AS dim,
+           CAST((SELECT SUM(CAST(n AS HUGEINT) * sxx
+                            - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT))
+                 FROM per) AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * (n - 1) * {PCA_QUANT}::HUGEINT
+                    * {PCA_QUANT} AS DOUBLE) AS trace,
+           (SELECT CAST(SUM(ABS(sx)) AS BIGINT) FROM per) AS mean_l1_q,
+           TRUE AS ortho_ok, TRUE AS var_ordered_ok,
+           TRUE AS explained_ok, TRUE AS recon_ok
+    FROM nn
+    """,
+)
+def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable PCA verdict (the tolerance-oracle pattern of
+    q_agg_approx_quantile): eigenvectors themselves have no SQL twin,
+    so the key emits what BOTH engines can derive exactly plus contract
+    booleans the oracle answers with literal TRUEs.
+
+    Exact anchors — per-element quantization (FLOOR(x·1e6 + 0.5), an
+    IEEE-identical float64 expression on both engines) makes every
+    moment an INTEGER, so Σx and Σx² per dimension are exact in any
+    summation order; the covariance trace derives from them via one
+    shared closed-form division (Python-int exact ↔ HUGEINT exact →
+    one double cast each), and mean_l1_q = Σ_d|Σx_d| is a pure-integer
+    fingerprint of the mean vector. Booleans — the fitted model must
+    satisfy: WWᵀ = I to 1e-8 (ortho_ok); eigenvalues descending,
+    non-negative to spectrum scale (var_ordered_ok); retained top-K
+    variance within [K/d · trace, trace] with 1e-3 quantization slack
+    (explained_ok — top-K eigenvalues can never fall below the
+    average-eigenvalue floor); and the PROJECTED output's empirical
+    second moment must reproduce trace − Σ_K λ as its reconstruction
+    residual (recon_ok — ties the actual emitted projection back to
+    the spectrum, not just the fit).
+
+    The anchors cost one extra zero-shuffle-to-64-groups integer
+    aggregate; the verdict row is O(1) regardless of corpus size."""
+    import numpy as np
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    n_total, mean, cov, comps, evals_desc = _pca_fit(e)
+
+    # exact integer anchors (bounded collect: exactly 64 rows)
+    per = (
+        e.select(F.posexplode("embedding").alias("pos", "v"))
+        .select(
+            "pos",
+            F.floor(F.col("v").cast("double") * PCA_QUANT + F.lit(0.5))
+            .cast("long")
+            .alias("qv"),
+        )
+        .groupBy("pos")
+        .agg(F.sum("qv").alias("sx"), F.sum(F.col("qv") * F.col("qv")).alias("sxx"))
+        .collect()
+    )
+    trace_num = sum(n_total * r.sxx - r.sx * r.sx for r in per)  # exact int
+    trace_q = float(trace_num) / float(n_total * (n_total - 1) * PCA_QUANT**2)
+    mean_l1_q = sum(abs(r.sx) for r in per)
+
+    # contract booleans over the float64 fit + the emitted projection
+    k, d = comps.shape
+    ortho_ok = bool(np.abs(comps @ comps.T - np.eye(k)).max() < 1e-8)
+    scale = max(1.0, float(evals_desc[0]))
+    var_ordered_ok = bool(
+        all(
+            evals_desc[i] >= evals_desc[i + 1] - 1e-9 * scale
+            for i in range(len(evals_desc) - 1)
+        )
+        and evals_desc[-1] >= -1e-9 * scale
+    )
+    top_k = float(evals_desc[:k].sum())
+    explained_ok = bool(
+        top_k >= (k / d) * trace_q * (1 - 1e-3) and top_k <= trace_q * (1 + 1e-3)
+    )
+    proj = embed_pca_project(spark, sf_dir)
+    s2 = proj.select(
+        F.aggregate(
+            "pc", F.lit(0.0), lambda acc, x: acc + x * x
+        ).alias("s2")
+    ).agg(F.sum("s2").alias("t")).collect()[0].t
+    trace_f64 = float(np.trace(cov))
+    resid_emp = trace_f64 - float(s2) / (n_total - 1)
+    resid_fit = trace_f64 - top_k
+    recon_ok = bool(
+        resid_emp >= -1e-9 * max(1.0, trace_f64)
+        and abs(resid_emp - resid_fit) <= 1e-6 * max(1.0, trace_f64)
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_total,
+                d,
+                trace_q,
+                mean_l1_q,
+                ortho_ok,
+                var_ordered_ok,
+                explained_ok,
+                recon_ok,
             )
-
-    return e.mapInPandas(project, "vec_id long, label int, pc array<double>")
+        ],
+        "n_vectors long, dim int, trace double, mean_l1_q long,"
+        " ortho_ok boolean, var_ordered_ok boolean,"
+        " explained_ok boolean, recon_ok boolean",
+    )
 
 
 # ---------------------------------------------------------------------------

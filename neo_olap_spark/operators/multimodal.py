@@ -209,12 +209,12 @@ def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@query("q_multimodal_resize")
-def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Thumbnail pipeline over binary payloads (rows-only): real
-    decode -> 16x16 nearest-neighbor resize -> real PNG re-encode ->
-    content hash of the thumbnail — the resize-then-dedup shape of a
-    media ingest pipeline. The output payload is a valid PNG."""
+def multimodal_resize_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary thumbnail pipeline: real decode -> 16x16 nearest-neighbor
+    resize -> real PNG re-encode; emits the thumbnail bytes + content
+    hash (the resize-then-dedup shape of a media ingest pipeline). The
+    library form — the registered key wraps it in a hash-checkable
+    verdict (payload bytes themselves have no SQL twin)."""
     m = media_table(spark, sf_dir)
     resized = m.select("doc_id", "payload").mapInPandas(_resize_batches, RESIZE_SCHEMA)
     return resized.select(
@@ -224,6 +224,93 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width",
         "height",
         "codec",
+    )
+
+
+RESIZE_VERDICT_SCHEMA = (
+    "doc_id long, width long, height long, "
+    "mean_r long, mean_g long, mean_b long, roundtrip_ok boolean, codec string"
+)
+
+
+def _resize_verdict_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Thumbnail kernel with a self-checking tail: decode -> resize ->
+    RE-ENCODE -> RE-DECODE; features come from the re-decoded array (so
+    they attest the actual emitted artifact, not the pre-encode state)
+    and roundtrip_ok asserts bit-exactness through the codec."""
+    import numpy as np
+
+    from neo_olap_spark.functions.png_codec import (
+        decode_png,
+        encode_png,
+        resize_nearest,
+    )
+
+    for pdf in batches:
+        rows: dict[str, list] = {
+            "doc_id": [], "width": [], "height": [],
+            "mean_r": [], "mean_g": [], "mean_b": [],
+            "roundtrip_ok": [], "codec": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            thumb = resize_nearest(decode_png(payload), TARGET_W, TARGET_H)
+            back = decode_png(encode_png(thumb))
+            means = back.reshape(-1, 3).mean(axis=0)
+            rows["doc_id"].append(doc_id)
+            rows["width"].append(TARGET_W)
+            rows["height"].append(TARGET_H)
+            rows["mean_r"].append(int(np.floor(means[0])))
+            rows["mean_g"].append(int(np.floor(means[1])))
+            rows["mean_b"].append(int(np.floor(means[2])))
+            rows["roundtrip_ok"].append(bool(np.array_equal(thumb, back)))
+            rows["codec"].append(MEDIA_CODEC)
+        yield pd.DataFrame(rows)
+
+
+@query(
+    "q_multimodal_resize",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(24 + doc_id % 17 AS BIGINT) AS sw,
+             CAST(24 + (doc_id * 7) % 13 AS BIGINT) AS sh
+      FROM documents
+    ),
+    grid AS (
+      SELECT d.doc_id,
+             (xt.i * d.sw) // {TARGET_W} AS x,
+             (yt.i * d.sh) // {TARGET_H} AS y
+      FROM dims d,
+           LATERAL (SELECT UNNEST(range({TARGET_W})) AS i) xt,
+           LATERAL (SELECT UNNEST(range({TARGET_H})) AS i) yt
+    )
+    SELECT doc_id,
+           CAST({TARGET_W} AS BIGINT) AS width,
+           CAST({TARGET_H} AS BIGINT) AS height,
+           CAST(FLOOR(AVG((x * 3 + doc_id) % 256)) AS BIGINT) AS mean_r,
+           CAST(FLOOR(AVG((y * 5 + doc_id // 3) % 256)) AS BIGINT) AS mean_g,
+           CAST(FLOOR(AVG((x + y + doc_id % 97) % 256)) AS BIGINT) AS mean_b,
+           TRUE AS roundtrip_ok, 'png/rgb8' AS codec
+    FROM grid GROUP BY doc_id
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-BACKED thumbnailing: real decode -> 16x16 nearest-
+    neighbor resize -> real re-encode -> re-decode, emitting the
+    thumbnail's per-channel means + a codec-roundtrip boolean.
+
+    The nearest-neighbor index map is pure integer math
+    (src = (dst·src_dim)//16, png_codec.resize_nearest), so DuckDB
+    re-derives every sampled pixel of every thumbnail from the synth
+    pattern's closed form and recomputes the exact means (integer sums
+    are exact in float64; /256 is a power-of-two division). A mismatch
+    anywhere in decode, index mapping, re-encode, or re-decode flips a
+    mean or the roundtrip bit and fails the hash. The binary-payload
+    variant stays available as multimodal_resize_payloads (bytes have
+    no SQL twin — same split as the sketch family's verdict rows)."""
+    m = media_table(spark, sf_dir)
+    return m.select("doc_id", "payload").mapInPandas(
+        _resize_verdict_batches, RESIZE_VERDICT_SCHEMA
     )
 
 
@@ -289,15 +376,103 @@ def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
         yield pd.DataFrame(rows)
 
 
-@query("q_multimodal_frames")
-def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling over multi-frame media (rows-only): REAL frame
-    boundaries (PNG chunk walk), every-2nd-frame selection, true
-    per-frame dimensions from the IHDR — the metadata-only fast path
-    that never inflates pixel data it won't use — plus the content
-    hash a frame-level dedup would key on."""
+def multimodal_frame_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling emitting per-frame content hashes — the library
+    form a frame-level dedup would key on (hashes of re-encoded bytes
+    have no SQL twin; the registered key emits the oracle-checkable
+    feature variant instead)."""
     m = video_table(spark, sf_dir)
     return m.select("doc_id", "payload").mapInPandas(_frame_sample_batches, FRAMES_SCHEMA)
+
+
+FRAMES_VERDICT_SCHEMA = (
+    "doc_id long, frame_no long, width long, height long, "
+    "mean_r long, mean_g long, mean_b long, png_ok boolean"
+)
+
+
+def _frame_verdict_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Frame-sampling kernel with full decode: boundary split, stride
+    selection, REAL pixel decode of each kept frame -> per-channel
+    means; png_ok cross-checks the IHDR header dims against the
+    decoded array shape."""
+    import numpy as np
+
+    from neo_olap_spark.functions.png_codec import (
+        decode_png,
+        png_dimensions,
+        split_png_stream,
+    )
+
+    for pdf in batches:
+        rows: dict[str, list] = {
+            "doc_id": [], "frame_no": [], "width": [], "height": [],
+            "mean_r": [], "mean_g": [], "mean_b": [], "png_ok": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            frames = split_png_stream(payload)
+            for k in range(0, len(frames), FRAME_STRIDE):
+                w, h = png_dimensions(frames[k])
+                arr = decode_png(frames[k])
+                means = arr.reshape(-1, 3).mean(axis=0)
+                rows["doc_id"].append(doc_id)
+                rows["frame_no"].append(k)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["mean_r"].append(int(np.floor(means[0])))
+                rows["mean_g"].append(int(np.floor(means[1])))
+                rows["mean_b"].append(int(np.floor(means[2])))
+                rows["png_ok"].append(arr.shape[0] == h and arr.shape[1] == w)
+        yield pd.DataFrame(rows)
+
+
+@query(
+    "q_multimodal_frames",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(16 + doc_id % 9 AS BIGINT) AS w,
+             CAST(16 + (doc_id * 3) % 7 AS BIGINT) AS h,
+             2 + doc_id % 3 AS n_frames
+      FROM documents
+    ),
+    sel AS (
+      SELECT doc_id, w, h, CAST(k.i AS BIGINT) AS frame_no
+      FROM f, LATERAL (SELECT UNNEST(range(0, f.n_frames, {FRAME_STRIDE})) AS i) k
+    ),
+    grid AS (
+      SELECT s.doc_id, s.frame_no, s.w, s.h, x.i AS x, y.i AS y
+      FROM sel s,
+           LATERAL (SELECT UNNEST(range(s.w)) AS i) x,
+           LATERAL (SELECT UNNEST(range(s.h)) AS i) y
+    )
+    SELECT doc_id, frame_no, w AS width, h AS height,
+           CAST(FLOOR(AVG((x * 2 + frame_no * 31 + doc_id) % 256)) AS BIGINT)
+             AS mean_r,
+           CAST(FLOOR(AVG((y * 3 + frame_no * 17) % 256)) AS BIGINT) AS mean_g,
+           CAST(FLOOR(AVG((x + y + frame_no * 7 + doc_id // 5) % 256)) AS BIGINT)
+             AS mean_b,
+           TRUE AS png_ok
+    FROM grid GROUP BY doc_id, frame_no, w, h
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-BACKED frame sampling over multi-frame media: REAL frame
+    boundaries (PNG chunk walk to IEND), every-2nd-frame selection,
+    true per-frame dimensions from the IHDR, full pixel decode of each
+    kept frame -> per-channel means.
+
+    The synth pattern varies per frame index, so DuckDB re-derives the
+    sampled frame set (frame_no ∈ range(0, 2+doc_id%3, 2)), each
+    frame's dims, and the exact channel means from closed forms —
+    hash-checking boundary detection, stride selection, header parse,
+    and decode in one key (integer pixel sums are exact in float64;
+    the single mean division is IEEE-identical). The sha-emitting
+    dedup variant stays available as multimodal_frame_hashes."""
+    m = video_table(spark, sf_dir)
+    return m.select("doc_id", "payload").mapInPandas(
+        _frame_verdict_batches, FRAMES_VERDICT_SCHEMA
+    )
 
 
 @query(

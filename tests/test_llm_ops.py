@@ -248,10 +248,10 @@ def test_pca_invariants(spark, sf_dir):
     the same rank (the whole point of PCA)."""
     import numpy as np
 
-    from neo_olap_spark.operators.llm_pipeline import PCA_K, q_embed_pca
+    from neo_olap_spark.operators.llm_pipeline import PCA_K, embed_pca_project
     from neo_olap_spark.tables import load as load_t
 
-    rows = q_embed_pca(spark, sf_dir).collect()
+    rows = embed_pca_project(spark, sf_dir).collect()
     e = load_t(spark, sf_dir, "embeddings")
     assert len(rows) == e.count()
     P = np.array([r["pc"] for r in rows])
@@ -271,7 +271,7 @@ def test_pca_invariants(spark, sf_dir):
     assert var.sum() > rand_var
     assert var.sum() <= total_var + 1e-6
     # deterministic across runs
-    again = {r["vec_id"]: r["pc"] for r in q_embed_pca(spark, sf_dir).collect()}
+    again = {r["vec_id"]: r["pc"] for r in embed_pca_project(spark, sf_dir).collect()}
     for r in rows[:50]:
         assert np.allclose(again[r["vec_id"]], r["pc"])
 

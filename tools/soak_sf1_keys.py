@@ -95,6 +95,77 @@ def build_docs10(spark) -> str:
     return DOCS10_DIR
 
 
+FULL_DIR = "/tmp/neo_olap_sf1_full"
+
+
+def build_sf1_full(spark) -> str:
+    """The whole-surface 10x fixture (VERDICT r4 item 4): every FACT
+    table replicated 10x with disjoint key offsets — orders/lineitem by
+    orderkey, events by (event_id, user_id) so per-user window/session
+    state stays constant-size while group count grows 10x (the shape
+    real growth has), documents by doc_id, embeddings by vec_id.
+    Dimension tables (customer/part/supplier/nation/region) are shared
+    via symlink, exactly like the graph soak — so joins densify rather
+    than splitting into disjoint universes."""
+    os.makedirs(FULL_DIR, exist_ok=True)
+    scaled = {
+        "orders": ["o_orderkey"],
+        "lineitem": ["l_orderkey"],
+        "events": ["event_id", "user_id"],
+        "documents": ["doc_id"],
+        "embeddings": ["vec_id"],
+    }
+    for t in TABLES:
+        if t in scaled:
+            continue
+        link = f"{FULL_DIR}/{t}.parquet"
+        if not os.path.exists(link):
+            os.symlink(f"{SRC}/{t}.parquet", link)
+    if os.path.exists(f"{FULL_DIR}/embeddings.parquet/_SUCCESS"):
+        return FULL_DIR
+    for t, keycols in scaled.items():
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        copies = None
+        for k in range(N_COPIES):
+            c = df
+            for col in keycols:
+                c = c.withColumn(col, F.col(col) + F.lit(k * KEY_OFFSET))
+            copies = c if copies is None else copies.unionByName(c)
+        copies.write.mode("overwrite").parquet(f"{FULL_DIR}/{t}.parquet")
+    return FULL_DIR
+
+
+def soak_waves(spark, qs, keys: list[str]) -> dict:
+    """Two-point scaling measurement per key: run at sf0.1 then at the
+    10x fixture IN THE SAME SESSION (the ±20% machine drift between
+    sessions would swamp small keys), record the ratio and the implied
+    scaling exponent log10(t10/t1). Keys faster than 2 s at 10x are
+    tagged overhead_bound — their ratio measures JVM fixed costs, not
+    data scaling, so the exponent is not evidence of super-linearity."""
+    import math
+
+    d10 = build_sf1_full(spark)
+    out: dict = {}
+    for key in keys:
+        rec: dict = {}
+        for tag, sf_dir in (("sf01_sec", SRC), ("sf1_sec", d10)):
+            t0 = time.time()
+            try:
+                qs[key](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                rec[tag] = round(time.time() - t0, 2)
+            except Exception as e:  # record, keep soaking
+                rec[tag + "_err"] = f"{type(e).__name__}: {e}"[:160]
+            spark.catalog.clearCache()
+        if "sf01_sec" in rec and "sf1_sec" in rec and rec["sf01_sec"] > 0:
+            rec["ratio"] = round(rec["sf1_sec"] / rec["sf01_sec"], 2)
+            rec["exponent"] = round(math.log10(max(rec["ratio"], 0.01)), 2)
+            rec["overhead_bound"] = rec["sf1_sec"] < 2.0
+        out[key] = rec
+    return out
+
+
 DEDUP_KEYS = ["q_dedup_exact", "q_dedup_near", "q_dedup_simhash", "q_dedup_ngram"]
 
 
@@ -144,6 +215,12 @@ def main() -> None:
     )
     if keys == ["dedup10"]:
         print(json.dumps(soak_dedup_10x(spark, queries())))
+        return
+    if keys and keys[0] == "waves":
+        import bench
+
+        wave_keys = keys[1:] or (bench.HEADLINE + bench.HEADLINE2 + bench.HEADLINE3)
+        print(json.dumps(soak_waves(spark, queries(), wave_keys)))
         return
     t0 = time.time()
     build_sf1(spark)
