@@ -194,6 +194,38 @@ def _copy_events_parquet(spark: SparkSession, sf_dir: str, dest_dir: str) -> Non
     )
 
 
+from contextlib import contextmanager
+
+STATE_ROWS_PER_PARTITION = 50_000
+
+
+@contextmanager
+def _replay_state_partitions(spark: SparkSession, events_dir: str):
+    """Size stream-STATE partitioning to the replay volume (measured:
+    the 100k-row interval-join replay spends 11.8 s at 32 state
+    partitions vs 2.1 s at 2 — identical output; each shuffle partition
+    of a stateful operator owns state-store instances whose per-commit
+    file cost is fixed, so partitions beyond the data volume buy pure
+    overhead). The partition count is chosen ONCE per query from the
+    source's metadata row count (parquet footer — no data read) and
+    clamped to the session default as ceiling, so a 100 TB replay still
+    gets the full session width; a stream's state partitioning is fixed
+    at first start, which is why this must be decided before .start()
+    and why each invocation uses a fresh checkpoint generation.
+
+    Same principle as graph_algos._loop_shuffle_partitions: shuffle
+    width should track data volume, not a global constant."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    n_rows = spark.read.parquet(events_dir).count()  # metadata-only
+    parts = max(2, min(int(prev), n_rows // STATE_ROWS_PER_PARTITION + 1))
+    spark.conf.set(key, str(parts))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
 def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
     """Structured Streaming source over a directory of events parquet.
 
@@ -333,11 +365,12 @@ def _run_interval_join_to_parquet(
     sink_dir = f"{base}/sink"
     try:
         _copy_events_parquet(spark, sf_dir, events_dir)
-        run_foreach_batch_to_parquet(
-            streaming_interval_join(spark, events_dir, how),
-            sink_dir,
-            f"{base}/ckpt",
-        )
+        with _replay_state_partitions(spark, events_dir):
+            run_foreach_batch_to_parquet(
+                streaming_interval_join(spark, events_dir, how),
+                sink_dir,
+                f"{base}/ckpt",
+            )
         promote()
         cols = ["click_id", "purchase_id", "user_id"]
         if not glob.glob(f"{sink_dir}/batch_id=*/part-*"):
@@ -609,9 +642,10 @@ def q_stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream = streaming_type_counts(spark, events_dir)
         else:
             stream = streaming_type_counts_fallback(spark, events_dir)
-        run_foreach_batch_to_parquet(
-            stream, sink_dir, f"{base}/ckpt", output_mode="update"
-        )
+        with _replay_state_partitions(spark, events_dir):
+            run_foreach_batch_to_parquet(
+                stream, sink_dir, f"{base}/ckpt", output_mode="update"
+            )
         promote()
         if not glob.glob(f"{sink_dir}/batch_id=*/part-*"):
             return spark.createDataFrame(
@@ -694,11 +728,12 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         _copy_events_parquet(spark, sf_dir, events_dir)
         name = _fresh_sink_name("t_enrich")
         customer = load(spark, sf_dir, "customer")
-        run_stream_once(
-            streaming_enriched_segments(spark, events_dir, customer),
-            name,
-            output_mode="complete",
-        )
+        with _replay_state_partitions(spark, events_dir):
+            run_stream_once(
+                streaming_enriched_segments(spark, events_dir, customer),
+                name,
+                output_mode="complete",
+            )
         final = spark.table(name)
         return spark.createDataFrame(final.collect(), final.schema)
     finally:
@@ -738,12 +773,13 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink_dir = f"{base}/sink"
     try:
         _copy_events_parquet(spark, sf_dir, events_dir)
-        run_foreach_batch_to_parquet(
-            streaming_user_stats(spark, events_dir),
-            sink_dir,
-            f"{base}/ckpt",
-            output_mode="update",
-        )
+        with _replay_state_partitions(spark, events_dir):
+            run_foreach_batch_to_parquet(
+                streaming_user_stats(spark, events_dir),
+                sink_dir,
+                f"{base}/ckpt",
+                output_mode="update",
+            )
         promote()
         if not glob.glob(f"{sink_dir}/batch_id=*/part-*"):
             return spark.createDataFrame(
@@ -881,7 +917,8 @@ def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         name = _fresh_sink_name("t_late")
-        run_stream_once(out, name, output_mode="append")
+        with _replay_state_partitions(spark, files_dir):
+            run_stream_once(out, name, output_mode="append")
         final = spark.table(name)
         return spark.createDataFrame(final.collect(), final.schema)
     finally:
@@ -993,11 +1030,12 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         _copy_events_parquet(spark, sf_dir, events_dir)
         name = _fresh_sink_name("t_ohlc")
-        run_stream_once(
-            build_ohlc(stream_events(spark, events_dir)),
-            name,
-            output_mode="complete",
-        )
+        with _replay_state_partitions(spark, events_dir):
+            run_stream_once(
+                build_ohlc(stream_events(spark, events_dir)),
+                name,
+                output_mode="complete",
+            )
         final = spark.table(name)
         return spark.createDataFrame(final.collect(), final.schema)
     finally:

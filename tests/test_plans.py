@@ -623,3 +623,24 @@ def test_incremental_join_view_four_quadrants(q):
     )
     assert n_joins == 4, p
     assert "Cartesian" not in p, p
+
+
+def test_skew_strategy_defaults(spark):
+    """SCALING.md round-5 decision (AQE-vs-salting measurement): join
+    skew is handled by AQE's runtime skew-split and group skew by
+    map-side partial aggregation — both must stay pinned ON in the
+    session defaults, because hand-salting measured 1.5-2.7x SLOWER
+    under a planted 30%-hot-key at the 10x fixture
+    (tools/aqe_vs_salting.py)."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    # partial aggregation below the exchange (the group-skew answer):
+    # two HashAggregate levels around the shuffle
+    import os
+
+    from neo_olap_spark.tables import load as _load
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    li = _load(spark, sf, "lineitem")
+    p = li.groupBy("l_returnflag").count()._jdf.queryExecution().simpleString()
+    assert p.count("HashAggregate") >= 2, p

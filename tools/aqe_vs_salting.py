@@ -64,6 +64,10 @@ def hot_orders(spark, sf_dir: str):
 
 
 def timed(thunk) -> float:
+    """Warm-up run (codegen + shuffle-file cache), then the measured
+    run — otherwise whichever variant runs first eats the JIT bill and
+    the comparison measures ordering, not strategy."""
+    thunk()
     t0 = time.time()
     thunk()
     return round(time.time() - t0, 2)
@@ -110,6 +114,23 @@ def run(spark, sf_dir: str) -> dict:
     spark.conf.set(aqe_key, "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     out["join_plain_aqe"] = timed(plain_join)
+    # force the skew-split to actually fire: the hot partition here is
+    # ~54 MB, under the 256 MB default threshold — tuned to 8 MB the
+    # mechanism engages, which is what a 100 TB hot key would hit at
+    # the DEFAULT threshold
+    thr = "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+    fac = "spark.sql.adaptive.skewJoin.skewedPartitionFactor"
+    adv = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    prev_thr, prev_fac, prev_adv = (
+        spark.conf.get(thr), spark.conf.get(fac), spark.conf.get(adv)
+    )
+    spark.conf.set(thr, "8m")
+    spark.conf.set(fac, "2")
+    spark.conf.set(adv, "8m")
+    out["join_plain_aqe_split"] = timed(plain_join)
+    spark.conf.set(thr, prev_thr)
+    spark.conf.set(fac, prev_fac)
+    spark.conf.set(adv, prev_adv)
     spark.conf.set(aqe_key, "false")
     out["join_plain_noaqe"] = timed(plain_join)
     out["join_salted_noaqe"] = timed(salted_join)
