@@ -103,6 +103,20 @@ HEADLINE3 = [
 ]
 
 
+# Round-5 wave: keys registered or re-shaped in round 5 (frozen-list
+# protocol — earlier waves stay key-for-key comparable; q_embed_pca
+# stays in HEADLINE2 under its new verdict shape with a NEXT.md note).
+HEADLINE4 = [
+    "q_stream_transform_state",
+    "q_sim_ann_ivf",
+    "q_sim_ann_lsh",
+    "q_multimodal_resize",
+    "q_multimodal_frames",
+    "q_multimodal_audio",
+    "q_multimodal_audio_resample",
+]
+
+
 # Full TPC-H 22 (schema-adapted; tpch.py + analytics.py): reported as
 # its own total — the one number warehouse engines are compared by.
 TPCH = [
@@ -192,13 +206,15 @@ def main() -> None:
     results, warm1 = run_set(HEADLINE)
     results2, warm2 = run_set(HEADLINE2)
     results4, warm4 = run_set(HEADLINE3)
+    results5, warm5 = run_set(HEADLINE4)
     results3, warm3 = run_set(TPCH)
 
     total, warm_total1 = set_totals(results, warm1)
     total2, warm_total2 = set_totals(results2, warm2)
     total4, warm_total4 = set_totals(results4, warm4)
+    total5, warm_total5 = set_totals(results5, warm5)
     total3, warm_total3 = set_totals(results3, warm3)
-    warm_all = {**warm1, **warm2, **warm4, **warm3}
+    warm_all = {**warm1, **warm2, **warm4, **warm5, **warm3}
     print(
         json.dumps(
             {
@@ -209,13 +225,17 @@ def main() -> None:
                 "metric": "headline_total",
                 "value": total,
                 "unit": "sec",
-                "queries": {**results, **results2, **results4, **results3},
+                "queries": {
+                    **results, **results2, **results4, **results5, **results3
+                },
                 "queries_warm": warm_all,
                 "headline_warm_total": warm_total1,
                 "headline2_total": total2,
                 "headline2_warm_total": warm_total2,
                 "headline3_total": total4,
                 "headline3_warm_total": warm_total4,
+                "headline4_total": total5,
+                "headline4_warm_total": warm_total5,
                 "tpch_total": total3,
                 "tpch_warm_total": warm_total3,
                 "errors": errors,

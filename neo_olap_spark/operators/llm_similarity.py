@@ -305,16 +305,85 @@ def ivf_topk(
     )
 
 
-@query("q_sim_ann_ivf")
+ANN_VERDICT_ORACLE = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             ROUND(list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim
+      FROM embeddings c CROSS JOIN q
+      WHERE c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id,
+           MAX(CASE WHEN rank = 1 THEN vec_id END) AS exact_top1_id,
+           MAX(CASE WHEN rank = 1 THEN cos_sim END) AS exact_top1_sim,
+           TRUE AS recall_ok
+    FROM ranked GROUP BY query_id
+    """
+
+
+def _ann_verdict(
+    spark: SparkSession, sf_dir: str, ann_fn, recall_floor: float
+) -> DataFrame:
+    """Hash-checkable ANN verdict (the tolerance-oracle pattern): the
+    candidate set depends on hyperplanes / a fitted codebook DuckDB
+    cannot replay, but the EXACT top-k is cross-engine (q_sim_search's
+    oracle already hash-matches), so each query emits exact anchors
+    (top-1 id + similarity, engine-exact at 6 decimals) plus a
+    recall@k boolean the oracle answers TRUE. Both ANN tiers are fully
+    deterministic at a fixed SF (seeded sample / hyperplanes, fixed
+    Lloyd iterations, tie-broken ranks), so the boolean is a constant
+    of the dataset, not a flaky measurement; the floor sits well under
+    the measured recall (tests/test_llm_ops.py measures the margins)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERIES)
+    exact = brute_force_topk(e, q, TOP_K)
+    ann = ann_fn(e, q, TOP_K)
+    # the tier's contract is AGGREGATE recall over the query set (a
+    # single query may legitimately land in thin buckets), so the
+    # boolean keys on the mean — one tiny scalar, cross-joined onto
+    # the per-query anchor rows
+    hits = ann.select("query_id", "vec_id").join(
+        exact.select("query_id", "vec_id"), ["query_id", "vec_id"]
+    )
+    mean_ok = hits.agg(
+        (F.count("*") / F.lit(N_QUERIES * TOP_K) >= recall_floor).alias(
+            "recall_ok"
+        )
+    )
+    top1 = exact.where(F.col("rank") == 1).select(
+        "query_id",
+        F.col("vec_id").alias("exact_top1_id"),
+        F.col("cos_sim").alias("exact_top1_sim"),
+    )
+    return top1.crossJoin(F.broadcast(mean_ok)).select(
+        "query_id", "exact_top1_id", "exact_top1_sim", "recall_ok"
+    )
+
+
+@query("q_sim_ann_ivf", oracle=ANN_VERDICT_ORACLE)
 def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-SQ8 approximate top-k (TOP_K=10; rows-only): k-means cells,
+    """IVF-SQ8 approximate top-k (TOP_K=10): k-means cells,
     int8-quantized cell scan, full-precision rescore of a 4·k pool —
     the production ANN memory shape (the hot scan reads 4× less than
-    float32). Recall vs the exact q_sim_search, and vs the
-    full-precision IVF tier at equal n_probe, is asserted in
+    float32). ORACLE-BACKED verdict: exact top-1 anchors re-derived by
+    DuckDB + mean-recall@10 ≥ 0.35 boolean (measured 0.48-0.62 across
+    SFs; deterministic seeded codebook). The raw (query_id, vec_id,
+    cos_sim, rank) operator stays available as ivf_topk; recall vs
+    q_sim_search and vs the full-precision tier is asserted in
     tests/test_llm_ops.py."""
-    e = load(spark, sf_dir, "embeddings")
-    return ivf_topk(e, e.where(F.col("vec_id") < N_QUERIES), TOP_K, quantized=True)
+    return _ann_verdict(
+        spark,
+        sf_dir,
+        lambda e, q, k: ivf_topk(e, q, k, quantized=True),
+        recall_floor=0.35,
+    )
 
 
 LSH_TABLES, LSH_BITS = 12, 4
@@ -443,13 +512,14 @@ def lsh_topk(
     )
 
 
-@query("q_sim_ann_lsh")
+@query("q_sim_ann_lsh", oracle=ANN_VERDICT_ORACLE)
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN top-k for the same query set as q_sim_search
     — the bucketed alternative to the IVF tier: no codebook to fit
     (hyperplanes are free), at the cost of probing n_tables buckets
-    per query. Rows-only key (the candidate set depends on the random
-    hyperplanes, which DuckDB cannot replay); recall vs the exact
-    brute-force top-k is asserted in tests/test_llm_ops.py."""
-    e = load(spark, sf_dir, "embeddings")
-    return lsh_topk(e, e.where(F.col("vec_id") < N_QUERIES), TOP_K)
+    per query. ORACLE-BACKED verdict (same shape as q_sim_ann_ivf):
+    exact top-1 anchors + recall@10 ≥ 0.6 boolean (measured
+    0.82-0.92 across SFs; deterministic seeded hyperplanes). The raw
+    top-k operator stays available as lsh_topk; recall is asserted in
+    tests/test_llm_ops.py."""
+    return _ann_verdict(spark, sf_dir, lsh_topk, recall_floor=0.6)

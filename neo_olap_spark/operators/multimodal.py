@@ -594,15 +594,51 @@ def _audio_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
         yield pd.DataFrame(rows)
 
 
-@query("q_multimodal_audio")
+@query(
+    "q_multimodal_audio",
+    oracle=f"""
+    WITH par AS (
+      SELECT doc_id,
+             {AUDIO_RATE} * (50 + (doc_id * 13) % 201) // 1000 AS n,
+             100 + doc_id % 400 AS f1,
+             500 + (doc_id * 7) % 1000 AS f2
+      FROM documents
+    ),
+    samp AS (
+      SELECT p.doc_id, p.n,
+             CAST(FLOOR((0.6 * sin(2 * pi() * p.f1 * t.i / {AUDIO_RATE})
+                         + 0.3 * sin(2 * pi() * p.f2 * t.i / {AUDIO_RATE}))
+                        * 20000 + 0.5) AS INT) AS pcm
+      FROM par p, LATERAL (SELECT UNNEST(range(p.n)) AS i) t
+    )
+    SELECT doc_id,
+           CAST(44 + 2 * MAX(n) AS BIGINT) AS n_bytes,
+           CAST({AUDIO_RATE} AS BIGINT) AS sample_rate,
+           CAST(MAX(n) AS BIGINT) AS n_samples,
+           CAST(MAX(n) * 1000 // {AUDIO_RATE} AS BIGINT) AS duration_ms,
+           CAST(FLOOR(SQRT(AVG(CAST(pcm AS DOUBLE) * pcm))) AS BIGINT) AS rms,
+           CAST(MAX(ABS(pcm)) AS BIGINT) AS peak,
+           'wav/pcm16' AS codec
+    FROM samp GROUP BY doc_id
+    """,
+)
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio decode + feature extraction over binary WAV payloads:
     REAL RIFF/WAVE parsing via the stdlib ``wave`` codec — sample
     rate, frame count, duration, and integerized RMS/peak loudness,
     the features an audio-corpus quality gate filters on (silence,
-    clipping, wrong sample rate). Rows-only: PCM decode is not
-    SQL-expressible; decode correctness is pinned by tests against
-    the synthesizer's closed-form waveform.
+    clipping, wrong sample rate).
+
+    ORACLE-BACKED: DuckDB re-synthesizes every PCM sample from the
+    waveform's closed form (the sine mix never clips, so int16 holds
+    the exact floor-rounded values; Σpcm² ≤ 6.5e11 is exact in
+    float64, and the single AVG/SQRT/FLOOR tail is IEEE-identical) and
+    re-derives the RIFF byte size as 44 + 2n. The only cross-engine
+    exposure is libm sin() at a floor boundary — verified exact for
+    every document at sf0.001/0.01/0.1 (deterministic per dataset;
+    the parity suite would catch a regeneration that lands on a
+    boundary). A mismatch anywhere in synth -> WAV encode -> header
+    parse -> PCM decode -> feature math fails the hash.
 
     Scale shape: 1:1 Arrow-batched projection, payloads never leave
     executors, no shuffle — identical plan shape to the image decode
@@ -750,22 +786,133 @@ def _audio_resample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
         yield pd.DataFrame(rows)
 
 
-@query("q_multimodal_audio_resample")
+def multimodal_audio_resampled_payloads(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Resample variant emitting the re-encoded payload's sha — the
+    library form (hashes of re-encoded bytes have no SQL twin; the
+    registered key emits the oracle-checkable verdict instead)."""
+    m = audio_table(spark, sf_dir)
+    return m.select("doc_id", "payload").mapInPandas(
+        _audio_resample_batches, RESAMPLE_SCHEMA
+    )
+
+
+RESAMPLE_VERDICT_SCHEMA = (
+    "doc_id long, in_rate long, out_rate long, in_samples long, "
+    "out_samples long, out_rms long, out_sum long, wav_ok boolean"
+)
+
+
+def _audio_resample_verdict_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Resample kernel with a self-checking tail: decode -> 2-tap mean
+    prefilter -> decimate -> RE-ENCODE -> RE-DECODE; features come from
+    the re-decoded samples (attesting the emitted artifact) and wav_ok
+    asserts bit-exactness through the WAV codec."""
+    import io
+    import wave
+
+    import numpy as np
+
+    for pdf in batches:
+        rows: dict[str, list] = {k: [] for k in (
+            "doc_id", "in_rate", "out_rate", "in_samples",
+            "out_samples", "out_rms", "out_sum", "wav_ok")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                rate = w.getframerate()
+                n = w.getnframes()
+                pcm = np.frombuffer(w.readframes(n), dtype=np.int16)
+            m = (n // RESAMPLE_FACTOR) * RESAMPLE_FACTOR
+            pairs = pcm[:m].astype(np.int32).reshape(-1, RESAMPLE_FACTOR)
+            out = np.floor(pairs.mean(axis=1)).astype(np.int16)
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as wo:
+                wo.setnchannels(1)
+                wo.setsampwidth(2)
+                wo.setframerate(rate // RESAMPLE_FACTOR)
+                wo.writeframes(out.tobytes())
+            with wave.open(io.BytesIO(buf.getvalue()), "rb") as wr:
+                back = np.frombuffer(
+                    wr.readframes(wr.getnframes()), dtype=np.int16
+                )
+            rows["doc_id"].append(doc_id)
+            rows["in_rate"].append(rate)
+            rows["out_rate"].append(rate // RESAMPLE_FACTOR)
+            rows["in_samples"].append(n)
+            rows["out_samples"].append(len(back))
+            rows["out_rms"].append(
+                int(np.floor(np.sqrt(np.mean(back.astype(np.float64) ** 2))))
+                if len(back)
+                else 0
+            )
+            rows["out_sum"].append(int(back.astype(np.int64).sum()))
+            rows["wav_ok"].append(bool(np.array_equal(out, back)))
+        yield pd.DataFrame(rows)
+
+
+@query(
+    "q_multimodal_audio_resample",
+    oracle=f"""
+    WITH par AS (
+      SELECT doc_id,
+             {AUDIO_RATE} * (50 + (doc_id * 13) % 201) // 1000 AS n,
+             100 + doc_id % 400 AS f1,
+             500 + (doc_id * 7) % 1000 AS f2
+      FROM documents
+    ),
+    samp AS (
+      SELECT p.doc_id, p.n, t.i AS i,
+             CAST(FLOOR((0.6 * sin(2 * pi() * p.f1 * t.i / {AUDIO_RATE})
+                         + 0.3 * sin(2 * pi() * p.f2 * t.i / {AUDIO_RATE}))
+                        * 20000 + 0.5) AS BIGINT) AS pcm
+      FROM par p, LATERAL (SELECT UNNEST(range(p.n)) AS i) t
+    ),
+    dec AS (
+      SELECT doc_id, n, i // {RESAMPLE_FACTOR} AS j,
+             -- FLOOR, not //: DuckDB integer // truncates toward zero,
+             -- but the kernel floors (np.floor of the pair mean) —
+             -- they differ on negative odd sums
+             CAST(FLOOR(SUM(pcm) / {RESAMPLE_FACTOR}.0) AS BIGINT) AS outv
+      FROM samp GROUP BY doc_id, n, i // {RESAMPLE_FACTOR}
+    )
+    SELECT doc_id,
+           CAST({AUDIO_RATE} AS BIGINT) AS in_rate,
+           CAST({AUDIO_RATE} // {RESAMPLE_FACTOR} AS BIGINT) AS out_rate,
+           CAST(MAX(n) AS BIGINT) AS in_samples,
+           CAST(COUNT(*) AS BIGINT) AS out_samples,
+           CAST(FLOOR(SQRT(AVG(CAST(outv AS DOUBLE) * outv))) AS BIGINT)
+             AS out_rms,
+           CAST(SUM(outv) AS BIGINT) AS out_sum,
+           TRUE AS wav_ok
+    FROM dec GROUP BY doc_id
+    """,
+)
 def q_multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio resampling over binary WAV payloads (rows-only: the
-    re-encoded bytes are hashed): real decode, a 2-tap mean
-    anti-alias prefilter, 2x decimation to 4 kHz, and a real WAV
-    re-encode — the sample-rate normalization every audio-training
-    corpus runs before featurization. Integer DSP keeps the output
-    bit-deterministic; correctness is pinned in tests against a local
-    re-synthesis of the closed-form waveform.
+    """Audio resampling over binary WAV payloads: real decode, a 2-tap
+    mean anti-alias prefilter, 2x decimation to 4 kHz, a real WAV
+    re-encode AND re-decode — the sample-rate normalization every
+    audio-training corpus runs before featurization.
+
+    ORACLE-BACKED: the prefilter+decimate is pure integer DSP
+    (out[j] = floor((pcm[2j] + pcm[2j+1]) / 2) = SUM//2 — the synth
+    length 8·(50 + 13·doc_id mod 201) is always even, so no tail
+    sample exists to drop), so DuckDB re-synthesizes the source from
+    its closed form and re-derives every output feature exactly:
+    sample counts, the integer sum of the resampled signal, and its
+    floored RMS (exact-integer Σout² in float64, one IEEE SQRT/FLOOR
+    tail). Features are computed from the RE-DECODED artifact and
+    wav_ok pins codec bit-exactness. The sha-emitting byte variant
+    stays available as multimodal_audio_resampled_payloads.
 
     Scale shape: identical to every multimodal kernel — 1:1
     Arrow-batched projection, payloads never leave executors, zero
     shuffle."""
     m = audio_table(spark, sf_dir)
     return m.select("doc_id", "payload").mapInPandas(
-        _audio_resample_batches, RESAMPLE_SCHEMA
+        _audio_resample_verdict_batches, RESAMPLE_VERDICT_SCHEMA
     )
 
 

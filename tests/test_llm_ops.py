@@ -305,10 +305,10 @@ def test_multimodal_audio_decode(spark, sf_dir):
 
 
 def test_multimodal_audio_resample(spark, sf_dir):
-    """q_multimodal_audio_resample: the decimated output must match a
-    local re-synthesis + identical integer DSP bit-for-bit (RMS and
-    payload hash), and the emitted payload must be a valid 4 kHz
-    WAV."""
+    """The decimated output must match a local re-synthesis +
+    identical integer DSP bit-for-bit: the registered verdict key on
+    RMS/sum/wav_ok, and the byte-emitting library variant on the
+    payload hash of a valid 4 kHz WAV."""
     import hashlib
     import io
     import wave
@@ -318,8 +318,23 @@ def test_multimodal_audio_resample(spark, sf_dir):
     from neo_olap_spark.operators.multimodal import (
         AUDIO_RATE,
         RESAMPLE_FACTOR,
+        multimodal_audio_resampled_payloads,
         q_multimodal_audio_resample,
     )
+
+    def local_out(doc_id):
+        n = AUDIO_RATE * (50 + (doc_id * 13) % 201) // 1000
+        t = np.arange(n, dtype=np.float64)
+        f1 = 100 + doc_id % 400
+        f2 = 500 + (doc_id * 7) % 1000
+        x = 0.6 * np.sin(2 * np.pi * f1 * t / AUDIO_RATE) + 0.3 * np.sin(
+            2 * np.pi * f2 * t / AUDIO_RATE
+        )
+        pcm = np.floor(x * 20000 + 0.5).astype(np.int16)
+        m = (n // RESAMPLE_FACTOR) * RESAMPLE_FACTOR
+        return np.floor(
+            pcm[:m].astype(np.int32).reshape(-1, RESAMPLE_FACTOR).mean(axis=1)
+        ).astype(np.int16)
 
     rows = q_multimodal_audio_resample(spark, sf_dir).collect()
     assert rows
@@ -327,20 +342,14 @@ def test_multimodal_audio_resample(spark, sf_dir):
         assert r.in_rate == AUDIO_RATE
         assert r.out_rate == AUDIO_RATE // RESAMPLE_FACTOR
         assert r.out_samples == r.in_samples // RESAMPLE_FACTOR
-        # local re-synthesis -> identical DSP -> identical sha
-        n = AUDIO_RATE * (50 + (r.doc_id * 13) % 201) // 1000
-        t = np.arange(n, dtype=np.float64)
-        f1 = 100 + r.doc_id % 400
-        f2 = 500 + (r.doc_id * 7) % 1000
-        x = 0.6 * np.sin(2 * np.pi * f1 * t / AUDIO_RATE) + 0.3 * np.sin(
-            2 * np.pi * f2 * t / AUDIO_RATE
-        )
-        pcm = np.floor(x * 20000 + 0.5).astype(np.int16)
-        m = (n // RESAMPLE_FACTOR) * RESAMPLE_FACTOR
-        out = np.floor(
-            pcm[:m].astype(np.int32).reshape(-1, RESAMPLE_FACTOR).mean(axis=1)
-        ).astype(np.int16)
+        assert r.wav_ok
+        out = local_out(r.doc_id)
         assert r.out_rms == int(np.floor(np.sqrt(np.mean(out.astype(np.float64) ** 2))))
+        assert r.out_sum == int(out.astype(np.int64).sum())
+
+    # byte-emitting library variant: identical DSP -> identical sha
+    for r in multimodal_audio_resampled_payloads(spark, sf_dir).limit(5).collect():
+        out = local_out(r.doc_id)
         buf = io.BytesIO()
         with wave.open(buf, "wb") as wo:
             wo.setnchannels(1)
