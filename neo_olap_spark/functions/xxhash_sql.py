@@ -53,6 +53,50 @@ def _fmix(h: int) -> int:
     return h
 
 
+def xxh64_bytes(data: bytes, seed: int) -> int:
+    """XXH64 of a byte string (Spark XXH64.hashUnsafeBytes — what
+    ``F.xxhash64`` applies to a StringType column's UTF-8 bytes),
+    unsigned result. Full spec including the 32-byte stripe path;
+    words are read little-endian (Spark's Platform.getLong on x86).
+    Pinned bit-for-bit against Spark in tests/test_xxhash_sql.py."""
+    n = len(data)
+    off = 0
+    if n >= 32:
+        v = [
+            (seed + PRIME64_1 + PRIME64_2) % _M64,
+            (seed + PRIME64_2) % _M64,
+            seed % _M64,
+            (seed - PRIME64_1) % _M64,
+        ]
+        while off + 32 <= n:
+            for i in range(4):
+                w = int.from_bytes(data[off + 8 * i : off + 8 * i + 8], "little")
+                v[i] = (_rotl((v[i] + w * PRIME64_2) % _M64, 31) * PRIME64_1) % _M64
+            off += 32
+        h = (_rotl(v[0], 1) + _rotl(v[1], 7) + _rotl(v[2], 12) + _rotl(v[3], 18)) % _M64
+        for vi in v:
+            h ^= (_rotl((vi * PRIME64_2) % _M64, 31) * PRIME64_1) % _M64
+            h = (h * PRIME64_1 + PRIME64_4) % _M64
+        h = (h + n) % _M64
+    else:
+        h = (seed + PRIME64_5 + n) % _M64
+    while off + 8 <= n:
+        w = int.from_bytes(data[off : off + 8], "little")
+        h ^= (_rotl((w * PRIME64_2) % _M64, 31) * PRIME64_1) % _M64
+        h = (_rotl(h, 27) * PRIME64_1 + PRIME64_4) % _M64
+        off += 8
+    if off + 4 <= n:
+        w = int.from_bytes(data[off : off + 4], "little")
+        h ^= (w * PRIME64_1) % _M64
+        h = (_rotl(h, 23) * PRIME64_2 + PRIME64_3) % _M64
+        off += 4
+    while off < n:
+        h ^= (data[off] * PRIME64_5) % _M64
+        h = (_rotl(h, 11) * PRIME64_1) % _M64
+        off += 1
+    return _fmix(h)
+
+
 def xxh64_int(i: int, seed: int) -> int:
     """XXH64 of one 4-byte int (Spark XXH64.hashInt), unsigned result."""
     h = (seed + PRIME64_5 + 4) % _M64
@@ -83,6 +127,8 @@ def spark_xxhash64(values: list[tuple[int, str]]) -> int:
             h = xxh64_int(v, h)
         elif typ == "long":
             h = xxh64_long(v, h)
+        elif typ == "str":
+            h = xxh64_bytes(v.encode("utf-8"), h)
         else:  # pragma: no cover - caller bug
             raise ValueError(f"unsupported type {typ!r}")
     return to_signed(h)
@@ -201,6 +247,85 @@ class XXPipe:
         h = self.mul64c(h, PRIME64_1, add_c=PRIME64_4)
         return self._fmix(h)
 
+    def pick(self, cond: str, a: str, b: str) -> str:
+        """CASE WHEN cond THEN a ELSE b — conditional application of a
+        mix step (the SQL form of xxHash's data-length-dependent
+        loops, unrolled to the declared byte bound)."""
+        return self._add(f"(CASE WHEN {cond} THEN {a} ELSE {b} END)")
+
+    def hash_str(self, t_expr: str, seed, max_len: int = 31) -> str:
+        """Spark XXH64.hashUnsafeBytes over an ASCII VARCHAR column —
+        the kernel ``F.xxhash64`` applies to StringType. Unrolls the
+        8-byte word / 4-byte chunk / tail-byte loops to ``max_len``
+        bytes (< 32, so the stripe path never arises) with pick()
+        guards on the actual length; bytes come from
+        ``unicode(substr(...))`` over a padded copy so out-of-range
+        reads are harmless garbage that the guards discard.
+
+        ASCII-only by construction (code point == byte); the emitted
+        value is NULL — a loud hash-mismatch, never a silent wrong
+        answer — for non-ASCII or longer-than-bound tokens."""
+        if max_len >= 32:  # pragma: no cover - caller bug
+            raise ValueError("hash_str covers the sub-stripe path only")
+        t = self._add(f"({t_expr})")
+        tp = self._add(f"({t} || repeat(chr(7), {max_len + 9}))")
+        ln = self._add(f"CAST(length({t}) AS HUGEINT)")
+
+        def byte(pos: str) -> str:
+            return f"unicode(substr({tp}, CAST({pos} AS BIGINT), 1))"
+
+        if isinstance(seed, int):
+            h = self._add(
+                f"((CAST({(seed + PRIME64_5) % _M64} AS HUGEINT) + {ln}) % {_M64})"
+            )
+        else:
+            h = self._add(f"(({seed} + {PRIME64_5 % _M64} + {ln}) % {_M64})")
+        for wi in range(max_len // 8):
+            w = self._add(
+                "(" + " + ".join(
+                    f"CAST({byte(str(8 * wi + k + 1))} AS HUGEINT) * {1 << (8 * k)}"
+                    for k in range(8)
+                ) + ")"
+            )
+            k1 = self.mul64c(w, PRIME64_2)
+            k1 = self.rotl(k1, 31)
+            k1 = self.mul64c(k1, PRIME64_1)
+            hx = self.xor64(h, k1)
+            hx = self.rotl(hx, 27)
+            hx = self.mul64c(hx, PRIME64_1, add_c=PRIME64_4)
+            h = self.pick(f"{ln} >= {8 * (wi + 1)}", hx, h)
+        # 4-byte chunk at the word-aligned offset (length & -8)
+        woff = self._add(f"(({ln} // 8) * 8)")
+        c = self._add(
+            "(" + " + ".join(
+                f"CAST({byte(f'{woff} + {k + 1}')} AS HUGEINT) * {1 << (8 * k)}"
+                for k in range(4)
+            ) + ")"
+        )
+        m = self.mul64c(c, PRIME64_1)
+        hx = self.xor64(h, m)
+        hx = self.rotl(hx, 23)
+        hx = self.mul64c(hx, PRIME64_2, add_c=PRIME64_3)
+        h = self.pick(f"({ln} % 8) >= 4", hx, h)
+        # tail bytes (at most 3 after words + chunk)
+        ts = self._add(
+            f"({woff} + (CASE WHEN ({ln} % 8) >= 4 THEN 4 ELSE 0 END))"
+        )
+        tl = self._add(f"({ln} - {ts})")
+        for bi in range(3):
+            b = self._add(f"CAST({byte(f'{ts} + {bi + 1}')} AS HUGEINT)")
+            m = self.mul64c(b, PRIME64_5)
+            hx = self.xor64(h, m)
+            hx = self.rotl(hx, 11)
+            hx = self.mul64c(hx, PRIME64_1)
+            h = self.pick(f"{tl} > {bi}", hx, h)
+        h = self._fmix(h)
+        return self.pick(
+            f"octet_length(encode({t})) = {ln} AND {ln} <= {max_len}",
+            h,
+            "NULL",
+        )
+
     def signed(self, h: str) -> str:
         """Unsigned HUGEINT column -> Spark's signed BIGINT."""
         return self._add(
@@ -212,16 +337,75 @@ class XXPipe:
         """Nested-SELECT pipeline over ``src_sql`` (a CTE name or a
         parenthesized subquery) exposing carry columns + ``result`` as
         ``out_col``."""
+        return self.sql_multi(src_sql, {out_col: result})
+
+    _seq = 0  # class-level: unique CTE prefixes across pipe instances
+
+    def sql_multi(self, src_sql: str, results: dict[str, str]) -> str:
+        """Like sql() but exposing several result expressions at once
+        (one pipeline can chain/branch multiple hashes over shared
+        intermediates). Emitted as a FLAT chain of one-level CTEs
+        (``WITH p0 AS (...), p1 AS (SELECT .. FROM p0), ...``): nested
+        subqueries blew DuckDB's parser recursion past ~200 levels,
+        and a single lateral-alias SELECT blew its binder (aliases are
+        expanded by substitution — multi-referenced intermediates grow
+        exponentially). A CTE list parses linearly and binds each
+        level exactly once. Dead intermediates are pruned: each CTE
+        re-selects only the carry columns plus intermediates still
+        referenced by a LATER level or a result expression, keeping
+        the text linear in live operations."""
+        import re
+
+        XXPipe._seq += 1
+        pfx = f"xxp{XXPipe._seq}_"
+        name_re = re.compile(r"\bx\d+(?:[a-z]{1,2})?\b")
+        n_levels = len(self.levels)
+        # liveness, backwards: a level survives if any of its outputs
+        # is read by a surviving later level or a result expression
+        live = [False] * n_levels
+        needed: set[str] = set()
+        for expr in results.values():
+            needed.update(name_re.findall(expr))
+        for i in range(n_levels - 1, -1, -1):
+            if any(nm in needed for nm in self.levels[i]):
+                live[i] = True
+                for expr in self.levels[i].values():
+                    needed.update(name_re.findall(expr))
+        # last surviving position at which each intermediate is read
+        # (n_levels = the result expressions)
+        last_ref: dict[str, int] = {}
+        for i in range(n_levels):
+            if not live[i]:
+                continue
+            for expr in self.levels[i].values():
+                for nm in name_re.findall(expr):
+                    last_ref[nm] = i
+        for expr in results.values():
+            for nm in name_re.findall(expr):
+                last_ref[nm] = n_levels
+        ctes: list[str] = []
         created: list[str] = []
-        inner = src_sql
-        for i, level in enumerate(self.levels):
+        prev = f"({src_sql})" if " " in src_sql.strip() else src_sql
+        for i in range(n_levels):
+            if not live[i]:
+                continue
+            level = self.levels[i]
             cols = ", ".join(f"{e} AS {n}" for n, e in level.items())
-            keep = ", ".join(self.carry + created)
-            frm = inner if i == 0 else f"({inner})"
-            inner = f"SELECT {keep}, {cols} FROM {frm}"
+            keep = ", ".join(
+                self.carry
+                + [nm for nm in created if last_ref.get(nm, -1) > i]
+            )
+            name = f"{pfx}{len(ctes)}"
+            ctes.append(f"{name} AS (SELECT {keep}, {cols} FROM {prev})")
             created.extend(level.keys())
+            prev = name
         keep = ", ".join(self.carry)
-        return f"SELECT {keep}, {result} AS {out_col} FROM ({inner})"
+        outs = ", ".join(f"{e} AS {n}" for n, e in results.items())
+        if not ctes:
+            return f"SELECT {keep}, {outs} FROM {prev}"
+        return (
+            "WITH " + ",\n ".join(ctes) + f"\n SELECT {keep}, {outs} FROM {prev}"
+        )
 
 
 def xxhash64_sql(
@@ -236,5 +420,12 @@ def xxhash64_sql(
     pipe = XXPipe(carry)
     h: int | str = SPARK_SEED
     for expr, typ in inputs:
-        h = pipe.hash_int(expr, h) if typ == "int" else pipe.hash_long(expr, h)
+        if typ == "int":
+            h = pipe.hash_int(expr, h)
+        elif typ == "long":
+            h = pipe.hash_long(expr, h)
+        elif typ == "str":
+            h = pipe.hash_str(expr, h)
+        else:  # pragma: no cover - caller bug
+            raise ValueError(f"unsupported type {typ!r}")
     return pipe.sql(src_sql, out_col, pipe.signed(h))

@@ -371,10 +371,160 @@ def minhash_lsh_pairs(
     return verified.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
 
 
-@query("q_dedup_near")
+# ---------------------------------------------------------------------------
+# DuckDB twins of the hash-keyed tiers. xxhash64 is the one thing
+# DuckDB lacks, and functions/xxhash_sql.py emits it BIT-EXACTLY
+# (incl. the variable-length string kernel) as generated SQL, so the
+# MinHash and SimHash keys are fully oracle-backed: the oracle
+# re-derives every signature, bucket, candidate pair, and verified
+# score from the raw text. The one semantic the twins do NOT replay is
+# MAX_BUCKET_DOCS overflow pairing (anchor-only tails) — it cannot
+# bind below 1024 docs per bucket, far above any bucket at the oracle
+# SFs (500 docs total at sf0.001/sf0.01), and the twin would simply
+# find MORE pairs (a loud mismatch), never silently agree.
+# ---------------------------------------------------------------------------
+
+
+def _minhash_ctes() -> str:
+    """Shared CTE chain for the MinHash-LSH twins: text -> token
+    triples -> shingle hashes (3 chained string kernels) -> 16
+    minhashes on a (doc, shingle, seed) grid (one generated pipeline;
+    the seed enters as hashInt of the carried column ``42 + si``) ->
+    per-band pivots -> band signatures (4 chained long kernels) ->
+    bucket-join candidates -> exact-Jaccard verification over the
+    DISTINCT hashed-shingle sets."""
+    from neo_olap_spark.functions.xxhash_sql import SPARK_SEED, XXPipe
+
+    # source columns consumed mid-chain ride in carry so every CTE
+    # level re-selects them until read (the pipeline only propagates
+    # carry + live intermediates)
+    tri_pipe = XXPipe(["doc_id", "t1", "t2", "t3"])
+    h = tri_pipe.hash_str("t1", SPARK_SEED)
+    h = tri_pipe.hash_str("t2", h)
+    h = tri_pipe.hash_str("t3", h)
+    shing_sql = tri_pipe.sql("tri", "sh", tri_pipe.signed(h))
+
+    mh_pipe = XXPipe(["doc_id", "si", "sh"])
+    h = mh_pipe.hash_long("sh", SPARK_SEED)
+    h = mh_pipe.hash_int(f"({SPARK_SEED} + si)", h)
+    mh_sql = mh_pipe.sql("grid", "mv", mh_pipe.signed(h))
+
+    rows_per_band = N_MINHASH // N_BANDS
+    band_pipe = XXPipe(
+        ["doc_id", "band"] + [f"v{j}" for j in range(rows_per_band)]
+    )
+    h = SPARK_SEED
+    for j in range(rows_per_band):
+        h = band_pipe.hash_long(f"v{j}", h)
+    band_sql = band_pipe.sql("bnd", "sig", band_pipe.signed(h))
+
+    pivots = ", ".join(
+        f"MAX(CASE WHEN si % {rows_per_band} = {j} THEN m END) AS v{j}"
+        for j in range(rows_per_band)
+    )
+    return f"""
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+    ),
+    tri AS (
+      SELECT doc_id, t[i] AS t1, t[i+1] AS t2, t[i+2] AS t3
+      FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+            FROM toks WHERE len(t) >= 3)
+    ),
+    shing AS ({shing_sql}),
+    -- MATERIALIZED: referenced by sizes, grid, and the verify join
+    -- twice — DuckDB would otherwise re-run the whole hash chain per
+    -- reference
+    shd AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM shing),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+    grid AS (SELECT doc_id, sh, unnest(range({N_MINHASH})) AS si FROM shd),
+    mh AS ({mh_sql}),
+    mins AS (SELECT doc_id, si, MIN(mv) AS m FROM mh GROUP BY doc_id, si),
+    bnd AS (
+      SELECT doc_id, si // {rows_per_band} AS band, {pivots}
+      FROM mins GROUP BY doc_id, si // {rows_per_band}
+    ),
+    bsig AS MATERIALIZED ({band_sql}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bsig a JOIN bsig b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+      FROM cand c
+      JOIN shd x ON x.doc_id = c.doc_a
+      JOIN shd y ON y.doc_id = c.doc_b AND y.sh = x.sh
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT i.doc_a, i.doc_b, i.inter, sa.n AS na, sb.n AS nb
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+    )"""
+
+
+_MINHASH_PAIRS_SELECT = f"""
+    SELECT doc_a, doc_b, ROUND(inter * 1.0 / (na + nb - inter), 4) AS jaccard
+    FROM scored WHERE inter * 1.0 / (na + nb - inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+def _simhash_oracle() -> str:
+    """SimHash twin: per-token chained (string, int-seed) hash kept
+    UNSIGNED so the 64 vote bits fall out of HUGEINT divmods, vote
+    sums -> sign bits -> packed signed signature, then the exact
+    all-pairs hamming join (pigeonhole makes the Spark chunk blocking
+    lossless at the declared threshold, so exact all-pairs IS the
+    operator's output)."""
+    from neo_olap_spark.functions.xxhash_sql import SPARK_SEED, XXPipe
+
+    pipe = XXPipe(["doc_id"])
+    h = pipe.hash_str("tok", SPARK_SEED)
+    h = pipe.hash_int(str(SPARK_SEED), h)
+    hash_sql = pipe.sql("toksx", "hu", h)  # unsigned HUGEINT
+
+    votes = ", ".join(
+        f"SUM(CASE WHEN (hu // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(64)
+    )
+    pack = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN CAST({1 << j} AS HUGEINT)"
+        f" ELSE CAST(0 AS HUGEINT) END)"
+        for j in range(64)
+    )
+    return f"""
+    WITH toksx AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    hashed AS ({hash_sql}),
+    votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id),
+    sigu AS (SELECT doc_id, ({pack}) AS su FROM votes),
+    sigs AS (
+      SELECT doc_id,
+             CAST(CASE WHEN su >= {1 << 63} THEN su - {1 << 64} ELSE su END
+                  AS BIGINT) AS sig
+      FROM sigu
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {SIMHASH_MAX_HAMMING}
+    """
+
+
+@query("q_dedup_near", oracle=f"WITH {_minhash_ctes()} {_MINHASH_PAIRS_SELECT}")
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs (rows-only; recall vs the exact
-    q_dedup_ngram ground truth is asserted in tests/test_llm_ops.py).
+    """MinHash-LSH near-dup pairs. ORACLE-BACKED end to end: DuckDB
+    re-derives every shingle hash (three chained bit-exact string
+    xxhash64 kernels, functions/xxhash_sql.py), all 16 minhashes, the
+    4 band signatures, the bucket-join candidate set, and the
+    exact-Jaccard verification — a full cross-engine replay of the
+    LSH pipeline, not a tolerance check. Recall vs the exact
+    q_dedup_ngram ground truth is additionally asserted in
+    tests/test_llm_ops.py.
     Runs on the HASHED shingle table (_shingled_hashed) — same set
     semantics, no trigram strings. The shingle table feeds three
     subtrees (minhash, verify-a, verify-b) — persist so shingling runs
@@ -388,17 +538,42 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.unpersist()
 
 
-@query("q_dedup_near_clusters")
+@query(
+    "q_dedup_near_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_ctes()},
+    pairs AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM scored
+      WHERE inter * 1.0 / (na + nb - inter) >= {JACCARD_THRESHOLD}
+    ),
+    e AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM e
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+    ),
+    canon AS (
+      SELECT u AS doc_id, LEAST(u, MIN(v)) AS canonical_id
+      FROM reach GROUP BY u
+    )
+    SELECT d.doc_id, COALESCE(c.canonical_id, d.doc_id) AS canonical_id
+    FROM documents d LEFT JOIN canon c ON d.doc_id = c.doc_id
+    """,
+)
 def q_dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clusters from the APPROXIMATE tier: connected components
     over the MinHash-LSH pair graph — the shape that actually runs at
     100 TB, where the exact inverted-index tier is only the bounded
     ground-truth check. Every doc maps to its cluster's minimum doc_id.
 
-    Rows-only (xxhash64 minhashes aren't reproducible in DuckDB), but
-    structurally invariant-checked in tests: LSH pairs are a subset of
-    the exact pair graph (candidates are verified with true Jaccard),
-    so these clusters must REFINE q_dedup_clusters' exact clusters."""
+    ORACLE-BACKED: the full LSH replay (see q_dedup_near) feeds the
+    same recursive-CC twin q_dedup_clusters uses, so signatures,
+    buckets, verification, AND the component labeling are all
+    cross-engine hash-checked. Structural invariants stay tested: LSH
+    pairs are a subset of the exact pair graph (candidates are
+    verified with true Jaccard), so these clusters must REFINE
+    q_dedup_clusters' exact clusters."""
     from neo_olap_spark.graph import symmetrize
     from neo_olap_spark.operators.graph_algos import connected_components
 
@@ -448,12 +623,19 @@ SIMHASH_N_CHUNKS = SIMHASH_MAX_HAMMING + 1
 _CHUNK_BOUNDS = [round(64 * c / SIMHASH_N_CHUNKS) for c in range(SIMHASH_N_CHUNKS + 1)]
 
 
-@query("q_dedup_simhash")
+@query("q_dedup_simhash", oracle=_simhash_oracle())
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: block on 9 signature chunks — by
     pigeonhole, any pair within hamming <= 8 of 64 bits agrees on at
     least one chunk, so candidate generation has NO false negatives at
-    the declared threshold; verify with bit_count(xor). Rows-only."""
+    the declared threshold; verify with bit_count(xor).
+
+    ORACLE-BACKED: DuckDB re-derives every token's chained
+    (string, int-seed) xxhash64 bit-exactly, the 64 vote sums, the
+    packed signature, and the exact all-pairs hamming join — which
+    equals this operator's output because the chunk blocking is
+    lossless (pigeonhole) and the bucket cap cannot bind at oracle
+    scale (cap 1024 >= total docs)."""
     sigs = simhash_signatures(spark, sf_dir)
     chunk_cols = []
     for c in range(SIMHASH_N_CHUNKS):
