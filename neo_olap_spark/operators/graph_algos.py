@@ -2003,36 +2003,52 @@ def sssp(
         rounds = 0
         for _ in range(max_rounds):
             rounds += 1
+            # Round = ONE union+groupBy merge (the CC-merge shape that
+            # measured 2× over join-based merging): candidate pushes
+            # and the standing distances union into a single min
+            # aggregate — partial aggregation combines duplicate
+            # candidates map-side, and the round runs TWO exchanges
+            # (frontier→edges join, merge groupBy) instead of three
+            # (join, push groupBy, full-outer merge). `old` (the
+            # standing distance, for the improvement test) rides along
+            # as a conditional min in the same aggregate.
             pushed = (
                 frontier.hint("shuffle_hash")
                 .join(edges_p, frontier.node == edges_p.src)
                 .select(
                     "source",
                     F.col("dst").alias("node"),
-                    (F.col("dist") + F.col("w")).alias("cand"),
+                    (F.col("dist") + F.col("w")).alias("val"),
+                    F.lit(False).alias("is_old"),
                 )
-                .groupBy("source", "node")
-                .agg(F.min("cand").alias("cand"))
             )
+            # ONE job per round (was two): a LAZY localCheckpoint marks
+            # the round's result for persistence, and the improved-row
+            # count is the action that materializes it — fusing the
+            # materialization job and the convergence-check job. At 26
+            # rounds (sf0.1 depth) the loop's cost is rounds × fixed
+            # job overhead (VERDICT r5 item 4). Lineage is still cut
+            # every round: localCheckpoint(eager=False) already wraps
+            # the plan in a LogicalRDD.
             merged = (
-                dist.withColumnRenamed("dist", "old")
-                .join(pushed, ["source", "node"], "full_outer")
-                .select(
-                    "source",
-                    "node",
-                    F.least(
-                        F.coalesce("old", F.lit(_SSSP_INF)),
-                        F.coalesce("cand", F.lit(_SSSP_INF)),
-                    ).alias("dist"),
-                    "old",
+                dist.select(
+                    "source", "node",
+                    F.col("dist").alias("val"),
+                    F.lit(True).alias("is_old"),
                 )
-                .localCheckpoint()
+                .unionByName(pushed)
+                .groupBy("source", "node")
+                .agg(
+                    F.min("val").alias("dist"),
+                    F.min(F.when(F.col("is_old"), F.col("val"))).alias("old"),
+                )
+                .localCheckpoint(eager=False)
             )
-            frontier = merged.where(
-                F.col("dist") < F.coalesce("old", F.lit(_SSSP_INF))
-            ).select("source", "node", "dist")
+            improved = F.col("dist") < F.coalesce("old", F.lit(_SSSP_INF))
+            n_improved = merged.where(improved).count()  # materializes
+            frontier = merged.where(improved).select("source", "node", "dist")
             dist = merged.select("source", "node", "dist")
-            if frontier.isEmpty():
+            if n_improved == 0:
                 converged = True
                 break
         edges_p.unpersist()

@@ -995,6 +995,74 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_BERNOULLI_MOD = 10
+SAMPLE_BERNOULLI_KEEP = 2  # keep buckets {0,1} => a deterministic 20%
+
+
+def _sample_bernoulli_oracle() -> str:
+    """DuckDB twin of the seeded-Bernoulli sample: the bit-exact Spark
+    xxhash64 pipeline (functions/xxhash_sql.py — the same generated-SQL
+    substrate that oracle-backs the random walk, MinHash, and SimHash)
+    re-derives every row's hash bucket, so the sampled row SET is
+    engine-exact, not just statistically similar.
+
+    AS MATERIALIZED on the pipeline wrapper is LOAD-BEARING: a WHERE
+    over the pipe's output column otherwise gets pushed down through
+    all ~100 inline CTE levels, re-substituting the hash expression
+    chain at each level (measured: instant with the barrier, hangs
+    without). Same class of DuckDB landmine as the unrolled-loop
+    oracles' AS MATERIALIZED rounds."""
+    from neo_olap_spark.functions.xxhash_sql import xxhash64_sql
+
+    mod, keep = SAMPLE_BERNOULLI_MOD, SAMPLE_BERNOULLI_KEEP
+    pipe = xxhash64_sql(
+        "orders",
+        ["o_orderkey", "o_custkey", "o_totalprice"],
+        [("o_orderkey", "long")],
+        "h",
+    )
+    return f"""
+    WITH base AS MATERIALIZED ({pipe})
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price,
+           CAST(((h % {mod}) + {mod}) % {mod} AS BIGINT) AS bucket
+    FROM base
+    WHERE ((h % {mod}) + {mod}) % {mod} < {keep}
+    """
+
+
+@query("q_sample_bernoulli", oracle=_sample_bernoulli_oracle())
+def q_sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded Bernoulli sampling: keep a row iff
+    pmod(xxhash64(key), M) < K — the reproducible complement of
+    q_sample's engine-specific PRNG sample. Unlike q_sample_hash's
+    exact-k top-by-hash (which needs a top-K merge), this is a pure
+    per-row PROJECTION+FILTER: zero shuffle, embarrassingly parallel,
+    and the membership decision for any row is stable across engines,
+    runs, partitionings, and cluster sizes — the property a 100 TB
+    pipeline needs so that re-running a stage (or re-sharding the
+    input) reproduces the identical sample. This is how training-data
+    holdout splits and audit samples stay pinned across recomputes.
+
+    Oracle-backed end to end via the generated xxhash64 DuckDB
+    pipeline (functions/xxhash_sql.py) — the third consumer of the
+    cross-engine hash substrate after the seeded walk and the
+    MinHash/SimHash twins. Reference analog: OlapRunner.java:60-69
+    rejection sampling, made deterministic."""
+    o = load(spark, sf_dir, "orders")
+    bucket = F.pmod(
+        F.xxhash64("o_orderkey"), F.lit(SAMPLE_BERNOULLI_MOD)
+    ).cast("bigint")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("price"),
+            bucket.alias("bucket"),
+        )
+        .filter(F.col("bucket") < SAMPLE_BERNOULLI_KEEP)
+    )
+
+
 @query(
     "q_window_ratio",
     oracle="""

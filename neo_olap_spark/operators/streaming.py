@@ -194,13 +194,60 @@ def _copy_events_parquet(spark: SparkSession, sf_dir: str, dest_dir: str) -> Non
     )
 
 
+_SHARED_REPLAY_CACHE: dict[tuple[str, str], str] = {}
+
+
+def shared_events_replay_dir(spark: SparkSession, sf_dir: str) -> str:
+    """One events replay-source copy per (Spark app, sf_dir), shared by
+    every streaming key that only READS its source directory (the
+    interval joins, transform_state, stateful, enrich, ohlc). Profiling
+    the streaming wave (VERDICT r5 item 5) showed each key paying a
+    full read+write copy job before its stream even started — 6 keys ×
+    2 bench runs = 12 identical copies of the same parquet per bench.
+    The copy is made once per app and NOT deleted per key: the path is
+    fixed per sf name (bounded disk — next app overwrites in place,
+    the q_sink_partitioned rule), and a file-stream source with a
+    fresh checkpoint replays the same directory fully each time, so
+    sharing changes nothing about replay semantics. q_stream_late
+    keeps a private copy — it APPENDS straggler files to its source.
+
+    Not safe for two concurrent Spark apps on the same sf (landmine:
+    the driver runs keys serially; don't run the parity suite and the
+    ledger tool simultaneously — same contract as the fixed sink
+    dirs)."""
+    import os
+
+    app_key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SHARED_REPLAY_CACHE.get(app_key)
+    if cached is not None:
+        return cached
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    dest = f"/tmp/neo_olap_stream_src/{name}"
+    _copy_events_parquet(spark, sf_dir, dest)
+    _SHARED_REPLAY_CACHE[app_key] = dest
+    return dest
+
+
 from contextlib import contextmanager
 
 STATE_ROWS_PER_PARTITION = 50_000
+# Python-stateful operators (applyInPandasWithState / transformWith
+# State) pay a per-GROUP Python function call + state get/update, so
+# their wall time is governed by groups-per-Python-worker, not by
+# state-store commit files — the OPPOSITE pressure from the JVM-state
+# interval joins. Measured on the 100k-row / 7.5k-group sf0.1 replay:
+# 3 partitions 11.0 s, 8 → 4.1 s, 16 → 3.0 s, 32 → 2.8 s. A smaller
+# divisor keeps these keys at (near-)session width while tiny replays
+# still shrink.
+PY_STATE_ROWS_PER_PARTITION = 3_000
 
 
 @contextmanager
-def _replay_state_partitions(spark: SparkSession, events_dir: str):
+def _replay_state_partitions(
+    spark: SparkSession,
+    events_dir: str,
+    rows_per_partition: int = STATE_ROWS_PER_PARTITION,
+):
     """Size stream-STATE partitioning to the replay volume (measured:
     the 100k-row interval-join replay spends 11.8 s at 32 state
     partitions vs 2.1 s at 2 — identical output; each shuffle partition
@@ -218,7 +265,7 @@ def _replay_state_partitions(spark: SparkSession, events_dir: str):
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
     n_rows = spark.read.parquet(events_dir).count()  # metadata-only
-    parts = max(2, min(int(prev), n_rows // STATE_ROWS_PER_PARTITION + 1))
+    parts = max(2, min(int(prev), n_rows // rows_per_partition + 1))
     spark.conf.set(key, str(parts))
     try:
         yield
@@ -355,34 +402,28 @@ def _run_interval_join_to_parquet(
     lazy result stays consistent until this one is durable
     (generational_sink_dir's single-outstanding-result contract)."""
     import glob
-    import shutil
-    import tempfile
 
     from neo_olap_spark.operators.io_sources import generational_sink_dir
 
-    events_dir = tempfile.mkdtemp(prefix=f"neo_olap_{key}_src_")
+    events_dir = shared_events_replay_dir(spark, sf_dir)
     base, promote = generational_sink_dir(spark, key)
     sink_dir = f"{base}/sink"
-    try:
-        _copy_events_parquet(spark, sf_dir, events_dir)
-        with _replay_state_partitions(spark, events_dir):
-            run_foreach_batch_to_parquet(
-                streaming_interval_join(spark, events_dir, how),
-                sink_dir,
-                f"{base}/ckpt",
-            )
-        promote()
-        cols = ["click_id", "purchase_id", "user_id"]
-        if not glob.glob(f"{sink_dir}/batch_id=*/part-*"):
-            # every micro-batch was empty: the partitioned writer left
-            # no part files, so a parquet read can't infer a schema —
-            # return the typed empty result the memory sink would have
-            return spark.createDataFrame(
-                [], "click_id long, purchase_id long, user_id long"
-            )
-        return spark.read.parquet(sink_dir).select(*cols)
-    finally:
-        shutil.rmtree(events_dir, ignore_errors=True)
+    with _replay_state_partitions(spark, events_dir):
+        run_foreach_batch_to_parquet(
+            streaming_interval_join(spark, events_dir, how),
+            sink_dir,
+            f"{base}/ckpt",
+        )
+    promote()
+    cols = ["click_id", "purchase_id", "user_id"]
+    if not glob.glob(f"{sink_dir}/batch_id=*/part-*"):
+        # every micro-batch was empty: the partitioned writer left
+        # no part files, so a parquet read can't infer a schema —
+        # return the typed empty result the memory sink would have
+        return spark.createDataFrame(
+            [], "click_id long, purchase_id long, user_id long"
+        )
+    return spark.read.parquet(sink_dir).select(*cols)
 
 
 def run_foreach_batch_to_parquet(
@@ -622,27 +663,26 @@ def q_stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact-sized at scale, so nothing funnels through the driver (same
     sink rule as q_stream_stateful)."""
     import glob
-    import shutil
-    import tempfile
 
     from pyspark.sql.window import Window as W
 
     from neo_olap_spark.operators.io_sources import generational_sink_dir
 
-    events_dir = tempfile.mkdtemp(prefix="neo_olap_tws_")
+    events_dir = shared_events_replay_dir(spark, sf_dir)
     base, promote = generational_sink_dir(spark, "stream_transform_state")
     sink_dir = f"{base}/sink"
     provider_key = "spark.sql.streaming.stateStore.providerClass"
     prev_provider = spark.conf.get(provider_key, None)
     use_tws = has_transform_with_state_runtime()
     try:
-        _copy_events_parquet(spark, sf_dir, events_dir)
         if use_tws:
             spark.conf.set(provider_key, ROCKSDB_PROVIDER)
             stream = streaming_type_counts(spark, events_dir)
         else:
             stream = streaming_type_counts_fallback(spark, events_dir)
-        with _replay_state_partitions(spark, events_dir):
+        with _replay_state_partitions(
+            spark, events_dir, rows_per_partition=PY_STATE_ROWS_PER_PARTITION
+        ):
             run_foreach_batch_to_parquet(
                 stream, sink_dir, f"{base}/ckpt", output_mode="update"
             )
@@ -664,7 +704,6 @@ def q_stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(provider_key)
             else:
                 spark.conf.set(provider_key, prev_provider)
-        shutil.rmtree(events_dir, ignore_errors=True)
 
 
 def run_to_parquet_sink(df: DataFrame, sink_dir: str, ckpt_dir: str) -> None:
@@ -720,24 +759,17 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     file stream, enriched per micro-batch against the static customer
     dim, aggregated in complete mode; the final memory-sink table must
     hash-match the batch join — the oracle."""
-    import shutil
-    import tempfile
-
-    events_dir = tempfile.mkdtemp(prefix="neo_olap_enrich_")
-    try:
-        _copy_events_parquet(spark, sf_dir, events_dir)
-        name = _fresh_sink_name("t_enrich")
-        customer = load(spark, sf_dir, "customer")
-        with _replay_state_partitions(spark, events_dir):
-            run_stream_once(
-                streaming_enriched_segments(spark, events_dir, customer),
-                name,
-                output_mode="complete",
-            )
-        final = spark.table(name)
-        return spark.createDataFrame(final.collect(), final.schema)
-    finally:
-        shutil.rmtree(events_dir, ignore_errors=True)
+    events_dir = shared_events_replay_dir(spark, sf_dir)
+    name = _fresh_sink_name("t_enrich")
+    customer = load(spark, sf_dir, "customer")
+    with _replay_state_partitions(spark, events_dir):
+        run_stream_once(
+            streaming_enriched_segments(spark, events_dir, customer),
+            name,
+            output_mode="complete",
+        )
+    final = spark.table(name)
+    return spark.createDataFrame(final.collect(), final.schema)
 
 
 @query(
@@ -761,40 +793,36 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnel through the driver (same sink rule as the stream-stream
     join keys)."""
     import glob
-    import shutil
-    import tempfile
 
     from pyspark.sql.window import Window as W
 
     from neo_olap_spark.operators.io_sources import generational_sink_dir
 
-    events_dir = tempfile.mkdtemp(prefix="neo_olap_stateful_")
+    events_dir = shared_events_replay_dir(spark, sf_dir)
     base, promote = generational_sink_dir(spark, "stream_stateful")
     sink_dir = f"{base}/sink"
-    try:
-        _copy_events_parquet(spark, sf_dir, events_dir)
-        with _replay_state_partitions(spark, events_dir):
-            run_foreach_batch_to_parquet(
-                streaming_user_stats(spark, events_dir),
-                sink_dir,
-                f"{base}/ckpt",
-                output_mode="update",
-            )
-        promote()
-        if not glob.glob(f"{sink_dir}/batch_id=*/part-*"):
-            return spark.createDataFrame(
-                [], "user_id long, n_events long, sum_value double"
-            )
-        mem = spark.read.parquet(sink_dir)
-        # last (= maximal) cumulative emission per user is the final state
-        w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
-        return (
-            mem.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("user_id", "n_events", "sum_value")  # exact cents/100
+    with _replay_state_partitions(
+        spark, events_dir, rows_per_partition=PY_STATE_ROWS_PER_PARTITION
+    ):
+        run_foreach_batch_to_parquet(
+            streaming_user_stats(spark, events_dir),
+            sink_dir,
+            f"{base}/ckpt",
+            output_mode="update",
         )
-    finally:
-        shutil.rmtree(events_dir, ignore_errors=True)
+    promote()
+    if not glob.glob(f"{sink_dir}/batch_id=*/part-*"):
+        return spark.createDataFrame(
+            [], "user_id long, n_events long, sum_value double"
+        )
+    mem = spark.read.parquet(sink_dir)
+    # last (= maximal) cumulative emission per user is the final state
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        mem.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_events", "sum_value")  # exact cents/100
+    )
 
 
 LATE_DELAY_US = 600_000_000  # the 10-minute watermark, in microseconds
@@ -1023,20 +1051,13 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction, so the memory sink is the right tool here (unlike
     the event-granularity join keys, which go through the parquet
     sink)."""
-    import shutil
-    import tempfile
-
-    events_dir = tempfile.mkdtemp(prefix="neo_olap_ohlc_")
-    try:
-        _copy_events_parquet(spark, sf_dir, events_dir)
-        name = _fresh_sink_name("t_ohlc")
-        with _replay_state_partitions(spark, events_dir):
-            run_stream_once(
-                build_ohlc(stream_events(spark, events_dir)),
-                name,
-                output_mode="complete",
-            )
-        final = spark.table(name)
-        return spark.createDataFrame(final.collect(), final.schema)
-    finally:
-        shutil.rmtree(events_dir, ignore_errors=True)
+    events_dir = shared_events_replay_dir(spark, sf_dir)
+    name = _fresh_sink_name("t_ohlc")
+    with _replay_state_partitions(spark, events_dir):
+        run_stream_once(
+            build_ohlc(stream_events(spark, events_dir)),
+            name,
+            output_mode="complete",
+        )
+    final = spark.table(name)
+    return spark.createDataFrame(final.collect(), final.schema)

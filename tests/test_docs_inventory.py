@@ -27,3 +27,35 @@ def test_survey_inventory_matches_registry():
     stale_in_docs = documented - registered
     assert not missing_from_docs, f"registered but not in SURVEY §2.4: {sorted(missing_from_docs)}"
     assert not stale_in_docs, f"in SURVEY §2.4 but not registered: {sorted(stale_in_docs)}"
+
+
+def test_driver_wave_rotation_fronts_unsampled_oracle_keys():
+    """The driver's per-round correctness wave samples the FIRST 50
+    keys of queries() in dict order (observed across CORRECTNESS_r1-r5:
+    each wave == the registry-order prefix). DRIVER_WAVE_ROTATION
+    exists to point that prefix at keys whose oracles the driver has
+    never confirmed; this pins (a) every rotation key resolves (a typo
+    would shrink the wave silently — _ordered_keys raises, but assert
+    the end state too), (b) the rotation IS the dict prefix, (c) every
+    rotated key is oracle-backed (a rows-only key in the wave wastes a
+    driver slot on a weaker check), and (d) nothing fell out of the
+    dict: rotation is a permutation, not a filter."""
+    from neo_olap_spark.registry import (
+        DRIVER_WAVE_ROTATION,
+        REGISTRY,
+        oracle_sql,
+        queries,
+    )
+
+    qk = list(queries())
+    n = len(DRIVER_WAVE_ROTATION)
+    assert len(set(DRIVER_WAVE_ROTATION)) == n, "duplicate rotation key"
+    assert qk[:n] == list(DRIVER_WAVE_ROTATION)
+    osql = oracle_sql()
+    not_oracle = [k for k in DRIVER_WAVE_ROTATION if k not in osql]
+    assert not not_oracle, f"rows-only keys in the driver wave: {not_oracle}"
+    assert set(qk) == set(REGISTRY), "rotation dropped or invented keys"
+    assert list(osql)[:n] == list(DRIVER_WAVE_ROTATION), (
+        "oracle_sql() order must front the same rotation (the driver "
+        "may prefix-sample either mapping)"
+    )
