@@ -108,11 +108,17 @@ def bfs_distances(
             (expanded.tag == seen.vtag) & (expanded.node == seen.vnode),
             "left_anti",
         ).select("tag", "node", "dist", "npaths")
-        # localCheckpoint: cut lineage so plans don't grow per level
-        frontier = frontier.localCheckpoint()
-        if frontier.isEmpty():
+        # Lineage is cut per level (localCheckpoint → LogicalRDD) but
+        # materialization is FUSED into the emptiness check: the lazy
+        # checkpoint persists when the count computes it, so a level
+        # runs ONE job, not three (frontier materialize + isEmpty +
+        # visited materialize). `visited` stays lazy too — its RDD
+        # persists inside the NEXT level's count job (the anti-join
+        # consumes it), and the final action covers the last union.
+        frontier = frontier.localCheckpoint(eager=False)
+        if frontier.count() == 0:
             break
-        visited = visited.unionByName(frontier).localCheckpoint()
+        visited = visited.unionByName(frontier).localCheckpoint(eager=False)
 
     if count_paths:
         return visited
@@ -1058,13 +1064,18 @@ def connected_components(
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.min("label").alias("cand"))
             )
+            # Lazy checkpoint + count fuses the round's materialization
+            # into its convergence check (one job, was three: improved
+            # materialize + isEmpty + labels materialize). labels stays
+            # lazy — its RDD persists inside the NEXT round's count job
+            # when the improvement join consumes it.
             improved = (
                 labels.join(pushed.hint("shuffle_hash"), "node")
                 .where(F.col("cand") < F.col("label"))
                 .select("node", F.col("cand").alias("label"))
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
-            if improved.isEmpty():
+            if improved.count() == 0:
                 converged = True
                 break
             # merge improvements via union + groupBy-min: one shuffle
@@ -1075,7 +1086,7 @@ def connected_components(
                 labels.unionByName(improved)
                 .groupBy("node")
                 .agg(F.min("label").alias("label"))
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
             frontier = improved
         else:
@@ -1599,7 +1610,11 @@ def k_core(
     for _ in range(max_iters):
         rounds += 1
         do_bcast = _fits_broadcast(n_prev, bcast_limit)
-        nxt = _kcore_round(edges_p, survivors, k, do_bcast).localCheckpoint()
+        # lazy checkpoint: the survivor count (needed anyway for the
+        # fixpoint test) is the job that materializes the round
+        nxt = _kcore_round(edges_p, survivors, k, do_bcast).localCheckpoint(
+            eager=False
+        )
         n_next = nxt.count()
         if n_next == n_prev:
             converged = True
