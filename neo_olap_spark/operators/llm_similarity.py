@@ -14,6 +14,10 @@ Two paths, mirroring how a 100 TB pipeline would tier them:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd  # module-level: pandas_udf type hints resolve by
+# name under `from __future__ import annotations` (NEXT.md landmine 6)
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -406,6 +410,39 @@ def _lit_vec(vals):
     return F.array(*[F.lit(v) for v in vals])
 
 
+def _lsh_buckets_kernel(planes):
+    """Arrow-batched bucket kernel: ALL n_tables × n_bits hyperplane
+    sign tests in one numpy matmul per batch (the §7.4 exception,
+    same rationale as cosine_pairs_kernel). The Catalyst form — 48
+    higher-order-function dot folds per row — was dominated by
+    analysis + interpreted per-element evaluation of a ~3000-node
+    expression tree: measured 3.3 s per signature pass over a 2000-row
+    corpus at sf0.1, and lsh_topk builds two passes (corpus + queries).
+    The matmul batch is E(n×d) @ M(d×T·B) → sign bits → packed bucket
+    ints: same semantics (bit b set iff dot(e, plane[t][b]) ≥ 0);
+    float summation order differs from the sequential fold only in the
+    last bits, which can flip a sign only for a vector lying within
+    ~1e-15 of a hyperplane — the recall floors hold with ≥0.2 margin
+    and determinism across runs is preserved (fixed numpy order).
+    Built lazily: pandas_udf resolves types against the active
+    session."""
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype=np.float64)  # T × B × D
+    n_tables, n_bits, _ = P.shape
+    M = P.reshape(n_tables * n_bits, -1).T  # D × (T·B)
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
+
+    @pandas_udf("array<bigint>")
+    def buckets(col: pd.Series) -> pd.Series:
+        E = np.stack(col.to_numpy()).astype(np.float64)
+        signs = (E @ M >= 0).astype(np.int64)
+        packed = (signs.reshape(len(E), n_tables, n_bits) * weights).sum(axis=2)
+        return pd.Series(list(packed))
+
+    return buckets
+
+
 def lsh_signatures(
     vecs: DataFrame,
     dim: int,
@@ -415,27 +452,17 @@ def lsh_signatures(
 ) -> DataFrame:
     """(vec_id, table, bucket) hyperplane-LSH signatures: per table,
     the bucket is the n_bits sign-pattern of the vector against that
-    table's hyperplanes, packed into an int. One projection pass over
-    the corpus — the signature build never shuffles; only consumers
-    key on (table, bucket)."""
-    from neo_olap_spark.functions import dot
-
-    planes = _hyperplanes(dim, n_tables, n_bits, seed)
-    sigs = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table"),
-                sum(
-                    (dot(F.col("embedding"), _lit_vec(planes[t][b])) >= 0).cast("long")
-                    * (1 << b)
-                    for b in range(n_bits)
-                ).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ]
-    )
-    return vecs.select("vec_id", F.explode(sigs).alias("s")).select(
-        "vec_id", "s.table", "s.bucket"
+    table's hyperplanes, packed into an int. One Arrow-vectorized
+    projection pass over the corpus (_lsh_buckets_kernel) — the
+    signature build never shuffles; only consumers key on
+    (table, bucket)."""
+    buckets = _lsh_buckets_kernel(_hyperplanes(dim, n_tables, n_bits, seed))
+    return vecs.select(
+        "vec_id", F.posexplode(buckets(F.col("embedding")))
+    ).select(
+        "vec_id",
+        F.col("pos").cast("int").alias("table"),
+        F.col("col").alias("bucket"),
     )
 
 
