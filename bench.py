@@ -117,6 +117,15 @@ HEADLINE4 = [
 ]
 
 
+# Round-6 wave: keys registered in round 6 (frozen-list protocol).
+HEADLINE5 = [
+    "q_sample_bernoulli",
+    "q_window_rolling_median",
+    "q_text_postings",
+    "q_pipeline_dataset_card",
+]
+
+
 # Full TPC-H 22 (schema-adapted; tpch.py + analytics.py): reported as
 # its own total — the one number warehouse engines are compared by.
 TPCH = [
@@ -207,12 +216,14 @@ def main() -> None:
     results2, warm2 = run_set(HEADLINE2)
     results4, warm4 = run_set(HEADLINE3)
     results5, warm5 = run_set(HEADLINE4)
+    results6, warm6 = run_set(HEADLINE5)
     results3, warm3 = run_set(TPCH)
 
     total, warm_total1 = set_totals(results, warm1)
     total2, warm_total2 = set_totals(results2, warm2)
     total4, warm_total4 = set_totals(results4, warm4)
     total5, warm_total5 = set_totals(results5, warm5)
+    total6, warm_total6 = set_totals(results6, warm6)
     total3, warm_total3 = set_totals(results3, warm3)
     # Key order is TRUNCATION-PROOF (VERDICT r5 item 7): the driver
     # captures the stdout TAIL, so anything early in this single line
@@ -238,14 +249,19 @@ def main() -> None:
         "headline3_warm_total": warm_total4,
         "headline4_total": total5,
         "headline4_warm_total": warm_total5,
+        "headline5_total": total6,
+        "headline5_warm_total": warm_total6,
         "tpch_total": total3,
         "tpch_warm_total": warm_total3,
         "errors": errors,
         "warm_incomplete_keys": warm_incomplete,
         # newest wave first … r1-comparable HEADLINE cold per-key LAST
-        "queries_warm": {**warm3, **warm5, **warm4, **warm2, **warm1},
+        "queries_warm": {
+            **warm3, **warm6, **warm5, **warm4, **warm2, **warm1
+        },
         "queries": {
-            **results3, **results5, **results4, **results2, **results
+            **results3, **results6, **results5, **results4, **results2,
+            **results,
         },
     }
     sidecar = os.path.join(

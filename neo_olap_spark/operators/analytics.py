@@ -2089,6 +2089,62 @@ def q_feature_target_enc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_window_rolling_median — exact rolling median per series
+# ---------------------------------------------------------------------------
+
+ROLLING_MEDIAN_FRAME = 6  # current row + 6 preceding = 7-row window
+
+
+@query(
+    "q_window_rolling_median",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           median(cents) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN {ROLLING_MEDIAN_FRAME} PRECEDING AND CURRENT ROW
+           ) AS median_cents
+    FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                 CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+          FROM orders)
+    """,
+)
+def q_window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median (7-row frame per customer, ordered by
+    order date) — the robust-smoothing complement of the mean-based
+    rolling windows: one outlier order can drag a rolling mean
+    arbitrarily but moves the median by at most one rank. Spark has
+    no median window aggregate, so the frame's values collect into a
+    sorted array and the middle element(s) are picked by index — the
+    frame is 7 rows, so the per-row array is O(frame), not O(series),
+    and the whole computation rides the ONE Exchange the window
+    itself needs (same shape as q_window_running_sum).
+
+    Cross-engine exactness: cents integerization makes the frame
+    values integers; the even-count median (lo+hi)/2 is exactly
+    representable in double for any two BIGINT cents values, so
+    DuckDB's native ``median()`` window aggregate and the explicit
+    sorted-array pick agree bit-for-bit (float landmine rules — no
+    summation, no rounding boundary). The (o_orderdate, o_orderkey)
+    ordering is a total order, so the frame content is deterministic."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-ROLLING_MEDIAN_FRAME, 0)
+    )
+    s = F.array_sort(F.collect_list(cents).over(w))
+    n = F.size(s)
+    lo = F.element_at(s, ((n + F.lit(1)) / F.lit(2)).cast("int"))
+    hi = F.element_at(s, (n / F.lit(2)).cast("int") + F.lit(1))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        ((lo + hi).cast("double") / F.lit(2.0)).alias("median_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_window_rolling_corr — rolling lag-1 autocorrelation per series
 # ---------------------------------------------------------------------------
 

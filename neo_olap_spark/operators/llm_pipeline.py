@@ -409,6 +409,93 @@ def q_pipeline_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_pipeline_dataset_card — per-(source, lang) dataset documentation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_pipeline_dataset_card",
+    oracle="""
+    WITH base AS (
+      SELECT source, lang, doc_id, n_chars, md5(text) AS h,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS ntok
+      FROM documents
+    ),
+    agg AS (
+      SELECT source, lang,
+             COUNT(*) AS n_docs,
+             COUNT(DISTINCT h) AS n_unique_texts,
+             SUM(n_chars) AS total_chars,
+             SUM(ntok) AS total_tokens
+      FROM base GROUP BY source, lang
+    ),
+    r AS (
+      SELECT source, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source, lang
+                                ORDER BY n_chars) AS rn,
+             COUNT(*) OVER (PARTITION BY source, lang) AS cnt
+      FROM base
+    ),
+    med AS (
+      SELECT source, lang, MIN(n_chars) AS med_chars
+      FROM r WHERE rn = (cnt + 1) // 2 GROUP BY source, lang
+    )
+    SELECT agg.source, agg.lang,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_unique_texts AS BIGINT) AS n_unique_texts,
+           CAST(total_chars AS BIGINT) AS total_chars,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           CAST(med_chars AS BIGINT) AS med_chars
+    FROM agg JOIN med USING (source, lang)
+    """,
+)
+def q_pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card statistics per (source, lang) stratum: doc and
+    unique-text counts (the exact-dedup rate is their difference),
+    char/token volume, and the exact lower-median document length —
+    the numbers a training-data release documents per slice (and the
+    first thing reviewed when a mixture is rebalanced). One pass
+    computes the hash + token projections; the counts are one
+    partial-aggregable groupBy; the median reuses the rank-based
+    lower-median pattern (q_agg_median): the value at ⌊(n+1)/2⌋ of
+    each stratum's sort — an actual row value, engine-exact, where
+    interpolating medians differ at the last ulp. countDistinct over
+    16-byte digests means text bytes never shuffle for uniqueness —
+    the q_dedup_exact accounting at card granularity."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.md5("text").alias("h"),
+        F.size(ws_tokens(F.col("text"))).cast("long").alias("ntok"),
+    )
+    agg = base.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("h").cast("long").alias("n_unique_texts"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("ntok").cast("long").alias("total_tokens"),
+    )
+    w = W.partitionBy("source", "lang")
+    r = base.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.row_number().over(w.orderBy("n_chars")).alias("rn"),
+        F.count("*").over(w).alias("cnt"),
+    )
+    med = (
+        r.where(F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
+        .groupBy("source", "lang")
+        .agg(F.min("n_chars").cast("long").alias("med_chars"))
+    )
+    return agg.join(med, ["source", "lang"]).select(
+        "source", "lang", "n_docs", "n_unique_texts",
+        "total_chars", "total_tokens", "med_chars",
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_embed_pca — distributed one-pass PCA (whitening / compression tier)
 # ---------------------------------------------------------------------------
 

@@ -655,6 +655,74 @@ def q_text_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOP_NGRAMS = 50
 
+POSTINGS_TOP_TERMS = 100
+POSTINGS_HEAD = 20
+
+
+@query(
+    "q_text_postings",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+               AS term
+      FROM documents
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM t GROUP BY term),
+    top AS (
+      SELECT term, df FROM dfreq ORDER BY df DESC, term
+      LIMIT {POSTINGS_TOP_TERMS}
+    ),
+    heads AS (
+      SELECT t.term,
+             list_slice(list_sort(list(t.doc_id)), 1, {POSTINGS_HEAD})
+               AS postings_head
+      FROM t JOIN top USING (term) GROUP BY t.term
+    )
+    SELECT top.term, CAST(top.df AS BIGINT) AS df, heads.postings_head
+    FROM top JOIN heads USING (term)
+    """,
+)
+def q_text_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (the retrieval-side primitive of a
+    training-data pipeline: decontamination lookups, BM25 retrieval,
+    doc-level term filters all start from posting lists): per term,
+    document frequency + the first {POSTINGS_HEAD} doc ids of its
+    posting list, for the top {POSTINGS_TOP_TERMS} terms by df
+    (total-ordered by (df DESC, term) so the cut is deterministic).
+
+    Scale shape: the full index stays DISTRIBUTED as (term, doc_id)
+    rows — exactly the layout a posting-list shard store consumes —
+    and only the reported HEAD is materialized per term, via the
+    WindowGroupLimit pattern (row_number ≤ {POSTINGS_HEAD} prunes to
+    20 rows/term inside each partition BEFORE the final per-term
+    collect, the q_text_keywords plan): no stopword's full
+    million-doc posting list ever funnels anywhere. df counting is a
+    partial-aggregable groupBy on the same exploded rows."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(ws_tokens(F.col("text")))).alias("term"),
+    )
+    dfreq = t.groupBy("term").agg(F.count("*").alias("df"))
+    top = (
+        dfreq.orderBy(F.col("df").desc(), "term")
+        .limit(POSTINGS_TOP_TERMS)
+        .select("term", "df")
+    )
+    ranked = (
+        t.join(F.broadcast(top.select("term")), "term")
+        .withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("term").orderBy("doc_id")),
+        )
+        .where(F.col("rn") <= POSTINGS_HEAD)
+    )
+    heads = ranked.groupBy("term").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("postings_head")
+    )
+    return top.join(heads, "term").select("term", "df", "postings_head")
+
 
 @query(
     "q_text_ngram_stats",

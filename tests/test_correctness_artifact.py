@@ -53,3 +53,31 @@ def test_artifact_oracle_flags_match_registry():
             assert entry["err"] == "no_oracle", k
         else:
             assert entry["hash_match"] is True, (k, entry)
+
+
+def test_artifact_oracle_texts_match_registry():
+    """An oracle whose TEXT changed after the last ledger run is
+    unverified evidence even when its flags look right — the artifact
+    records a sha of each oracle it actually ran, and this pins it to
+    the registry's current text. Fires exactly when a commit edits an
+    @query(oracle=...) without re-running tools/correctness_local.py
+    (the remaining staleness class the key/flag-set tests can't see)."""
+    import hashlib
+
+    from neo_olap_spark.registry import REGISTRY, queries
+
+    queries()
+    d = _load()
+    stale = []
+    for k, q in REGISTRY.items():
+        want = (
+            hashlib.sha256(q.oracle.encode()).hexdigest()[:16]
+            if q.oracle is not None
+            else None
+        )
+        if d[k].get("oracle_sha") != want:
+            stale.append(k)
+    assert not stale, (
+        f"oracle text changed since the last ledger run for {sorted(stale)}"
+        " — regenerate with `python tools/correctness_local.py`"
+    )

@@ -19,6 +19,7 @@ Default sf_dir is the driver's verification scale, sf0.01.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -49,6 +50,16 @@ def main() -> None:
             "spark_rows": None,
             "oracle_rows": None,
             "err": None,
+            # hash of the oracle TEXT this run verified: lets the
+            # artifact test detect an oracle edited after the last
+            # ledger run (the r5 round's only defect was this class
+            # of staleness, in flag form — the text hash closes the
+            # remaining gap where flags stay identical)
+            "oracle_sha": (
+                hashlib.sha256(q.oracle.encode()).hexdigest()[:16]
+                if q.oracle is not None
+                else None
+            ),
         }
         try:
             left = _canon(q.fn(spark, sf_dir).toPandas())
