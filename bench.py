@@ -123,6 +123,7 @@ HEADLINE5 = [
     "q_window_rolling_median",
     "q_text_postings",
     "q_pipeline_dataset_card",
+    "q_agg_winsorize",
 ]
 
 

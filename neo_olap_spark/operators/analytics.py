@@ -2089,6 +2089,145 @@ def q_feature_target_enc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_agg_winsorize — outlier-robust aggregation via exact percentile clamps
+# ---------------------------------------------------------------------------
+
+WINSOR_LO_PCT = 5
+WINSOR_HI_PCT = 95
+
+
+@query(
+    "q_agg_winsorize",
+    oracle=f"""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    r AS (
+      SELECT l_returnflag, cents,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY cents)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+      FROM c
+    ),
+    bounds AS (
+      SELECT l_returnflag,
+             MIN(CASE WHEN rn = (cnt * {WINSOR_LO_PCT} + 99) // 100
+                      THEN cents END) AS lo_c,
+             MIN(CASE WHEN rn = (cnt * {WINSOR_HI_PCT} + 99) // 100
+                      THEN cents END) AS hi_c,
+             MIN(cnt) AS n
+      FROM r
+      WHERE rn IN ((cnt * {WINSOR_LO_PCT} + 99) // 100,
+                   (cnt * {WINSOR_HI_PCT} + 99) // 100)
+      GROUP BY l_returnflag
+    ),
+    agg AS (
+      SELECT c.l_returnflag,
+             CAST(SUM(c.cents) AS BIGINT) AS sum_raw,
+             CAST(SUM(LEAST(GREATEST(c.cents, b.lo_c), b.hi_c)) AS BIGINT)
+               AS sum_wins,
+             MIN(b.lo_c) AS lo_c, MIN(b.hi_c) AS hi_c, MIN(b.n) AS n
+      FROM c JOIN bounds b USING (l_returnflag)
+      GROUP BY c.l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_items,
+           CAST(lo_c AS DOUBLE) / 100.0 AS p05,
+           CAST(hi_c AS DOUBLE) / 100.0 AS p95,
+           FLOOR(CAST(sum_raw AS DOUBLE) / n / 100.0 * 10000 + 0.5) / 10000
+             AS mean_raw,
+           FLOOR(CAST(sum_wins AS DOUBLE) / n / 100.0 * 10000 + 0.5) / 10000
+             AS mean_winsorized
+    FROM agg
+    """,
+)
+def q_agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized aggregation per group: exact p05/p95 by rank, values
+    clamped into [p05, p95], then the robust mean — the standard
+    outlier treatment before a mean-based metric ships (one fat-finger
+    price no longer moves the average; compare mean_raw vs
+    mean_winsorized to see the tail's leverage). Percentiles are RANK
+    picks (value at ⌈n·p⌉ of the sorted group — an actual row value,
+    the q_agg_median engine-neutral rule), the clamp and sums are
+    integer cents, and the final means divide once in a shared double
+    expression with the floor-quantize guard (float landmine (a)).
+
+    Scale shape: one window sort per group for the rank pick (the
+    exact-percentile tier; at 100 TB the cheap tier is
+    approx_percentile feeding the same clamp), then one
+    partial-aggregable groupBy for both sums — the bounds relation is
+    groups-sized and broadcast into the clamp join."""
+    li = load(spark, sf_dir, "lineitem")
+    c = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    w = W.partitionBy("l_returnflag")
+    lo_rank = (F.col("cnt") * WINSOR_LO_PCT + 99) / 100
+    hi_rank = (F.col("cnt") * WINSOR_HI_PCT + 99) / 100
+    r = c.select(
+        "l_returnflag",
+        "cents",
+        F.row_number().over(w.orderBy("cents")).alias("rn"),
+        F.count("*").over(w).alias("cnt"),
+    )
+    bounds = (
+        r.where(
+            (F.col("rn") == F.floor(lo_rank)) | (F.col("rn") == F.floor(hi_rank))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.min(
+                F.when(F.col("rn") == F.floor(lo_rank), F.col("cents"))
+            ).alias("lo_c"),
+            F.min(
+                F.when(F.col("rn") == F.floor(hi_rank), F.col("cents"))
+            ).alias("hi_c"),
+            F.min("cnt").alias("n"),
+        )
+    )
+    clipped = c.join(F.broadcast(bounds), "l_returnflag").select(
+        "l_returnflag",
+        "cents",
+        F.least(F.greatest(F.col("cents"), F.col("lo_c")), F.col("hi_c")).alias(
+            "wins"
+        ),
+        "lo_c",
+        "hi_c",
+        "n",
+    )
+    agg = clipped.groupBy("l_returnflag").agg(
+        F.sum("cents").alias("sum_raw"),
+        F.sum("wins").alias("sum_wins"),
+        F.min("lo_c").alias("lo_c"),
+        F.min("hi_c").alias("hi_c"),
+        F.min("n").alias("n"),
+    )
+
+    def qmean(col: str):
+        return (
+            F.floor(
+                F.col(col).cast("double") / F.col("n") / 100.0 * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        )
+
+    return agg.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_items"),
+        (F.col("lo_c").cast("double") / 100.0).alias("p05"),
+        (F.col("hi_c").cast("double") / 100.0).alias("p95"),
+        qmean("sum_raw").alias("mean_raw"),
+        qmean("sum_wins").alias("mean_winsorized"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_window_rolling_median — exact rolling median per series
 # ---------------------------------------------------------------------------
 
