@@ -406,10 +406,6 @@ def _hyperplanes(dim: int, n_tables: int, n_bits: int, seed: int):
     return [[[float(x) for x in bits] for bits in table] for table in H]
 
 
-def _lit_vec(vals):
-    return F.array(*[F.lit(v) for v in vals])
-
-
 def _lsh_buckets_kernel(planes):
     """Arrow-batched bucket kernel: ALL n_tables × n_bits hyperplane
     sign tests in one numpy matmul per batch (the §7.4 exception,

@@ -217,13 +217,22 @@ def shared_events_replay_dir(spark: SparkSession, sf_dir: str) -> str:
     dirs)."""
     import os
 
-    app_key = (spark.sparkContext.applicationId, sf_dir)
+    import hashlib
+    import os
+
+    sf_abs = os.path.abspath(sf_dir)
+    app_key = (spark.sparkContext.applicationId, sf_abs)
     cached = _SHARED_REPLAY_CACHE.get(app_key)
     if cached is not None:
         return cached
-    name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    dest = f"/tmp/neo_olap_stream_src/{name}"
-    _copy_events_parquet(spark, sf_dir, dest)
+    # dest must be unique per FULL source path, not per basename — two
+    # sf dirs named "sf0.1" under different roots would otherwise
+    # overwrite one dest while the cache (keyed on the full path) kept
+    # serving it for both, silently replaying the wrong dataset
+    name = os.path.basename(os.path.normpath(sf_abs)) or "sf"
+    tag = hashlib.sha256(sf_abs.encode()).hexdigest()[:8]
+    dest = f"/tmp/neo_olap_stream_src/{name}-{tag}"
+    _copy_events_parquet(spark, sf_abs, dest)
     _SHARED_REPLAY_CACHE[app_key] = dest
     return dest
 

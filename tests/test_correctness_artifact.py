@@ -75,7 +75,7 @@ def test_artifact_oracle_texts_match_registry():
             if q.oracle is not None
             else None
         )
-        if d[k].get("oracle_sha") != want:
+        if d.get(k, {}).get("oracle_sha") != want:
             stale.append(k)
     assert not stale, (
         f"oracle text changed since the last ledger run for {sorted(stale)}"
