@@ -49,6 +49,7 @@ def test_driver_wave_rotation_fronts_unsampled_oracle_keys():
 
     qk = list(queries())
     n = len(DRIVER_WAVE_ROTATION)
+    assert n == 50, "rotation must fill the driver's 50-key wave exactly"
     assert len(set(DRIVER_WAVE_ROTATION)) == n, "duplicate rotation key"
     assert qk[:n] == list(DRIVER_WAVE_ROTATION)
     osql = oracle_sql()
