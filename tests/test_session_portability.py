@@ -202,3 +202,12 @@ def test_oracles_survive_non_utc_duckdb_connection(spark, sf_dir):
             drop=True
         )
         assert spark_pdf.equals(oracle_pdf), key
+
+
+def test_stream_transform_state_on_bare_session(bare_conf, sf_dir):
+    """The driver wave now fronts the arbitrary-stateful key
+    (DRIVER_WAVE_ROTATION): its whole chain — shared replay copy,
+    applyInPandasWithState fallback, foreachBatch sink, lazy window
+    extraction — must run on a session without our builder confs."""
+    out = streaming.q_stream_transform_state(bare_conf, sf_dir)
+    assert out.count() >= 0
