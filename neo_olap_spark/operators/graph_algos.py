@@ -1990,12 +1990,25 @@ def weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.unionAll(li)
 
 
+# Above this many (source × edge) units, the per-round merge switches
+# from union+groupBy (one aggregate, but it re-shuffles the FULL state
+# every round) to the partition-preserving full-outer join (state stays
+# put; only frontier-sized pushes shuffle). Measured crossover: at
+# sf0.1 single-source (1.4M units) union-merge wins on fixed costs
+# (10.4 vs 11.1 s warm); at the 10× 4-source closeness run (55M units)
+# the full state is 4.4M rows × ~26 rounds of re-shuffle — the reason
+# closeness soaked at exponent 0.77 while sssp held 0.28. Same
+# size-gated-strategy pattern as the k-core broadcast gate.
+SSSP_UNION_MERGE_MAX_UNITS = 16_000_000
+
+
 def sssp(
     wsym: DataFrame,
     sources: list[int],
     max_rounds: int = SSSP_MAX_ROUNDS,
     n_edges: int | None = None,
     stats: dict | None = None,
+    union_merge: bool | None = None,
 ) -> DataFrame:
     """Distributed multi-source Bellman-Ford with frontier relaxation,
     keyed on (source, node): only entries whose distance IMPROVED last
@@ -2004,10 +2017,19 @@ def sssp(
     Terminates when no distance improves — O(weighted-tree hop depth)
     rounds. Raises if the round ceiling is hit, so a partial (wrong)
     answer can never be returned — the same safety contract as
-    connected_components. Returns (source, node, dist)."""
+    connected_components. Returns (source, node, dist).
+
+    ``union_merge`` picks the per-round merge strategy (None = gate on
+    len(sources) × n_edges vs SSSP_UNION_MERGE_MAX_UNITS); both
+    strategies are exact — the choice is purely a shuffle-volume
+    trade, pinned equivalent in tests/test_graph_algos.py."""
     spark = wsym.sparkSession
     if n_edges is None:
         n_edges = wsym.count()
+    if union_merge is None:
+        union_merge = (
+            len(sources) * n_edges <= SSSP_UNION_MERGE_MAX_UNITS
+        )
     with _no_aqe(spark), _loop_shuffle_partitions(spark, n_edges):
         edges_p = wsym.repartition("src").persist()
         dist = spark.createDataFrame(
@@ -2018,47 +2040,69 @@ def sssp(
         rounds = 0
         for _ in range(max_rounds):
             rounds += 1
-            # Round = ONE union+groupBy merge (the CC-merge shape that
-            # measured 2× over join-based merging): candidate pushes
-            # and the standing distances union into a single min
-            # aggregate — partial aggregation combines duplicate
-            # candidates map-side, and the round runs TWO exchanges
-            # (frontier→edges join, merge groupBy) instead of three
-            # (join, push groupBy, full-outer merge). `old` (the
-            # standing distance, for the improvement test) rides along
-            # as a conditional min in the same aggregate.
-            pushed = (
+            pushed_raw = (
                 frontier.hint("shuffle_hash")
                 .join(edges_p, frontier.node == edges_p.src)
                 .select(
                     "source",
                     F.col("dst").alias("node"),
                     (F.col("dist") + F.col("w")).alias("val"),
-                    F.lit(False).alias("is_old"),
                 )
             )
-            # ONE job per round (was two): a LAZY localCheckpoint marks
-            # the round's result for persistence, and the improved-row
+            if union_merge:
+                # Small state: ONE union+groupBy merge (the CC-merge
+                # shape) — candidate pushes and the standing distances
+                # union into a single min aggregate; partial
+                # aggregation combines duplicates map-side and the
+                # round runs TWO exchanges. `old` (the standing
+                # distance, for the improvement test) rides along as a
+                # conditional min in the same aggregate.
+                merged = (
+                    dist.select(
+                        "source", "node",
+                        F.col("dist").alias("val"),
+                        F.lit(True).alias("is_old"),
+                    )
+                    .unionByName(pushed_raw.withColumn("is_old", F.lit(False)))
+                    .groupBy("source", "node")
+                    .agg(
+                        F.min("val").alias("dist"),
+                        F.min(
+                            F.when(F.col("is_old"), F.col("val"))
+                        ).alias("old"),
+                    )
+                    .localCheckpoint(eager=False)
+                )
+            else:
+                # Large state: aggregate only the (frontier-sized)
+                # pushes, then FULL-OUTER against the standing
+                # distances — dist is already hash-partitioned on
+                # (source, node) from last round's merge (preserved
+                # through the LogicalRDD checkpoint), so only the
+                # pushes shuffle; the state never re-moves. This is
+                # what keeps k-source closeness linear at 10×.
+                pushed = pushed_raw.groupBy("source", "node").agg(
+                    F.min("val").alias("cand")
+                )
+                merged = (
+                    dist.withColumnRenamed("dist", "old")
+                    .join(pushed, ["source", "node"], "full_outer")
+                    .select(
+                        "source",
+                        "node",
+                        F.least(
+                            F.coalesce("old", F.lit(_SSSP_INF)),
+                            F.coalesce("cand", F.lit(_SSSP_INF)),
+                        ).alias("dist"),
+                        "old",
+                    )
+                    .localCheckpoint(eager=False)
+                )
+            # ONE job per round: the LAZY localCheckpoint marks the
+            # round's result for persistence and the improved-row
             # count is the action that materializes it — fusing the
-            # materialization job and the convergence-check job. At 26
-            # rounds (sf0.1 depth) the loop's cost is rounds × fixed
-            # job overhead (VERDICT r5 item 4). Lineage is still cut
-            # every round: localCheckpoint(eager=False) already wraps
-            # the plan in a LogicalRDD.
-            merged = (
-                dist.select(
-                    "source", "node",
-                    F.col("dist").alias("val"),
-                    F.lit(True).alias("is_old"),
-                )
-                .unionByName(pushed)
-                .groupBy("source", "node")
-                .agg(
-                    F.min("val").alias("dist"),
-                    F.min(F.when(F.col("is_old"), F.col("val"))).alias("old"),
-                )
-                .localCheckpoint(eager=False)
-            )
+            # materialization job and the convergence-check job
+            # (VERDICT r5 item 4).
             improved = F.col("dist") < F.coalesce("old", F.lit(_SSSP_INF))
             n_improved = merged.where(improved).count()  # materializes
             frontier = merged.where(improved).select("source", "node", "dist")

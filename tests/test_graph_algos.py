@@ -306,3 +306,31 @@ def test_sssp_raises_when_ceiling_too_low(spark):
     sym = chain.unionAll(chain.selectExpr("dst as src", "src as dst", "w"))
     with _pytest.raises(RuntimeError, match="did not converge"):
         sssp(sym, [0], max_rounds=3)
+
+
+def test_sssp_merge_strategies_agree(spark, sf_dir):
+    """The size-gated merge strategies (union+groupBy for small state,
+    partition-preserving full-outer for large) are a pure
+    shuffle-volume trade: identical distances, round for round, on the
+    real derived graph with multiple sources."""
+    from neo_olap_spark.operators.graph_algos import (
+        _weighted_sym_edges,
+        sssp,
+    )
+    from neo_olap_spark.tables import load
+
+    wsym = _weighted_sym_edges(spark, sf_dir).localCheckpoint()
+    srcs = [
+        r[0]
+        for r in load(spark, sf_dir, "customer")
+        .select("c_custkey").orderBy("c_custkey").limit(2).collect()
+    ]
+    a = {
+        (r.source, r.node): r.dist
+        for r in sssp(wsym, srcs, union_merge=True).collect()
+    }
+    b = {
+        (r.source, r.node): r.dist
+        for r in sssp(wsym, srcs, union_merge=False).collect()
+    }
+    assert a == b
