@@ -124,6 +124,7 @@ HEADLINE5 = [
     "q_text_postings",
     "q_pipeline_dataset_card",
     "q_agg_winsorize",
+    "q_scd2_join",
 ]
 
 

@@ -333,6 +333,105 @@ def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_scd2_join — transaction-time dimension lookup (AS-OF join over SCD2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_scd2_join",
+    oracle="""
+    WITH hist AS (
+      SELECT o_custkey,
+             CAST(epoch(o_orderdate) AS BIGINT) AS valid_from,
+             CAST(epoch(LEAD(o_orderdate) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) AS BIGINT)
+               AS valid_to,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+      FROM orders
+    ),
+    ev AS (
+      SELECT event_id, user_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_epoch
+      FROM events
+    )
+    SELECT e.event_id, e.user_id, e.ts_epoch,
+           h.valid_from AS version_from, h.price_cents
+    FROM ev e LEFT JOIN hist h
+      ON e.user_id = h.o_custkey
+     AND e.ts_epoch >= h.valid_from
+     AND (h.valid_to IS NULL OR e.ts_epoch < h.valid_to)
+    """,
+)
+def q_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-time dimension lookup: every event joined to the
+    customer's SCD2 version valid AT THE EVENT'S OWN TIMESTAMP — the
+    per-row generalization of q_scd2_asof's constant-instant filter,
+    and the single most common temporal-warehouse join ("what did
+    this customer's record say when the event happened?").
+
+    Spark-first shape: NOT an interval join. Dimension-change rows
+    and event rows UNION into one relation, one window per customer
+    ordered by (time, kind, change-ordinal), and each event reads the
+    last non-null dimension attributes before it — the q_join_asof
+    union-and-window pattern, so the whole lookup costs ONE Exchange
+    keyed on the dimension key, independent of how many versions an
+    interval join would bin-pack. Version rows sort BEFORE events at
+    the same instant (a version is valid from its own timestamp,
+    inclusive), and same-timestamp version ties resolve by orderkey —
+    exactly the intervals q_scd2_build constructs.
+
+    The oracle is deliberately the OTHER formulation (a genuine
+    interval join over the derived validity intervals): the two
+    implementations cross-validate; zero-length same-date intervals
+    exclude themselves there precisely as the window's tie-break does
+    here. Events before a customer's first version keep NULL
+    attributes (left-join semantics on both sides)."""
+    o = load(spark, sf_dir, "orders")
+    ev = load(spark, sf_dir, "events")
+    dim = o.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("t"),
+        F.lit(0).alias("kind"),
+        F.col("o_orderkey").alias("ord"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("price_cents"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    evu = ev.select(
+        "user_id",
+        F.col("ts").cast("long").alias("t"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("ord"),
+        F.lit(None).cast("long").alias("price_cents"),
+        "event_id",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t", "kind", "ord")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    # version_from must come from the SAME row as the price: carry the
+    # dim row's own t and take the last non-null of both
+    dim_t = F.when(F.col("kind") == 0, F.col("t"))
+    merged = dim.unionByName(evu).select(
+        "user_id",
+        "t",
+        "kind",
+        "event_id",
+        F.last(dim_t, ignorenulls=True).over(w).alias("version_from"),
+        F.last("price_cents", ignorenulls=True).over(w).alias("price_at"),
+    )
+    return merged.where(F.col("kind") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("t").alias("ts_epoch"),
+        "version_from",
+        F.col("price_at").alias("price_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_incremental_join_view — delta maintenance of a join materialization
 # ---------------------------------------------------------------------------
 
