@@ -125,6 +125,7 @@ HEADLINE5 = [
     "q_pipeline_dataset_card",
     "q_agg_winsorize",
     "q_scd2_join",
+    "q_multimodal_scenes",
 ]
 
 

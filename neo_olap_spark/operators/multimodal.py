@@ -648,9 +648,10 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("doc_id", "payload").mapInPandas(_audio_decode_batches, AUDIO_SCHEMA)
 
 
-@query(
-    "q_multimodal_motion",
-    oracle="""
+# Shared by q_multimodal_motion (verbatim) and q_multimodal_scenes
+# (wrapped in an outer per-doc aggregation): the frame patterns'
+# closed forms re-derive every per-step pixel diff in DuckDB.
+_MOTION_ORACLE = """
     WITH dims AS (
       SELECT doc_id,
              CAST(2 + doc_id % 3 AS BIGINT) AS n_frames,
@@ -682,8 +683,10 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS mean_abs_diff
     FROM px GROUP BY doc_id, k, width, height
     ORDER BY doc_id, step
-    """,
-)
+    """
+
+
+@query("q_multimodal_motion", oracle=_MOTION_ORACLE)
 def q_multimodal_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Motion estimation over multi-frame media: decode every
     consecutive frame pair of each video and emit the per-step sum
@@ -731,6 +734,65 @@ def q_multimodal_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
         motion, "doc_id long, step long, abs_diff_sum long, mean_abs_diff long"
     )
     return out.orderBy("doc_id", "step")
+
+
+SCENE_CUT_THRESHOLD = 30  # mean-abs-diff per pixel-channel => hard cut
+
+
+@query(
+    "q_multimodal_scenes",
+    oracle=f"""
+    WITH motion AS ({_MOTION_ORACLE}),
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_steps,
+             CAST(COUNT(*) FILTER (
+               WHERE mean_abs_diff >= {SCENE_CUT_THRESHOLD}) AS BIGINT)
+               AS n_cuts,
+             COALESCE(list(step ORDER BY step) FILTER (
+               WHERE mean_abs_diff >= {SCENE_CUT_THRESHOLD}), []) AS cut_steps,
+             CAST(MAX(mean_abs_diff) AS BIGINT) AS max_mean_diff
+      FROM motion GROUP BY doc_id
+    )
+    SELECT doc_id, n_steps, n_cuts, n_cuts + 1 AS n_scenes,
+           cut_steps, max_mean_diff
+    FROM agg
+    """,
+)
+def q_multimodal_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection per video: threshold the per-step motion
+    signal (q_multimodal_motion's mean absolute pixel diff) and emit
+    each clip's cut count, cut positions, and scene count — the
+    shot-boundary segmentation a video-training pipeline runs before
+    frame sampling (sample per SCENE, not per clip, or long static
+    shots dominate). Pure composition: the decode + diff pipeline is
+    the motion operator's, and this adds one doc-keyed aggregation;
+    cut_steps stays a per-doc array bounded by frames-per-clip. The
+    oracle wraps the motion closed-form SQL in the same aggregation —
+    integer throughout, engine-exact. Threshold {SCENE_CUT_THRESHOLD}
+    sits between the corpus's static-pan diffs (median 18) and its
+    pattern-shift spikes (up to 83), so both classes occur."""
+    motion = q_multimodal_motion(spark, sf_dir)
+    is_cut = F.col("mean_abs_diff") >= SCENE_CUT_THRESHOLD
+    return (
+        motion.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_steps"),
+            F.sum(is_cut.cast("long")).cast("long").alias("n_cuts"),
+            F.sort_array(
+                F.collect_list(F.when(is_cut, F.col("step")))
+            ).alias("cut_steps"),
+            F.max("mean_abs_diff").cast("long").alias("max_mean_diff"),
+        )
+        .select(
+            "doc_id",
+            "n_steps",
+            "n_cuts",
+            (F.col("n_cuts") + 1).cast("long").alias("n_scenes"),
+            "cut_steps",
+            "max_mean_diff",
+        )
+    )
 
 
 RESAMPLE_FACTOR = 2  # 8 kHz -> 4 kHz decimation
