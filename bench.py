@@ -274,9 +274,25 @@ def main() -> None:
         with open(sidecar, "w") as f:
             json.dump(record, f, indent=1, sort_keys=False)
             f.write("\n")
-    except OSError:
-        pass  # sidecar is best-effort; stdout line is the contract
+    except OSError as exc:
+        # stdout line is still the contract, but a silent failure here
+        # leaves a STALE committed sidecar that disagrees with stdout
+        # with no signal — make it detectable (ADVICE r6)
+        print(f"bench.py: sidecar write failed ({exc}); "
+              f"BENCH_local_full.json may be stale", file=sys.stderr)
     print(json.dumps(record))
+    # The driver records the stdout TAIL (~2000 chars): BENCH_r06's
+    # tail was all per-key numbers with every *_total truncated OUT
+    # (VERDICT r6 defect 1). The LAST stdout line is therefore a
+    # compact totals-only JSON — small enough to survive any tail
+    # capture whole; per-key numbers live in the full record above and
+    # in the committed sidecar.
+    totals_only = {
+        k: v for k, v in record.items()
+        if k not in ("queries", "queries_warm")
+    }
+    totals_only["per_key_in"] = "BENCH_local_full.json"
+    print(json.dumps(totals_only))
 
 
 if __name__ == "__main__":

@@ -431,6 +431,11 @@ def _lsh_buckets_kernel(planes):
 
     @pandas_udf("array<bigint>")
     def buckets(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            # np.stack raises on an empty sequence; Spark normally
+            # skips empty partitions but a zero-row Arrow batch must
+            # return empty, not crash
+            return pd.Series([], dtype=object)
         E = np.stack(col.to_numpy()).astype(np.float64)
         signs = (E @ M >= 0).astype(np.int64)
         packed = (signs.reshape(len(E), n_tables, n_bits) * weights).sum(axis=2)

@@ -961,6 +961,130 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_sample_verdict",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+           TRUE AS n_in_bounds, TRUE AS deterministic, TRUE AS subset_ok
+    FROM orders
+    """,
+)
+def q_sample_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable verdict row for the seeded Bernoulli sample
+    (VERDICT r6 item 5 — q_sample itself stays rows-only: its exact
+    row set is per-partition-PRNG output, engine- and
+    partitioning-specific by nature, so no batch SQL can reproduce
+    it). What IS checkable cross-engine: the population count (exact,
+    cross-checked by DuckDB) and three booleans the q_agg_hll
+    tolerance pattern turns into hash bits —
+
+    - n_in_bounds: the sample size lands inside the loose
+      Bernoulli(0.1) envelope (0.04·N, 0.2·N) — ±5σ-ish at every SF,
+      robust to any partitioning the driver's session picks;
+    - deterministic: two independent runs at the same seed produce the
+      SAME row set within one app (order-free bit_xor of key hashes —
+      no overflow, no sort);
+    - subset_ok: the sample is drawn from orders (left-anti join back
+      to the source is empty — distributed, aggregate-sized result).
+
+    The oracle emits literal TRUE per boolean, so the driver's value
+    hash matches iff every invariant holds."""
+    orders = load(spark, sf_dir, "orders")
+    total = orders.agg(F.count(F.lit(1)).alias("total_rows"))
+    s1 = orders.sample(fraction=0.1, seed=42)
+    s2 = load(spark, sf_dir, "orders").sample(fraction=0.1, seed=42)
+
+    def digest(df: DataFrame, n_name: str, h_name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias(n_name),
+            F.expr("bit_xor(xxhash64(o_orderkey))").alias(h_name),
+        )
+
+    d1 = digest(s1, "n1", "h1")
+    d2 = digest(s2, "n2", "h2")
+    anti = (
+        s1.select("o_orderkey")
+        .join(orders.select("o_orderkey"), "o_orderkey", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_outside"))
+    )
+    return (
+        total.crossJoin(d1).crossJoin(d2).crossJoin(anti).select(
+            F.col("total_rows").cast("long").alias("total_rows"),
+            (
+                (F.col("n1") > 0.04 * F.col("total_rows"))
+                & (F.col("n1") < 0.2 * F.col("total_rows"))
+            ).alias("n_in_bounds"),
+            (
+                (F.col("n1") == F.col("n2")) & (F.col("h1").eqNullSafe(F.col("h2")))
+            ).alias("deterministic"),
+            (F.col("n_outside") == 0).alias("subset_ok"),
+        )
+    )
+
+
+@query(
+    "q_sample_stratified_verdict",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS stratum_rows,
+           TRUE AS rate_in_bounds, TRUE AS deterministic
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_sample_stratified_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum hash-checkable verdict for sampleBy (VERDICT r6
+    item 5; raw q_sample_stratified stays rows-only). One row per
+    o_orderpriority: the stratum population (exact, cross-checked),
+    plus booleans —
+
+    - rate_in_bounds: the stratum's sampled count lands within
+      max(0.5·f·N_s, 4·sqrt(f·(1-f)·N_s)) of its target f·N_s — a
+      ≥4σ envelope that holds at every SF and under any partitioning
+      (measured seed-42 deviations at sf0.001/0.01/0.1 are ≤ ~2σ);
+    - deterministic: two same-seed runs agree per stratum (count +
+      order-free bit_xor hash).
+
+    Aggregation is one partial-aggregable groupBy per run — at 100 TB
+    this shuffles 5 rows per side."""
+    orders = load(spark, sf_dir, "orders")
+    totals = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("stratum_rows")
+    )
+
+    def per_stratum(df: DataFrame, suffix: str) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias(f"n{suffix}"),
+            F.expr("bit_xor(xxhash64(o_orderkey))").alias(f"h{suffix}"),
+        )
+
+    d1 = per_stratum(
+        orders.sampleBy("o_orderpriority", fractions=STRATA_FRACTIONS, seed=42), "1"
+    )
+    d2 = per_stratum(
+        load(spark, sf_dir, "orders").sampleBy(
+            "o_orderpriority", fractions=STRATA_FRACTIONS, seed=42
+        ),
+        "2",
+    )
+    frac = F.create_map(
+        *[F.lit(x) for kv in STRATA_FRACTIONS.items() for x in kv]
+    )[F.col("o_orderpriority")]
+    target = frac * F.col("stratum_rows")
+    envelope = F.greatest(
+        0.5 * target, 4.0 * F.sqrt(frac * (1.0 - frac) * F.col("stratum_rows"))
+    )
+    return (
+        totals.join(d1, "o_orderpriority").join(d2, "o_orderpriority").select(
+            "o_orderpriority",
+            F.col("stratum_rows").cast("long").alias("stratum_rows"),
+            (F.abs(F.col("n1") - target) <= envelope).alias("rate_in_bounds"),
+            (
+                (F.col("n1") == F.col("n2")) & (F.col("h1").eqNullSafe(F.col("h2")))
+            ).alias("deterministic"),
+        )
+    )
+
+
 SAMPLE_HASH_K = 100
 
 

@@ -196,6 +196,34 @@ def _copy_events_parquet(spark: SparkSession, sf_dir: str, dest_dir: str) -> Non
 
 _SHARED_REPLAY_CACHE: dict[tuple[str, str], str] = {}
 
+_REPLAY_ROOT = "/tmp/neo_olap_stream_src"
+_REPLAY_STALE_SECONDS = 24 * 3600
+
+
+def _prune_stale_replay_dirs(keep_app: str) -> None:
+    """Best-effort bounded-disk guard for the per-app replay copies:
+    remove sibling app directories last touched over a day ago. A live
+    concurrent app's copy is by definition fresh (it was written this
+    run), so only long-dead apps' trees are ever removed."""
+    import os
+    import shutil
+    import time
+
+    try:
+        entries = os.listdir(_REPLAY_ROOT)
+    except OSError:
+        return
+    cutoff = time.time() - _REPLAY_STALE_SECONDS
+    for entry in entries:
+        if entry == keep_app:
+            continue
+        path = os.path.join(_REPLAY_ROOT, entry)
+        try:
+            if os.path.isdir(path) and os.path.getmtime(path) < cutoff:
+                shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            continue
+
 
 def shared_events_replay_dir(spark: SparkSession, sf_dir: str) -> str:
     """One events replay-source copy per (Spark app, sf_dir), shared by
@@ -211,27 +239,30 @@ def shared_events_replay_dir(spark: SparkSession, sf_dir: str) -> str:
     sharing changes nothing about replay semantics. q_stream_late
     keeps a private copy — it APPENDS straggler files to its source.
 
-    Not safe for two concurrent Spark apps on the same sf (landmine:
-    the driver runs keys serially; don't run the parity suite and the
-    ledger tool simultaneously — same contract as the fixed sink
-    dirs)."""
-    import os
-
+    The dest path includes the Spark applicationId, so two concurrent
+    apps on the same sf each write their own copy — concurrent-app
+    corruption is structurally impossible, not just contractually
+    forbidden. Disk stays bounded: within one app the path is fixed
+    per sf (overwrite in place), and stale sibling app dirs older than
+    a day are pruned best-effort on first use (old apps are gone; live
+    concurrent apps' copies are by definition fresh)."""
     import hashlib
     import os
 
     sf_abs = os.path.abspath(sf_dir)
-    app_key = (spark.sparkContext.applicationId, sf_abs)
+    app_id = spark.sparkContext.applicationId
+    app_key = (app_id, sf_abs)
     cached = _SHARED_REPLAY_CACHE.get(app_key)
     if cached is not None:
         return cached
+    _prune_stale_replay_dirs(keep_app=app_id)
     # dest must be unique per FULL source path, not per basename — two
     # sf dirs named "sf0.1" under different roots would otherwise
     # overwrite one dest while the cache (keyed on the full path) kept
     # serving it for both, silently replaying the wrong dataset
     name = os.path.basename(os.path.normpath(sf_abs)) or "sf"
     tag = hashlib.sha256(sf_abs.encode()).hexdigest()[:8]
-    dest = f"/tmp/neo_olap_stream_src/{name}-{tag}"
+    dest = f"{_REPLAY_ROOT}/{app_id}/{name}-{tag}"
     _copy_events_parquet(spark, sf_abs, dest)
     _SHARED_REPLAY_CACHE[app_key] = dest
     return dest
@@ -388,15 +419,118 @@ def streaming_interval_join_outer(spark: SparkSession, events_dir: str) -> DataF
     return streaming_interval_join(spark, events_dir, how="left_outer")
 
 
-@query("q_stream_join_outer")
+@query(
+    "q_stream_join_outer",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+    """,
+)
 def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Drives the REAL stream-stream left-outer interval join
-    (rows-only: outer emission depends on final-watermark position,
-    which no batch SQL reproduces; invariants in tests). Same
-    foreachBatch->parquet sink + lazy read as q_stream_join."""
-    return _run_interval_join_to_parquet(
-        spark, sf_dir, "stream_join_outer", "left_outer"
-    )
+    """Drives the REAL stream-stream left-outer interval join and
+    hash-checks it against the full batch LEFT JOIN (VERDICT r6 item
+    4 — this key was rows-only through round 6).
+
+    Why it used to be rows-only: null-extended rows emit only once the
+    watermark PROVES no matching purchase can still arrive
+    (click_ts + 10 min < watermark), so a bounded replay leaves the
+    last watermark-delay's worth of unmatched clicks undecided — the
+    emitted set depended on where the final watermark landed, which no
+    batch SQL reproduces.
+
+    The q_stream_late replayed-watermark technique closes that gap:
+    the replay is time-ordered files (maxFilesPerTrigger=1) — first
+    ALL real events, then two sentinel "flush" batches 10 and 20 days
+    past the real maximum, each carrying one click and one purchase on
+    negative user_ids that can match nothing. The first flush batch
+    advances the watermark far beyond every real click's close time;
+    the second forces another micro-batch so state eviction under that
+    watermark runs (eviction lags a batch — the q_stream_late lesson).
+    After the flush, EVERY unmatched real click has provably closed and
+    emitted null-extended, so the append-mode output (minus sentinels,
+    filtered by user_id >= 0 — real user_ids start at 0) is exactly the
+    batch left-outer join: matched pairs plus one NULL row per
+    matchless click. Watermarks advance on BOTH sides because each
+    sentinel batch carries both event types (the global watermark is
+    the minimum across sources; a click-only sentinel would stall the
+    purchase side's watermark and nothing would flush).
+
+    Scale shape: identical to q_stream_join — state bounded by the
+    2×delay+range horizon per user, foreachBatch parquet sink with
+    dynamic-partition idempotence, lazy fact-sized read. The sentinel
+    flush is two 2-row files; its cost is two extra micro-batches."""
+    import glob as globmod
+    import os
+    import shutil
+    import tempfile
+    import time
+    from datetime import timedelta
+
+    from neo_olap_spark.operators.io_sources import generational_sink_dir
+    from neo_olap_spark.tables import _normalize_events_ts
+
+    replay_dir = tempfile.mkdtemp(prefix="neo_olap_join_outer_")
+    try:
+        ev = load(spark, sf_dir, "events")
+        mx = ev.agg(F.max("ts").alias("m")).collect()[0].m
+        files_dir = os.path.join(replay_dir, "files")
+        os.makedirs(files_dir)
+
+        def stage_file(idx: int, frame: DataFrame, mtime: float) -> None:
+            stage = os.path.join(replay_dir, f"w{idx}")
+            frame.coalesce(1).write.mode("overwrite").parquet(stage)
+            dst = os.path.join(files_dir, f"{idx:02d}.parquet")
+            shutil.copy(globmod.glob(f"{stage}/part-*.parquet")[0], dst)
+            # file-source batch order follows modification time
+            os.utime(dst, (mtime, mtime))
+
+        def sentinels(day_offset: int, id0: int) -> DataFrame:
+            t = mx + timedelta(days=day_offset)
+            rows = [
+                (id0, t, -1, "click", 0.0, None),
+                (id0 - 1, t, -2, "purchase", 0.0, None),
+            ]
+            return spark.createDataFrame(rows, ev.schema)
+
+        now = time.time()
+        stage_file(0, ev, now - 300)
+        stage_file(1, sentinels(10, -1), now - 200)
+        stage_file(2, sentinels(20, -3), now - 100)
+
+        static = spark.read.parquet(files_dir)
+
+        def side(event_type: str) -> DataFrame:
+            return (
+                _normalize_events_ts(
+                    spark.readStream.schema(static.schema)
+                    .option("maxFilesPerTrigger", "1")
+                    .parquet(files_dir)
+                )
+                .where(F.col("event_type") == event_type)
+                .withWatermark("ts", "1 hour")
+            )
+
+        joined = build_interval_join(side("click"), side("purchase"), "left_outer")
+        base, promote = generational_sink_dir(spark, "stream_join_outer")
+        sink_dir = f"{base}/sink"
+        with _replay_state_partitions(spark, files_dir):
+            run_foreach_batch_to_parquet(joined, sink_dir, f"{base}/ckpt")
+        promote()
+        cols = ["click_id", "purchase_id", "user_id"]
+        if not globmod.glob(f"{sink_dir}/batch_id=*/part-*"):
+            return spark.createDataFrame(
+                [], "click_id long, purchase_id long, user_id long"
+            )
+        return (
+            spark.read.parquet(sink_dir)
+            .where(F.col("user_id") >= 0)
+            .select(*cols)
+        )
+    finally:
+        shutil.rmtree(replay_dir, ignore_errors=True)
 
 
 def _run_interval_join_to_parquet(

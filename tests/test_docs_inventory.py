@@ -42,6 +42,7 @@ def test_driver_wave_rotation_fronts_unsampled_oracle_keys():
     dict: rotation is a permutation, not a filter."""
     from neo_olap_spark.registry import (
         DRIVER_WAVE_ROTATION,
+        DRIVER_WAVE_SIZE,
         REGISTRY,
         oracle_sql,
         queries,
@@ -49,7 +50,10 @@ def test_driver_wave_rotation_fronts_unsampled_oracle_keys():
 
     qk = list(queries())
     n = len(DRIVER_WAVE_ROTATION)
-    assert n == 50, "rotation must fill the driver's 50-key wave exactly"
+    assert n == DRIVER_WAVE_SIZE, (
+        "rotation must fill the driver's wave exactly (size is declared "
+        "once, next to DRIVER_WAVE_ROTATION)"
+    )
     assert len(set(DRIVER_WAVE_ROTATION)) == n, "duplicate rotation key"
     assert qk[:n] == list(DRIVER_WAVE_ROTATION)
     osql = oracle_sql()

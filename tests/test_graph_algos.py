@@ -334,3 +334,42 @@ def test_sssp_merge_strategies_agree(spark, sf_dir):
         for r in sssp(wsym, srcs, union_merge=False).collect()
     }
     assert a == b
+
+
+def test_sssp_hops_per_round_agree(spark, sf_dir):
+    """hops_per_round changes only the convergence-check cadence (how
+    many lazily-checkpointed relaxations share one count job), never
+    the state trajectory: distances must be identical for 1, 2, and 3
+    hops per round, including an odd hop count that exercises the
+    max_rounds boundary count."""
+    from neo_olap_spark.operators.graph_algos import _weighted_sym_edges, sssp
+    from neo_olap_spark.tables import load
+
+    wsym = _weighted_sym_edges(spark, sf_dir).localCheckpoint()
+    src = [
+        int(
+            load(spark, sf_dir, "customer").agg(F.min("c_custkey")).collect()[0][0]
+        )
+    ]
+    got = [
+        {(r.source, r.node): r.dist for r in sssp(wsym, src, hops_per_round=h).collect()}
+        for h in (1, 2, 3)
+    ]
+    assert got[0] == got[1] == got[2]
+
+
+def test_sssp_two_hop_raises_when_ceiling_too_low(spark):
+    """The raise contract holds under multi-hop rounds: the ceiling is
+    a RELAXATION count, and the boundary forces a convergence check,
+    so a too-short ceiling raises exactly as with one-hop — even when
+    max_rounds is odd and not a multiple of hops_per_round."""
+    import pytest as _pytest
+
+    from neo_olap_spark.operators.graph_algos import sssp
+
+    chain = spark.createDataFrame(
+        [(i, i + 1, 1) for i in range(6)], "src long, dst long, w long"
+    )
+    sym = chain.unionAll(chain.selectExpr("dst as src", "src as dst", "w"))
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        sssp(sym, [0], max_rounds=3, hops_per_round=2)

@@ -205,8 +205,8 @@ def test_oracles_survive_non_utc_duckdb_connection(spark, sf_dir):
 
 
 def test_stream_transform_state_on_bare_session(bare_conf, sf_dir):
-    """The driver wave now fronts the arbitrary-stateful key
-    (DRIVER_WAVE_ROTATION): its whole chain — shared replay copy,
+    """The r6 driver wave fronted the arbitrary-stateful key (it
+    hash-matched); its whole chain — shared replay copy,
     applyInPandasWithState fallback, foreachBatch sink, lazy window
     extraction — must run on a session without our builder confs."""
     out = streaming.q_stream_transform_state(bare_conf, sf_dir)
