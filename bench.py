@@ -129,6 +129,20 @@ HEADLINE5 = [
 ]
 
 
+# Round-7 wave: keys registered or re-shaped in round 7 (frozen-list
+# protocol). q_stream_join_outer appears here for the first time —
+# it was rows-only (never benched) through round 6 and now runs the
+# sentinel-flush replay, so there is no earlier number to compare.
+HEADLINE6 = [
+    "q_stream_join_outer",
+    "q_sample_verdict",
+    "q_sample_stratified_verdict",
+    "q_text_containment",
+    "q_embed_knn_graph",
+    "q_stream_cdc_apply",
+]
+
+
 # Full TPC-H 22 (schema-adapted; tpch.py + analytics.py): reported as
 # its own total — the one number warehouse engines are compared by.
 TPCH = [
@@ -220,6 +234,7 @@ def main() -> None:
     results4, warm4 = run_set(HEADLINE3)
     results5, warm5 = run_set(HEADLINE4)
     results6, warm6 = run_set(HEADLINE5)
+    results7, warm7 = run_set(HEADLINE6)
     results3, warm3 = run_set(TPCH)
 
     total, warm_total1 = set_totals(results, warm1)
@@ -227,6 +242,7 @@ def main() -> None:
     total4, warm_total4 = set_totals(results4, warm4)
     total5, warm_total5 = set_totals(results5, warm5)
     total6, warm_total6 = set_totals(results6, warm6)
+    total7, warm_total7 = set_totals(results7, warm7)
     total3, warm_total3 = set_totals(results3, warm3)
     # Key order is TRUNCATION-PROOF (VERDICT r5 item 7): the driver
     # captures the stdout TAIL, so anything early in this single line
@@ -254,17 +270,19 @@ def main() -> None:
         "headline4_warm_total": warm_total5,
         "headline5_total": total6,
         "headline5_warm_total": warm_total6,
+        "headline6_total": total7,
+        "headline6_warm_total": warm_total7,
         "tpch_total": total3,
         "tpch_warm_total": warm_total3,
         "errors": errors,
         "warm_incomplete_keys": warm_incomplete,
         # newest wave first … r1-comparable HEADLINE cold per-key LAST
         "queries_warm": {
-            **warm3, **warm6, **warm5, **warm4, **warm2, **warm1
+            **warm3, **warm7, **warm6, **warm5, **warm4, **warm2, **warm1
         },
         "queries": {
-            **results3, **results6, **results5, **results4, **results2,
-            **results,
+            **results3, **results7, **results6, **results5, **results4,
+            **results2, **results,
         },
     }
     sidecar = os.path.join(

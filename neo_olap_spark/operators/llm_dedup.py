@@ -142,6 +142,92 @@ def exact_jaccard_pairs(
     )
 
 
+CONTAINMENT_THRESHOLD = 0.5
+
+
+@query(
+    "q_text_containment",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+      FROM toks
+    ),
+    ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    kept AS (
+      SELECT doc_id, s FROM (
+        SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM ex0
+      ) WHERE df <= {MAX_SHINGLE_DF}
+    ),
+    ex AS (SELECT doc_id, s, COUNT(*) OVER (PARTITION BY doc_id) AS n FROM kept),
+    cnt AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter,
+             ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT CASE WHEN na < nb OR (na = nb AND doc_a < doc_b)
+                THEN doc_a ELSE doc_b END AS inner_id,
+           CASE WHEN na < nb OR (na = nb AND doc_a < doc_b)
+                THEN doc_b ELSE doc_a END AS outer_id,
+           ROUND(inter * 1.0 / LEAST(na, nb), 4) AS containment
+    FROM cnt WHERE inter * 1.0 / LEAST(na, nb) >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def q_text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric doc-in-doc detection: shingle CONTAINMENT
+    C(inner ⊂ outer) = |S_inner ∩ S_outer| / |S_inner| ≥ 0.5 — the
+    metric that catches a document quoted or wrapped inside a much
+    larger one, which symmetric Jaccard structurally misses (the
+    union term grows with the big doc, so inter/union → 0 even at
+    full inclusion). A training-data pipeline runs this next to the
+    Jaccard tier to kill boilerplate-wrapped duplicates and quoted
+    test-set leakage (the Broder resemblance/containment pair).
+
+    Same inverted-index shape as exact_jaccard_pairs — explode
+    shingles, df-cap the posting lists (one corpus-common shingle
+    would otherwise make the self-join quadratic in its posting
+    length), count intersections; containment divides by the SMALLER
+    set, direction chosen by set size with id tie-break. Scale: the
+    df-cap bounds the join at O(n·df_cap) exactly like the Jaccard
+    key; at 100 TB both tiers run on the same persisted shingle
+    table."""
+    from pyspark.sql.window import Window
+
+    ex = _shingled(spark, sf_dir).select("doc_id", F.explode("sh").alias("s"))
+    kept = (
+        ex.withColumn("df", F.count("*").over(Window.partitionBy("s")))
+        .where(F.col("df") <= MAX_SHINGLE_DF)
+        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+        .drop("df")
+    )
+    a = kept.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "s")
+    b = kept.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "s")
+    cnt = (
+        a.join(b, "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("inter"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+    )
+    containment = F.col("inter") / F.least("na", "nb")
+    a_is_inner = (F.col("na") < F.col("nb")) | (
+        (F.col("na") == F.col("nb")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    return cnt.where(containment >= CONTAINMENT_THRESHOLD).select(
+        F.when(a_is_inner, F.col("doc_a")).otherwise(F.col("doc_b")).alias("inner_id"),
+        F.when(a_is_inner, F.col("doc_b")).otherwise(F.col("doc_a")).alias("outer_id"),
+        F.round(containment, 4).alias("containment"),
+    )
+
+
 @query(
     "q_dedup_ngram",
     oracle=f"""

@@ -88,6 +88,69 @@ def q_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(e, e.where(F.col("vec_id") < N_QUERIES), TOP_K)
 
 
+KNN_K = 5
+
+
+@query(
+    "q_embed_knn_graph",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id, b.vec_id AS nbr_id,
+             ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY cos_sim DESC, nbr_id) AS rank
+      FROM scored
+    )
+    SELECT vec_id, nbr_id, cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {KNN_K}
+    """,
+)
+def q_embed_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN graph (k=5) over the embedding corpus, blocked by
+    label — every vector's 5 nearest same-label neighbors by cosine,
+    with deterministic tie-break (rounded cosine desc, neighbor id
+    asc). The k-NN graph is the bridge from similarity search to
+    graph analytics: its edges feed community detection / LPA /
+    connected-components for semantic clustering, and mutual-kNN
+    edges are the standard graph-based near-dup signal.
+
+    Shape: pair scoring is quadratic WITHIN a block by construction
+    (the q_dedup_embed precedent — blocking keys the pair space; at
+    100 TB the block is an IVF cell or LSH bucket from the ANN tier
+    and this same ranking runs per cell). Scoring runs in the Arrow
+    cosine kernel (one einsum per batch, no per-row Python); ranking
+    is row_number over (vec_id) with the rank<=k filter, which Spark
+    plans as WindowGroupLimit — only k rows per vector survive the
+    rank shuffle. Ranking uses the ROUNDED cosine so both engines
+    order identically (the q_sim_search contract)."""
+    from neo_olap_spark.operators.llm_dedup import cosine_pairs_kernel
+
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select("vec_id", "label", F.col("embedding").alias("ea"))
+    b = e.select(
+        F.col("vec_id").alias("nbr_id"), "label", F.col("embedding").alias("eb")
+    )
+    cos = cosine_pairs_kernel()
+    scored = (
+        a.join(b, "label")
+        .where(F.col("vec_id") != F.col("nbr_id"))
+        .withColumn("cos_sim", F.round(cos("ea", "eb"), 6))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KNN_K)
+        .select(
+            "vec_id", "nbr_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+        )
+    )
+
+
 KMEANS_SAMPLE_CAP = 10_000
 KMEANS_ITERS = 10
 

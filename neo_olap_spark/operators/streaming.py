@@ -1204,3 +1204,138 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     final = spark.table(name)
     return spark.createDataFrame(final.collect(), final.schema)
+
+
+@query(
+    "q_stream_cdc_apply",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey AS custkey, o_orderkey,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS date_days,
+             ROUND(o_totalprice, 2) AS price,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(o_orderdate AS DATE) DESC, o_orderkey DESC
+             ) AS rn
+      FROM orders
+    )
+    SELECT custkey, o_orderkey AS last_orderkey,
+           date_days AS last_date_days, price AS last_price
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply — a changelog stream MERGEd into a keyed
+    state table via foreachBatch, the standard pattern for keeping a
+    warehouse dimension in sync from an upsert feed when the sink has
+    no native MERGE (q_merge_upsert is the batch twin; this drives the
+    real micro-batch engine).
+
+    The changelog: every order is an upsert to its customer's
+    latest-order state, replayed as three time-ordered files (orderdate
+    terciles, maxFilesPerTrigger=1 — the q_stream_late replay shape).
+    Each micro-batch applies last-writer-wins per key: state_g{b} =
+    latest-per-custkey of (state_g{b-1} ∪ batch), the winner selected
+    by one max(struct(date_days, orderkey, price)) aggregate — a
+    total-order composite of integers plus a per-row rounded price, so
+    the pick is engine-exact. Generations make redelivery idempotent:
+    re-running batch b deterministically rewrites state_g{b} from
+    state_g{b-1} + the batch, never double-applies.
+
+    Scale shape: state is key-cardinality-sized and the per-batch merge
+    is one partial-aggregable groupBy over state+delta — at 100 TB the
+    state table would be bucketed by key and overwritten with dynamic
+    partition overwrite so only touched buckets rewrite (the
+    q_sink_partitioned idempotence pattern); a lakehouse table format
+    would replace the generation dirs with MERGE INTO, same plan
+    underneath. The final state must hash-match the batch
+    last-writer-wins ranking — the oracle."""
+    import glob as globmod
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from neo_olap_spark.operators.io_sources import generational_sink_dir
+
+    replay_dir = tempfile.mkdtemp(prefix="neo_olap_cdc_")
+    try:
+        o = load(spark, sf_dir, "orders")
+        changelog = o.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            ).cast("long").alias("date_days"),
+            F.round("o_totalprice", 2).alias("price"),
+        )
+        b = changelog.agg(
+            F.min("date_days").alias("lo"), F.max("date_days").alias("hi")
+        ).collect()[0]
+        t1 = b.lo + (b.hi - b.lo) // 3
+        t2 = b.lo + (b.hi - b.lo) * 2 // 3
+        phases = [
+            changelog.where(F.col("date_days") <= t1),
+            changelog.where((F.col("date_days") > t1) & (F.col("date_days") <= t2)),
+            changelog.where(F.col("date_days") > t2),
+        ]
+        files_dir = os.path.join(replay_dir, "files")
+        os.makedirs(files_dir)
+        now = time.time()
+        for i, phase in enumerate(phases):
+            stage = os.path.join(replay_dir, f"w{i}")
+            phase.coalesce(1).write.mode("overwrite").parquet(stage)
+            dst = os.path.join(files_dir, f"{i:02d}.parquet")
+            shutil.copy(globmod.glob(f"{stage}/part-*.parquet")[0], dst)
+            os.utime(dst, (now - 300 + i * 100, now - 300 + i * 100))
+
+        base, promote = generational_sink_dir(spark, "stream_cdc_apply")
+
+        def state_dir(batch_id: int) -> str:
+            return os.path.join(base, f"state_g{batch_id}")
+
+        latest = F.max(
+            F.struct("date_days", "orderkey", "price")
+        ).alias("w")
+
+        def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+            merged = batch_df
+            prev = state_dir(batch_id - 1)
+            if batch_id > 0 and os.path.exists(prev):
+                merged = spark.read.parquet(prev).unionByName(batch_df)
+            (
+                merged.groupBy("custkey")
+                .agg(latest)
+                .select(
+                    "custkey",
+                    F.col("w.orderkey").alias("orderkey"),
+                    F.col("w.date_days").alias("date_days"),
+                    F.col("w.price").alias("price"),
+                )
+                .write.mode("overwrite")
+                .parquet(state_dir(batch_id))
+            )
+
+        static = spark.read.parquet(files_dir)
+        q = (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(files_dir)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        promote()
+        finals = sorted(globmod.glob(os.path.join(base, "state_g*")))
+        return spark.read.parquet(finals[-1]).select(
+            "custkey",
+            F.col("orderkey").alias("last_orderkey"),
+            F.col("date_days").alias("last_date_days"),
+            F.col("price").alias("last_price"),
+        )
+    finally:
+        shutil.rmtree(replay_dir, ignore_errors=True)

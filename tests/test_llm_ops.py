@@ -357,3 +357,72 @@ def test_multimodal_audio_resample(spark, sf_dir):
             wo.setframerate(AUDIO_RATE // RESAMPLE_FACTOR)
             wo.writeframes(out.tobytes())
         assert r.out_sha == hashlib.sha256(buf.getvalue()).hexdigest()
+
+
+def test_containment_catches_doc_in_doc_jaccard_misses(spark):
+    """The reason containment exists: a small doc fully quoted inside a
+    much larger one has containment 1.0 but Jaccard well under the 0.2
+    pair threshold — the asymmetric metric must flag it, and the
+    directional columns must point inner -> outer."""
+    import neo_olap_spark.operators.llm_dedup as llm_dedup
+    from neo_olap_spark.operators.llm_dedup import (
+        JACCARD_THRESHOLD,
+        exact_jaccard_pairs,
+        q_text_containment,
+    )
+
+    inner = " ".join(f"tok{i}" for i in range(12))  # 10 trigram shingles
+    filler = " ".join(f"pad{i}" for i in range(300))
+    rows = [
+        (0, inner),
+        (1, filler + " " + inner),  # quotes doc 0 verbatim
+        (2, "entirely unrelated words " + " ".join(f"z{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # containment runs off tables.load("documents"); patch the loader
+    # the module imported (the winnow-fixture pattern)
+    orig = llm_dedup.load
+    llm_dedup.load = lambda _s, _d, _t: df
+    try:
+        got = {
+            (r.inner_id, r.outer_id): r.containment
+            for r in q_text_containment(spark, "unused").collect()
+        }
+        assert got.get((0, 1)) == 1.0, got
+        assert not any(2 in pair for pair in got), got
+        # the symmetric tier really does miss it at its threshold
+        sh = df.select(
+            "doc_id",
+            llm_dedup.shingles(llm_dedup.ws_tokens(F.col("text"))).alias("sh"),
+        )
+        jac = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in exact_jaccard_pairs(sh, 0.0).collect()
+        }
+        assert jac[(0, 1)] < JACCARD_THRESHOLD, jac
+    finally:
+        llm_dedup.load = orig
+
+
+def test_knn_graph_invariants(spark, sf_dir):
+    """Every vector gets exactly k in-block neighbors (block sizes in
+    the fixture exceed k+1), ranks are 1..k with descending rounded
+    cosine, and neighbors never leave the label block."""
+    from neo_olap_spark.operators.llm_similarity import KNN_K, q_embed_knn_graph
+    from neo_olap_spark.tables import load
+
+    out = q_embed_knn_graph(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    per_vec = out.groupBy("vec_id").agg(
+        F.count("*").alias("n"),
+        F.min("rank").alias("rmin"),
+        F.max("rank").alias("rmax"),
+    )
+    bad = per_vec.where(
+        (F.col("n") != KNN_K) | (F.col("rmin") != 1) | (F.col("rmax") != KNN_K)
+    ).count()
+    assert bad == 0
+    # block closure: join neighbor ids back to labels and compare
+    lbl = {r.vec_id: r.label for r in e.collect()}
+    for r in out.collect():
+        assert lbl[r.vec_id] == lbl[r.nbr_id], (r.vec_id, r.nbr_id)
