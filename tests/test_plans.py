@@ -644,3 +644,14 @@ def test_skew_strategy_defaults(spark):
     li = _load(spark, sf, "lineitem")
     p = li.groupBy("l_returnflag").count()._jdf.queryExecution().simpleString()
     assert p.count("HashAggregate") >= 2, p
+
+
+def test_knn_graph_group_limit_and_equi_block_join(q):
+    # k-NN graph: the label-blocked pair join must be an equi join
+    # (never a cartesian/BNL product), and rank<=k must plan as
+    # WindowGroupLimit so only k rows per vector survive the rank
+    # shuffle
+    p = plan_str(q("q_embed_knn_graph"), mode="simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "WindowGroupLimit" in p, p
