@@ -800,6 +800,11 @@ def cosine_pairs_kernel():
 
     @pandas_udf("double")
     def cos_sim(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            # np.stack raises on an empty sequence; a zero-row Arrow
+            # batch must return empty, not crash (same guard as
+            # _lsh_buckets_kernel)
+            return pd.Series([], dtype="float64")
         A = np.stack(a.to_numpy())
         B = np.stack(b.to_numpy())
         num = np.einsum("ij,ij->i", A, B, dtype=np.float64)

@@ -1073,13 +1073,25 @@ def q_sample_stratified_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     envelope = F.greatest(
         0.5 * target, 4.0 * F.sqrt(frac * (1.0 - frac) * F.col("stratum_rows"))
     )
+    # LEFT joins off the totals: a stratum whose seeded sample came up
+    # empty must still emit its row (oracle emits one per priority) —
+    # with n coalesced to 0 the rate test judges it instead of the
+    # row silently vanishing into a hash-mismatch
     return (
-        totals.join(d1, "o_orderpriority").join(d2, "o_orderpriority").select(
+        totals.join(d1, "o_orderpriority", "left")
+        .join(d2, "o_orderpriority", "left")
+        .select(
             "o_orderpriority",
             F.col("stratum_rows").cast("long").alias("stratum_rows"),
-            (F.abs(F.col("n1") - target) <= envelope).alias("rate_in_bounds"),
             (
-                (F.col("n1") == F.col("n2")) & (F.col("h1").eqNullSafe(F.col("h2")))
+                F.abs(F.coalesce(F.col("n1"), F.lit(0)) - target) <= envelope
+            ).alias("rate_in_bounds"),
+            (
+                (
+                    F.coalesce(F.col("n1"), F.lit(0))
+                    == F.coalesce(F.col("n2"), F.lit(0))
+                )
+                & F.col("h1").eqNullSafe(F.col("h2"))
             ).alias("deterministic"),
         )
     )

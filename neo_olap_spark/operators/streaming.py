@@ -182,6 +182,27 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _stage_replay_file(
+    staging_dir: str, files_dir: str, idx: int, frame: DataFrame, mtime: float
+) -> None:
+    """Write ``frame`` as the idx-th TIME-ORDERED file of a replay
+    source: single part file (coalesce(1)) copied to a stable name
+    with an explicit mtime — the file stream source orders batches by
+    modification time, so the mtimes ARE the replay schedule. Shared
+    by every phased-replay key (q_stream_late's straggler phases,
+    q_stream_join_outer's sentinel flushes, q_stream_cdc_apply's
+    changelog terciles)."""
+    import glob as globmod
+    import os
+    import shutil
+
+    stage = os.path.join(staging_dir, f"w{idx}")
+    frame.coalesce(1).write.mode("overwrite").parquet(stage)
+    dst = os.path.join(files_dir, f"{idx:02d}.parquet")
+    shutil.copy(globmod.glob(f"{stage}/part-*.parquet")[0], dst)
+    os.utime(dst, (mtime, mtime))
+
+
 def _copy_events_parquet(spark: SparkSession, sf_dir: str, dest_dir: str) -> None:
     """Copy events.parquet into a stream-source directory. Routed
     through the same nanos guard as tables.load so the copy read works
@@ -202,9 +223,13 @@ _REPLAY_STALE_SECONDS = 24 * 3600
 
 def _prune_stale_replay_dirs(keep_app: str) -> None:
     """Best-effort bounded-disk guard for the per-app replay copies:
-    remove sibling app directories last touched over a day ago. A live
-    concurrent app's copy is by definition fresh (it was written this
-    run), so only long-dead apps' trees are ever removed."""
+    remove sibling app directories last TOUCHED over a day ago.
+    Liveness is a heartbeat, not just creation time — every
+    shared_events_replay_dir call (cache hit included) utimes its own
+    app dir to now, so an app is only treated as dead after 24 h with
+    NO streaming activity at all; and the cache self-heals (existence
+    check on hit) in case an idle-past-cutoff app ever does lose its
+    copy to a sibling's prune."""
     import os
     import shutil
     import time
@@ -243,17 +268,28 @@ def shared_events_replay_dir(spark: SparkSession, sf_dir: str) -> str:
     apps on the same sf each write their own copy — concurrent-app
     corruption is structurally impossible, not just contractually
     forbidden. Disk stays bounded: within one app the path is fixed
-    per sf (overwrite in place), and stale sibling app dirs older than
-    a day are pruned best-effort on first use (old apps are gone; live
-    concurrent apps' copies are by definition fresh)."""
+    per sf (overwrite in place), and sibling app dirs untouched for a
+    day are pruned best-effort on first use. Every call heartbeats the
+    app's own dir mtime (so an active long-lived app never looks
+    stale) and the cache self-heals on a missing path."""
     import hashlib
     import os
+
+    import time
 
     sf_abs = os.path.abspath(sf_dir)
     app_id = spark.sparkContext.applicationId
     app_key = (app_id, sf_abs)
+    app_root = f"{_REPLAY_ROOT}/{app_id}"
     cached = _SHARED_REPLAY_CACHE.get(app_key)
-    if cached is not None:
+    if cached is not None and os.path.isdir(cached):
+        # heartbeat: refresh the app dir's mtime so a long-lived app's
+        # copy never crosses a sibling's staleness cutoff while in use
+        try:
+            now = time.time()
+            os.utime(app_root, (now, now))
+        except OSError:
+            pass
         return cached
     _prune_stale_replay_dirs(keep_app=app_id)
     # dest must be unique per FULL source path, not per basename — two
@@ -262,7 +298,7 @@ def shared_events_replay_dir(spark: SparkSession, sf_dir: str) -> str:
     # serving it for both, silently replaying the wrong dataset
     name = os.path.basename(os.path.normpath(sf_abs)) or "sf"
     tag = hashlib.sha256(sf_abs.encode()).hexdigest()[:8]
-    dest = f"{_REPLAY_ROOT}/{app_id}/{name}-{tag}"
+    dest = f"{app_root}/{name}-{tag}"
     _copy_events_parquet(spark, sf_abs, dest)
     _SHARED_REPLAY_CACHE[app_key] = dest
     return dest
@@ -479,14 +515,6 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         files_dir = os.path.join(replay_dir, "files")
         os.makedirs(files_dir)
 
-        def stage_file(idx: int, frame: DataFrame, mtime: float) -> None:
-            stage = os.path.join(replay_dir, f"w{idx}")
-            frame.coalesce(1).write.mode("overwrite").parquet(stage)
-            dst = os.path.join(files_dir, f"{idx:02d}.parquet")
-            shutil.copy(globmod.glob(f"{stage}/part-*.parquet")[0], dst)
-            # file-source batch order follows modification time
-            os.utime(dst, (mtime, mtime))
-
         def sentinels(day_offset: int, id0: int) -> DataFrame:
             t = mx + timedelta(days=day_offset)
             rows = [
@@ -496,9 +524,9 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             return spark.createDataFrame(rows, ev.schema)
 
         now = time.time()
-        stage_file(0, ev, now - 300)
-        stage_file(1, sentinels(10, -1), now - 200)
-        stage_file(2, sentinels(20, -3), now - 100)
+        _stage_replay_file(replay_dir, files_dir, 0, ev, now - 300)
+        _stage_replay_file(replay_dir, files_dir, 1, sentinels(10, -1), now - 200)
+        _stage_replay_file(replay_dir, files_dir, 2, sentinels(20, -3), now - 100)
 
         static = spark.read.parquet(files_dir)
 
@@ -1057,12 +1085,9 @@ def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(files_dir)
         now = time.time()
         for i, phase in enumerate(phases):
-            stage = os.path.join(events_dir, f"w{i}")
-            phase.coalesce(1).write.mode("overwrite").parquet(stage)
-            dst = os.path.join(files_dir, f"{i:02d}.parquet")
-            shutil.copy(globmod.glob(f"{stage}/part-*.parquet")[0], dst)
-            # file-source batch order follows modification time
-            os.utime(dst, (now - 300 + i * 100, now - 300 + i * 100))
+            _stage_replay_file(
+                events_dir, files_dir, i, phase, now - 300 + i * 100
+            )
 
         static = spark.read.parquet(files_dir)
         stream = (
@@ -1284,16 +1309,14 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(files_dir)
         now = time.time()
         for i, phase in enumerate(phases):
-            stage = os.path.join(replay_dir, f"w{i}")
-            phase.coalesce(1).write.mode("overwrite").parquet(stage)
-            dst = os.path.join(files_dir, f"{i:02d}.parquet")
-            shutil.copy(globmod.glob(f"{stage}/part-*.parquet")[0], dst)
-            os.utime(dst, (now - 300 + i * 100, now - 300 + i * 100))
+            _stage_replay_file(
+                replay_dir, files_dir, i, phase, now - 300 + i * 100
+            )
 
         base, promote = generational_sink_dir(spark, "stream_cdc_apply")
 
         def state_dir(batch_id: int) -> str:
-            return os.path.join(base, f"state_g{batch_id}")
+            return os.path.join(base, f"state_g{batch_id:06d}")
 
         latest = F.max(
             F.struct("date_days", "orderkey", "price")

@@ -58,7 +58,9 @@ def _ensure_loaded() -> None:
 # never-sampled TPC-H texts as fit. Keys not listed keep registration
 # order after these. Parity semantics are unchanged — this reorders an
 # iteration, nothing else. Sampled-key union after this wave lands:
-# ~182/216 (r1-r6 union is 132; 45 of these 50 are new-to-driver).
+# 177 of the round-6 216 (r1-r6 union is 132; 45 of these 50 are
+# new-to-driver, the other 5 are the stale-error re-verifications) —
+# 177/221 after this round's five new keys.
 DRIVER_WAVE_SIZE = 50  # the driver's observed per-round sample size
 DRIVER_WAVE_ROTATION: tuple[str, ...] = (
     # stale-error keys: their only driver record is an r1/r2 `err`
