@@ -140,6 +140,7 @@ HEADLINE6 = [
     "q_text_containment",
     "q_embed_knn_graph",
     "q_stream_cdc_apply",
+    "q_pagerank_personalized",
 ]
 
 

@@ -824,10 +824,24 @@ def pagerank(
     n_iters: int = 8,
     damping: float = 0.85,
     n_edges: int | None = None,
+    seeds: list[int] | None = None,
+    n_nodes: int | None = None,
 ) -> DataFrame:
     """True PageRank by power iteration — the quantity the reference's
     degree-biased walk approximates (its output file is literally
     page_rank.int, Runner.java:64).
+
+    ``seeds`` generalizes the teleport vector: None is classic
+    PageRank (uniform teleport, tele=1.0 per node — the historical
+    behavior, bit-for-bit); a seed list is PERSONALIZED PageRank,
+    where all (1-damping) teleport mass lands on the seeds
+    (tele = n_nodes/|seeds| on a seed, 0 elsewhere — the total-rank =
+    n_nodes convention is preserved, so mass conservation holds for
+    both variants: per iteration total = (1-d)·Σtele + d·total = N).
+    The iteration is one shared formula, rank = (1-d)·tele + d·mass,
+    with tele carried as a state column exactly like deg — ONE loop
+    body serves both keys, so the oracle checks the expressions both
+    variants run.
 
     Scale shape: dangling nodes get SELF-LOOPS (their mass returns to
     them — the standard dangling treatment that needs no per-iteration
@@ -851,12 +865,24 @@ def pagerank(
             .repartition("node")
             .persist()
         )
+        if seeds is None:
+            tele = F.lit(1.0)
+        else:
+            if n_nodes is None:
+                n_nodes = nodes.count()
+            tele = F.when(
+                F.col("node").isin([int(s) for s in seeds]),
+                F.lit(float(n_nodes) / len(seeds)),
+            ).otherwise(F.lit(0.0))
         self_loops = base.where(F.col("deg") == 0).select(
             F.col("node").alias("src"), F.col("node").alias("dst")
         )
         edges_p = sym_edges.unionByName(self_loops).repartition("src").persist()
         state = base.select(
-            "node", F.greatest("deg", F.lit(1)).alias("deg"), F.lit(1.0).alias("rank")
+            "node",
+            F.greatest("deg", F.lit(1)).alias("deg"),
+            tele.alias("tele"),
+            tele.alias("rank"),
         ).localCheckpoint()
 
         for _ in range(n_iters):
@@ -870,13 +896,14 @@ def pagerank(
                 .agg(F.sum("c").alias("in_mass"))
             )
             state = (
-                state.select("node", "deg")
+                state.select("node", "deg", "tele")
                 .join(contrib.hint("shuffle_hash"), "node", "left")
                 .select(
                     "node",
                     "deg",
+                    "tele",
                     (
-                        F.lit(1.0 - damping)
+                        F.lit(1.0 - damping) * F.col("tele")
                         + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
                     ).alias("rank"),
                 )
@@ -970,14 +997,35 @@ def resumable_pagerank(
         return state.select(F.col("node").alias("node_id"), F.round("rank", 6).alias("rank"))
 
 
-def _pagerank_oracle(n_iters: int, damping: float) -> str:
+def _pagerank_oracle(
+    n_iters: int, damping: float, n_seeds: int | None = None
+) -> str:
     """DuckDB twin of the fixed-iteration power method: PageRank's
     FIXPOINT is not CTE-expressible, but q_pagerank runs a FIXED
     n_iters — so, like the betweenness oracle, the recurrence unrolls
     into plain per-iteration CTEs (rank join edges, groupBy dst,
     damped update; dangling nodes get the same self-loops). Verified
     drift between the engines' summation orders after 8 iterations is
-    ~1e-13 — six rounded decimals match exactly at every tested SF."""
+    ~1e-13 — six rounded decimals match exactly at every tested SF.
+
+    ``n_seeds`` mirrors pagerank(seeds=...): the teleport vector
+    concentrates on the n_seeds lowest customer ids (tele =
+    n_nodes/n_seeds each, 0 elsewhere); None is the uniform classic
+    (tele = 1.0). The per-iteration CTE uses the shared formula
+    (1-d)·tele + d·mass for both variants, exactly like the Spark
+    loop."""
+    if n_seeds is None:
+        tele_sql = "CAST(1.0 AS DOUBLE)"
+        seeds_cte = ""
+    else:
+        seeds_cte = f"""
+    seeds AS (SELECT c_custkey AS s FROM customer
+              ORDER BY c_custkey LIMIT {n_seeds}),"""
+        tele_sql = (
+            "CASE WHEN node IN (SELECT s FROM seeds) THEN "
+            f"(SELECT CAST(COUNT(*) AS DOUBLE) FROM nodes) / {n_seeds} "
+            "ELSE CAST(0.0 AS DOUBLE) END"
+        )
     parts = [
         f"""
     e AS (
@@ -991,20 +1039,21 @@ def _pagerank_oracle(n_iters: int, damping: float) -> str:
       SELECT c_custkey AS node FROM customer
       UNION ALL SELECT {_ORD} + o_orderkey FROM orders
       UNION ALL SELECT {_PRT} + p_partkey FROM part
-    ),
+    ),{seeds_cte}
     dg AS (SELECT src AS node, COUNT(*) AS d FROM sym GROUP BY src),
     base AS (SELECT n.node, COALESCE(dg.d, 0) AS d
              FROM nodes n LEFT JOIN dg ON n.node = dg.node),
     e2 AS (SELECT src, dst FROM sym
            UNION ALL SELECT node AS src, node AS dst FROM base WHERE d = 0),
-    st AS (SELECT node, GREATEST(d, 1) AS deg FROM base),
-    r0 AS (SELECT node, deg, CAST(1.0 AS DOUBLE) AS rank FROM st)"""
+    st AS (SELECT node, GREATEST(d, 1) AS deg, {tele_sql} AS tele FROM base),
+    r0 AS (SELECT node, deg, tele, tele AS rank FROM st)"""
     ]
     for k in range(1, n_iters + 1):
         parts.append(
             f"""
     r{k} AS (
-      SELECT s.node, s.deg, {1 - damping} + {damping} * COALESCE(m.mass, 0) AS rank
+      SELECT s.node, s.deg, s.tele,
+             {1 - damping} * s.tele + {damping} * COALESCE(m.mass, 0) AS rank
       FROM st s LEFT JOIN (
         SELECT e2.dst AS node, SUM(r.rank / r.deg) AS mass
         FROM r{k - 1} r JOIN e2 ON r.node = e2.src GROUP BY e2.dst
@@ -1030,6 +1079,44 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(
         sym, all_nodes(spark, sf_dir), n_iters=8,
         n_edges=edge_count_estimate(spark, sf_dir),
+    )
+
+
+PPR_SEEDS = 4
+
+
+@query(
+    "q_pagerank_personalized",
+    oracle=_pagerank_oracle(8, 0.85, n_seeds=PPR_SEEDS),
+)
+def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank: all teleport mass concentrates on a seed
+    set (the 4 lowest customer ids) instead of spreading uniformly —
+    rank becomes proximity-to-the-seeds, the standard graph feature
+    for recommendation ("customers similar to these") and local
+    community scoring around an entity of interest.
+
+    Same power-iteration loop as q_pagerank (ONE loop body serves both
+    — the teleport vector is just a state column), same self-loop
+    dangling treatment, same total-rank = n_nodes conservation
+    ((1-d)·Σtele + d·N = N), and the same unrolled fixed-iteration
+    DuckDB twin, parametrized with the seed CASE. Scale shape is
+    identical: one edge-keyed shuffle per iteration, seeds broadcast
+    as a literal IN-list (|S| is always tiny — it's a query parameter,
+    not data)."""
+    from neo_olap_spark.graph import edge_count_estimate
+
+    seeds = [
+        int(r[0])
+        for r in load(spark, sf_dir, "customer")
+        .select("c_custkey").orderBy("c_custkey").limit(PPR_SEEDS).collect()
+    ]
+    nodes = all_nodes(spark, sf_dir)
+    sym = symmetrize(edges(spark, sf_dir))
+    return pagerank(
+        sym, nodes, n_iters=8,
+        n_edges=edge_count_estimate(spark, sf_dir),
+        seeds=seeds,
     )
 
 

@@ -92,6 +92,36 @@ def test_pagerank_invariants(spark, sf_dir):
     assert abs(sum(rows.values()) - n) < 1e-3 * n
 
 
+def test_personalized_pagerank_invariants(spark):
+    """PPR on a chain 0-1-2-3-4 seeded at {0}: (a) total rank stays
+    n_nodes (teleport injects (1-d)·N, damping scales the rest — mass
+    conserved, same as uniform); (b) the seed dominates and the near
+    half of the chain outranks the far half (strict per-hop
+    monotonicity does NOT hold at a fixed iteration count — mass
+    propagates in parity waves on a chain, verified against a numpy
+    power iteration: node 4 transiently outranks node 3 at 8 iters);
+    (c) seeds=None reduces to classic PageRank (chain symmetry: ends
+    equal, middle maximal)."""
+    from neo_olap_spark.operators.graph_algos import pagerank
+
+    sym = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 4)])
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "node long")
+    ppr = {
+        r.node_id: r.rank
+        for r in pagerank(sym, nodes, n_iters=8, seeds=[0]).collect()
+    }
+    assert abs(sum(ppr.values()) - 5) < 1e-3 * 5
+    assert ppr[0] == max(ppr.values())
+    assert min(ppr[0], ppr[1], ppr[2]) > max(ppr[3], ppr[4])
+    # exact values pinned against an independent numpy power iteration
+    assert ppr[0] == 1.639336 and ppr[4] == 0.400011
+    uni = {
+        r.node_id: r.rank for r in pagerank(sym, nodes, n_iters=8).collect()
+    }
+    assert uni[0] == uni[4] and uni[1] == uni[3]
+    assert uni[2] >= uni[1] and uni[1] > uni[0]
+
+
 def test_pagerank_star_hub_dominates(spark):
     from neo_olap_spark.operators.graph_algos import pagerank
 
