@@ -141,6 +141,7 @@ HEADLINE6 = [
     "q_embed_knn_graph",
     "q_stream_cdc_apply",
     "q_pagerank_personalized",
+    "q_anomaly_mad",
 ]
 
 

@@ -1347,6 +1347,117 @@ def q_time_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 Z_THRESHOLD = 3.0
 
 
+MAD_SCALE_NUM = 6745  # 0.6745 (Φ⁻¹(0.75)) ×10⁴ — integer-exact compare
+MAD_Z_NUM = 35000  # modified-z threshold 3.5 ×10⁴ (Iglewicz-Hoaglin)
+
+
+@query(
+    "q_anomaly_mad",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM c
+    ),
+    med AS (
+      SELECT event_type, MIN(cents) AS med_cents
+      FROM r WHERE rn = (cnt + 1) // 2 GROUP BY event_type
+    ),
+    d AS (
+      SELECT c.event_type, ABS(c.cents - m.med_cents) AS dev,
+             m.med_cents
+      FROM c JOIN med m USING (event_type)
+    ),
+    r2 AS (
+      SELECT event_type, dev,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM d
+    ),
+    mad AS (
+      SELECT event_type, MIN(dev) AS mad_cents
+      FROM r2 WHERE rn = (cnt + 1) // 2 GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(d.med_cents) AS med_cents,
+           MIN(mad.mad_cents) AS mad_cents,
+           CAST(COUNT(*) FILTER (
+             WHERE mad.mad_cents > 0
+               AND 6745 * d.dev > 35000 * mad.mad_cents
+           ) AS BIGINT) AS n_flagged
+    FROM d JOIN mad USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier detection per series — the
+    heavy-tail-safe twin of q_anomaly_zscore: mean/stddev are
+    themselves dragged by the outliers they're meant to flag, while
+    the median and the median-absolute-deviation have a 50% breakdown
+    point. Flags rows whose modified z-score 0.6745·|v−med|/MAD
+    exceeds 3.5 (Iglewicz-Hoaglin); emits the per-type audit summary
+    (n, median, MAD, flagged count) — aggregate-sized by construction.
+
+    Engine-exactness: cents integerization + the rank-pick LOWER
+    median (the q_agg_median rule — interpolating medians differ at
+    the last ulp) for BOTH the median and the MAD, and the threshold
+    compare stays in integers (6745·dev > 35000·MAD ≡ the 0.6745/3.5
+    ratio ×10⁴) — no float ever crosses an engine boundary. MAD = 0
+    (a majority-constant series) flags nothing, by guard, matching
+    the statistic's definition domain.
+
+    Scale shape: two rank windows partitioned by event_type (exact
+    medians sort per group — the documented q_agg_median trade; the
+    sketch tier at 100 TB is approx_percentile) + one broadcast join
+    back and a partial-aggregable final groupBy."""
+    from pyspark.sql.window import Window as W
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents")
+    )
+    w = W.partitionBy("event_type")
+
+    def lower_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        r = df.select(
+            "event_type",
+            col,
+            F.row_number().over(w.orderBy(col)).alias("rn"),
+            F.count("*").over(w).alias("cnt"),
+        )
+        return (
+            r.where(F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
+            .groupBy("event_type")
+            .agg(F.min(col).alias(out))
+        )
+
+    med = lower_median(ev, "cents", "med_cents")
+    d = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med_cents",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("dev"),
+    )
+    mad = lower_median(d, "dev", "mad_cents")
+    flagged = (F.col("mad_cents") > 0) & (
+        MAD_SCALE_NUM * F.col("dev") > MAD_Z_NUM * F.col("mad_cents")
+    )
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("med_cents").alias("med_cents"),
+            F.min("mad_cents").alias("mad_cents"),
+            F.sum(flagged.cast("long")).alias("n_flagged"),
+        )
+    )
+
+
 @query(
     "q_anomaly_zscore",
     oracle=f"""
