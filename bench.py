@@ -142,6 +142,8 @@ HEADLINE6 = [
     "q_stream_cdc_apply",
     "q_pagerank_personalized",
     "q_anomaly_mad",
+    "q_agg_skew_kurtosis",
+    "q_graph_hits",
 ]
 
 

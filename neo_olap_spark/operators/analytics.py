@@ -1347,6 +1347,89 @@ def q_time_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 Z_THRESHOLD = 3.0
 
 
+# Shared double expression TEXT for skewness / excess kurtosis from raw
+# integer moment sums (n, s1..s4 as DOUBLE columns): the SAME string is
+# parsed by Spark (F.expr) and DuckDB, so the whole floating-point tail
+# is one identical IEEE expression tree in both engines — parenthesized
+# explicitly, sqrt only (pow() differs cross-engine, SURVEY landmine).
+_MU = "(s1/n)"
+_M2 = f"((s2/n) - ({_MU}*{_MU}))"
+_M3 = f"((s3/n) - ((3*{_MU})*(s2/n)) + ((2*{_MU})*{_MU}*{_MU}))"
+_M4 = (
+    f"((s4/n) - ((4*{_MU})*(s3/n)) + (((6*{_MU})*{_MU})*(s2/n))"
+    f" - (((3*{_MU})*{_MU})*{_MU}*{_MU}))"
+)
+SKEW_EXPR = f"FLOOR(({_M3} / ({_M2} * sqrt({_M2}))) * 1000000 + 0.5) / 1000000"
+KURT_EXPR = f"FLOOR((({_M4} / ({_M2} * {_M2})) - 3) * 1000000 + 0.5) / 1000000"
+
+
+@query(
+    "q_agg_skew_kurtosis",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(c * c) AS BIGINT) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(c * c AS HUGEINT) * c) AS DOUBLE) AS s3,
+             CAST(SUM(CAST(c * c AS HUGEINT) * (c * c)) AS DOUBLE) AS s4
+      FROM c GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           {SKEW_EXPR} AS skew,
+           {KURT_EXPR} AS kurt_excess
+    FROM s
+    """,
+)
+def q_agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact population skewness and excess kurtosis per event series —
+    the distribution-shape profile (is the metric right-tailed? how
+    heavy?) that decides between the z-score and MAD anomaly tiers and
+    whether a mean is even reportable. Spark ships skewness()/
+    kurtosis() built-ins, but their internal double accumulation is
+    summation-order-dependent — the repo's engine-exactness rule
+    (landmine h: never threshold or compare engine-internal double
+    aggregates) applies doubly to 3rd/4th moments, which amplify
+    accumulation error.
+
+    Exactness scheme: cents-integerized raw moment sums S1..S4. Per
+    row, c² ≤ ~3.1e9 and c³ ≤ ~1.8e14 stay in BIGINT, but c⁴ for the
+    largest observed cents (56021⁴ ≈ 9.9e18) overflows int64 PER ROW —
+    so c³/c⁴ are computed and summed in 128-bit exact integers
+    (decimal(38,0) on Spark, HUGEINT in DuckDB). Each exact sum then
+    converts to double ONCE (same integer → same IEEE double in both
+    engines), and the entire skew/kurtosis tail is ONE shared
+    expression string parsed by both (SKEW_EXPR/KURT_EXPR — identical
+    parse tree, identical IEEE ops; sqrt not pow). Quantized at 1e-6.
+
+    Scale shape: one partial-aggregable groupBy — integer partials
+    combine map-side, 5 rows cross the shuffle; the exact-moments
+    trick costs nothing over the built-ins at any scale."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("c"),
+    )
+    c2 = F.col("c") * F.col("c")
+    c2d = c2.cast("decimal(38,0)")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("c").cast("double").alias("s1"),
+        F.sum(c2).cast("double").alias("s2"),
+        F.sum(c2d * F.col("c")).cast("double").alias("s3"),
+        F.sum(c2d * c2).cast("double").alias("s4"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.expr(SKEW_EXPR).alias("skew"),
+        F.expr(KURT_EXPR).alias("kurt_excess"),
+    )
+
+
 MAD_SCALE_NUM = 6745  # 0.6745 (Φ⁻¹(0.75)) ×10⁴ — integer-exact compare
 MAD_Z_NUM = 35000  # modified-z threshold 3.5 ×10⁴ (Iglewicz-Hoaglin)
 

@@ -2439,3 +2439,163 @@ def q_graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_graph_hits — HITS hubs & authorities on the DIRECTED derived graph
+# ---------------------------------------------------------------------------
+
+HITS_ITERS = 8
+
+
+def _hits_oracle(n_iters: int) -> str:
+    """Unrolled fixed-iteration HITS twin (the _pagerank_oracle
+    pattern). Both engines share the normalization expression TEXT
+    (COALESCE(raw,0) * (N / s)); the global L1 normalizer s is a
+    46k-term double sum whose accumulation order differs between
+    engines by ~1e-16 relative, amplified to ~1e-14 over 8 iterations
+    (the verified pagerank drift class) — the output quantizes at 1e-5
+    (not the usual 1e-6) to keep boundary-landing risk an order of
+    magnitude below the pagerank precedent, since HITS emits TWO
+    scores per node. Every per-iteration CTE is MATERIALIZED: a{k} is
+    referenced twice (h{k}raw + the next/final round) and plain CTEs
+    would expand exponentially (the _cc_oracle lesson)."""
+    parts = [
+        f"""
+    de AS MATERIALIZED (
+      SELECT o_custkey AS src, {_ORD} + o_orderkey AS dst FROM orders
+      UNION ALL
+      SELECT {_ORD} + l_orderkey AS src, {_PRT} + l_partkey AS dst
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    ),
+    allnodes AS MATERIALIZED (
+      SELECT c_custkey AS node FROM customer
+      UNION ALL SELECT {_ORD} + o_orderkey FROM orders
+      UNION ALL SELECT {_PRT} + p_partkey FROM part
+    ),
+    nd AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM allnodes),
+    h0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM allnodes)"""
+    ]
+    for k in range(1, n_iters + 1):
+        parts.append(
+            f"""
+    a{k}raw AS MATERIALIZED (
+      SELECT e.dst AS node, SUM(h.hub) AS raw
+      FROM h{k - 1} h JOIN de e ON h.node = e.src GROUP BY e.dst
+    ),
+    sa{k} AS MATERIALIZED (SELECT SUM(raw) AS s FROM a{k}raw),
+    a{k} AS MATERIALIZED (
+      SELECT b.node,
+             COALESCE(r.raw, 0) * ((SELECT nn FROM nd) / (SELECT s FROM sa{k}))
+               AS auth
+      FROM allnodes b LEFT JOIN a{k}raw r ON b.node = r.node
+    ),
+    h{k}raw AS MATERIALIZED (
+      SELECT e.src AS node, SUM(a.auth) AS raw
+      FROM a{k} a JOIN de e ON a.node = e.dst GROUP BY e.src
+    ),
+    sh{k} AS MATERIALIZED (SELECT SUM(raw) AS s FROM h{k}raw),
+    h{k} AS MATERIALIZED (
+      SELECT b.node,
+             COALESCE(r.raw, 0) * ((SELECT nn FROM nd) / (SELECT s FROM sh{k}))
+               AS hub
+      FROM allnodes b LEFT JOIN h{k}raw r ON b.node = r.node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT h.node AS node_id,
+           FLOOR(h.hub * 100000 + 0.5) / 100000 AS hub,
+           FLOOR(a.auth * 100000 + 0.5) / 100000 AS auth
+    FROM h{n_iters} h JOIN a{n_iters} a ON h.node = a.node"""
+    )
+
+
+@query("q_graph_hits", oracle=_hits_oracle(HITS_ITERS))
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs and authorities over the DIRECTED derived graph
+    (customer → order → part): authority(v) sums the hub scores
+    pointing at v, hub(u) sums the authority scores u points at —
+    mutually reinforcing, L1-normalized to total n_nodes each
+    half-step. On this graph the decomposition is semantically real:
+    customers are pure hubs (no in-edges), parts pure authorities (no
+    out-edges), orders both — HITS separates the two roles that
+    PageRank's single score conflates on the symmetrized graph.
+
+    Fixed 8 iterations, hash-checked against the unrolled DuckDB twin
+    (_hits_oracle — the _pagerank_oracle pattern; outputs quantized at
+    1e-5, see the oracle docstring for the normalizer drift budget).
+
+    Scale shape: per half-step ONE aggregate shuffle keyed on the
+    RECEIVING node (dst for authorities, src for hubs — the edge list
+    is persisted twice, partitioned each way, so only the node-sized
+    state moves), one aggregate-sized L1 sum broadcast back via a
+    1-row crossJoin (no per-iteration driver scalar), and an eager
+    localCheckpoint per half-step (each state is referenced twice —
+    next half-step's push + the carried output — landmine 4, exactly
+    the pagerank rule)."""
+    from neo_olap_spark.graph import edge_count_estimate, edges
+
+    spark_ = spark
+    de = edges(spark_, sf_dir)
+    nodes = all_nodes(spark_, sf_dir)
+    n_edges = edge_count_estimate(spark_, sf_dir)
+    with _no_aqe(spark_), _loop_shuffle_partitions(spark_, n_edges):
+        e_src = de.repartition("src").persist()
+        e_dst = de.repartition("dst").persist()
+        base = nodes.repartition("node").persist()
+        n_nodes = float(base.count())
+        hub = base.select("node", F.lit(1.0).alias("hub")).localCheckpoint()
+        auth = None
+        for _ in range(HITS_ITERS):
+            a_raw = (
+                hub.hint("shuffle_hash")
+                .join(e_src, hub.node == e_src.src)
+                .groupBy("dst")
+                .agg(F.sum("hub").alias("raw"))
+                .withColumnRenamed("dst", "node")
+            )
+            sa = a_raw.agg(F.sum("raw").alias("s"))
+            auth = (
+                base.join(a_raw, "node", "left")
+                .crossJoin(F.broadcast(sa))
+                .select(
+                    "node",
+                    (
+                        F.coalesce("raw", F.lit(0.0))
+                        * (F.lit(n_nodes) / F.col("s"))
+                    ).alias("auth"),
+                )
+                .localCheckpoint()
+            )
+            h_raw = (
+                auth.hint("shuffle_hash")
+                .join(e_dst, auth.node == e_dst.dst)
+                .groupBy("src")
+                .agg(F.sum("auth").alias("raw"))
+                .withColumnRenamed("src", "node")
+            )
+            sh = h_raw.agg(F.sum("raw").alias("s"))
+            hub = (
+                base.join(h_raw, "node", "left")
+                .crossJoin(F.broadcast(sh))
+                .select(
+                    "node",
+                    (
+                        F.coalesce("raw", F.lit(0.0))
+                        * (F.lit(n_nodes) / F.col("s"))
+                    ).alias("hub"),
+                )
+                .localCheckpoint()
+            )
+        out = hub.join(auth, "node").select(
+            F.col("node").alias("node_id"),
+            F.expr("FLOOR(hub * 100000 + 0.5) / 100000").alias("hub"),
+            F.expr("FLOOR(auth * 100000 + 0.5) / 100000").alias("auth"),
+        )
+        e_src.unpersist()
+        e_dst.unpersist()
+        base.unpersist()
+        return out

@@ -403,3 +403,24 @@ def test_sssp_two_hop_raises_when_ceiling_too_low(spark):
     sym = chain.unionAll(chain.selectExpr("dst as src", "src as dst", "w"))
     with _pytest.raises(RuntimeError, match="did not converge"):
         sssp(sym, [0], max_rounds=3, hops_per_round=2)
+
+
+def test_hits_role_separation(spark, sf_dir):
+    """On the directed customer->order->part graph, customers have no
+    in-edges (pure hubs: authority exactly 0) and parts no out-edges
+    (pure authorities: hub exactly 0); both score vectors L1-normalize
+    to n_nodes."""
+    from neo_olap_spark.graph import PART_OFFSET, ORDER_OFFSET
+    from neo_olap_spark.operators.graph_algos import q_graph_hits
+
+    rows = q_graph_hits(spark, sf_dir).collect()
+    n = len(rows)
+    assert abs(sum(r.hub for r in rows) - n) < 1e-2 * n
+    assert abs(sum(r.auth for r in rows) - n) < 1e-2 * n
+    for r in rows:
+        if r.node_id < ORDER_OFFSET:  # customer
+            assert r.auth == 0.0, r
+        elif r.node_id >= PART_OFFSET:  # part
+            assert r.hub == 0.0, r
+    # the mutually-reinforcing scores are non-trivial on both sides
+    assert max(r.hub for r in rows) > 0 and max(r.auth for r in rows) > 0
