@@ -1373,8 +1373,8 @@ KURT_EXPR = f"FLOOR((({_M4} / ({_M2} * {_M2})) - 3) * 1000000 + 0.5) / 1000000"
     s AS (
       SELECT event_type,
              CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) AS s1,
-             CAST(CAST(SUM(c * c) AS BIGINT) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(c AS HUGEINT)) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE) AS s2,
              CAST(SUM(CAST(c * c AS HUGEINT) * c) AS DOUBLE) AS s3,
              CAST(SUM(CAST(c * c AS HUGEINT) * (c * c)) AS DOUBLE) AS s4
       FROM c GROUP BY event_type
@@ -1396,15 +1396,18 @@ def q_agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates) applies doubly to 3rd/4th moments, which amplify
     accumulation error.
 
-    Exactness scheme: cents-integerized raw moment sums S1..S4. Per
-    row, c² ≤ ~3.1e9 and c³ ≤ ~1.8e14 stay in BIGINT, but c⁴ for the
-    largest observed cents (56021⁴ ≈ 9.9e18) overflows int64 PER ROW —
-    so c³/c⁴ are computed and summed in 128-bit exact integers
-    (decimal(38,0) on Spark, HUGEINT in DuckDB). Each exact sum then
-    converts to double ONCE (same integer → same IEEE double in both
-    engines), and the entire skew/kurtosis tail is ONE shared
-    expression string parsed by both (SKEW_EXPR/KURT_EXPR — identical
-    parse tree, identical IEEE ops; sqrt not pow). Quantized at 1e-6.
+    Exactness scheme: cents-integerized raw moment sums S1..S4, ALL
+    accumulated in 128-bit exact integers (decimal(38,0) on Spark,
+    HUGEINT in DuckDB) — c⁴ for the largest observed cents
+    (56021⁴ ≈ 9.9e18) overflows int64 PER ROW, and even Σc² would wrap
+    a 64-bit sum at ~3e9 rows per group, exactly the scale this scheme
+    claims to survive (self-review r7 finding: the first cut summed
+    s1/s2 in 64-bit while the oracle's BIGINT cast would THROW there —
+    wrap-vs-throw divergence). Each exact sum converts to double ONCE
+    (same integer → same IEEE double in both engines), and the entire
+    skew/kurtosis tail is ONE shared expression string parsed by both
+    (SKEW_EXPR/KURT_EXPR — identical parse tree, identical IEEE ops;
+    sqrt not pow). Quantized at 1e-6.
 
     Scale shape: one partial-aggregable groupBy — integer partials
     combine map-side, 5 rows cross the shuffle; the exact-moments
@@ -1414,11 +1417,12 @@ def q_agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 100 + 0.5).cast("long").alias("c"),
     )
     c2 = F.col("c") * F.col("c")
+    cd = F.col("c").cast("decimal(38,0)")
     c2d = c2.cast("decimal(38,0)")
     s = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("c").cast("double").alias("s1"),
-        F.sum(c2).cast("double").alias("s2"),
+        F.sum(cd).cast("double").alias("s1"),
+        F.sum(cd * F.col("c")).cast("double").alias("s2"),
         F.sum(c2d * F.col("c")).cast("double").alias("s3"),
         F.sum(c2d * c2).cast("double").alias("s4"),
     )
@@ -1520,10 +1524,17 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     med = lower_median(ev, "cents", "med_cents")
-    d = ev.join(F.broadcast(med), "event_type").select(
-        "event_type",
-        "med_cents",
-        F.abs(F.col("cents") - F.col("med_cents")).alias("dev"),
+    # localCheckpoint: d feeds BOTH the MAD median and the final
+    # aggregation — without it the events scan + median broadcast join
+    # execute twice (self-review r7 finding)
+    d = (
+        ev.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            "med_cents",
+            F.abs(F.col("cents") - F.col("med_cents")).alias("dev"),
+        )
+        .localCheckpoint()
     )
     mad = lower_median(d, "dev", "mad_cents")
     flagged = (F.col("mad_cents") > 0) & (

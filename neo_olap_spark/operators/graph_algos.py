@@ -868,6 +868,13 @@ def pagerank(
         if seeds is None:
             tele = F.lit(1.0)
         else:
+            if not seeds:
+                raise ValueError(
+                    "personalized pagerank needs a non-empty seed list "
+                    "(an empty teleport vector has no stationary "
+                    "distribution); pass seeds=None for the uniform "
+                    "classic"
+                )
             if n_nodes is None:
                 n_nodes = nodes.count()
             tele = F.when(
@@ -1111,6 +1118,15 @@ def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in load(spark, sf_dir, "customer")
         .select("c_custkey").orderBy("c_custkey").limit(PPR_SEEDS).collect()
     ]
+    if len(seeds) != PPR_SEEDS:
+        # the oracle divides by the LITERAL PPR_SEEDS; a shorter seed
+        # list (degenerate fixture) would silently diverge the teleport
+        # vector between engines — fail loudly instead (the
+        # converge-or-raise contract)
+        raise ValueError(
+            f"q_pagerank_personalized needs {PPR_SEEDS} customers, "
+            f"found {len(seeds)} in {sf_dir}"
+        )
     nodes = all_nodes(spark, sf_dir)
     sym = symmetrize(edges(spark, sf_dir))
     return pagerank(
@@ -2536,15 +2552,17 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint per half-step (each state is referenced twice —
     next half-step's push + the carried output — landmine 4, exactly
     the pagerank rule)."""
-    from neo_olap_spark.graph import edge_count_estimate, edges
+    from neo_olap_spark.graph import edge_count_estimate
 
-    spark_ = spark
-    de = edges(spark_, sf_dir)
-    nodes = all_nodes(spark_, sf_dir)
-    n_edges = edge_count_estimate(spark_, sf_dir)
-    with _no_aqe(spark_), _loop_shuffle_partitions(spark_, n_edges):
+    de = edges(spark, sf_dir)
+    nodes = all_nodes(spark, sf_dir)
+    n_edges = edge_count_estimate(spark, sf_dir)
+    with _no_aqe(spark), _loop_shuffle_partitions(spark, n_edges):
         e_src = de.repartition("src").persist()
-        e_dst = de.repartition("dst").persist()
+        # derive the dst-partitioned copy FROM the persisted src copy:
+        # the order→part DISTINCT (a full lineitem shuffle) runs once,
+        # not once per direction (self-review r7 finding)
+        e_dst = e_src.repartition("dst").persist()
         base = nodes.repartition("node").persist()
         n_nodes = float(base.count())
         hub = base.select("node", F.lit(1.0).alias("hub")).localCheckpoint()
