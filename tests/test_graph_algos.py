@@ -424,3 +424,41 @@ def test_hits_role_separation(spark, sf_dir):
             assert r.hub == 0.0, r
     # the mutually-reinforcing scores are non-trivial on both sides
     assert max(r.hub for r in rows) > 0 and max(r.auth for r in rows) > 0
+
+
+def test_hits_planted_numpy_pinned(spark):
+    """HITS on a tiny directed graph, pinned against an independent
+    numpy power iteration (same L1-to-n normalization each half-step):
+    0,1 point at {2,3},{3,4}; 2 points at 4 — so 1 is the best hub
+    (its targets are the strongest authorities) and 3 the best
+    authority. Values compared at one 1e-5 quantum of tolerance (the
+    output grid) — the engines' 3-term sums match numpy's to the last
+    ulp but the pin shouldn't hinge on it."""
+    import neo_olap_spark.graph as g
+    import neo_olap_spark.operators.graph_algos as ga
+
+    e = spark.createDataFrame(
+        [(0, 2), (0, 3), (1, 3), (1, 4), (2, 4)], "src long, dst long"
+    )
+    n = spark.createDataFrame([(i,) for i in range(5)], "node long")
+    orig = (ga.edges, ga.all_nodes, g.edge_count_estimate)
+    ga.edges = lambda _s, _d: e
+    ga.all_nodes = lambda _s, _d: n
+    g.edge_count_estimate = lambda _s, _d: 5
+    try:
+        got = {
+            r.node_id: (r.hub, r.auth)
+            for r in ga.q_graph_hits(spark, "unused").collect()
+        }
+    finally:
+        ga.edges, ga.all_nodes, g.edge_count_estimate = orig
+    want = {
+        0: (1.78374, 0.0),
+        1: (2.22544, 0.0),
+        2: (0.99082, 0.98958),
+        3: (0.0, 2.22488),
+        4: (0.0, 1.78554),
+    }
+    for node, (h, a) in want.items():
+        assert abs(got[node][0] - h) <= 1e-5, (node, got[node])
+        assert abs(got[node][1] - a) <= 1e-5, (node, got[node])
