@@ -144,6 +144,7 @@ HEADLINE6 = [
     "q_anomaly_mad",
     "q_agg_skew_kurtosis",
     "q_graph_hits",
+    "q_agg_bitmap_distinct",
 ]
 
 

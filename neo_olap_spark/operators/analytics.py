@@ -653,6 +653,53 @@ def q_agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_agg_bitmap_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS distinct_parts
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'ALL' AS l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS distinct_parts
+    FROM lineitem
+    """,
+)
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counts via bitmap aggregates — the exact tier of
+    the mergeable-distinct ladder (q_agg_hll is the sketch tier, plain
+    countDistinct the naive tier). bitmap_bit_position buckets the key
+    space into fixed 32k-bit bitmaps; per (group, bucket) ONE
+    partial-aggregable bitmap_construct_agg ORs membership bits
+    map-side, so the shuffle carries a few KB of bitmap per bucket
+    instead of the distinct key set — and unlike HLL the count is
+    EXACT. The merged tier (bitmap_or_agg over the per-flag bitmaps)
+    answers the global distinct from the per-group state without
+    re-reading data: the same mergeability that lets a 100 TB
+    pipeline maintain per-segment AND total exact distincts in one
+    pass, or union yesterday's bitmaps with today's.
+
+    Both levels are hash-checked against plain COUNT(DISTINCT) — the
+    per-flag rows plus an 'ALL' row re-derived by ORing the per-flag
+    per-bucket bitmaps (sum of popcounts; buckets partition the key
+    space, so cross-bucket sums are exact)."""
+    li = load(spark, sf_dir, "lineitem")
+    per_bucket = li.groupBy(
+        "l_returnflag",
+        F.bitmap_bucket_number("l_partkey").alias("bucket"),
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("l_partkey")).alias("bm"))
+    per_flag = per_bucket.groupBy("l_returnflag").agg(
+        F.sum(F.bitmap_count("bm")).alias("distinct_parts")
+    )
+    merged = (
+        per_bucket.groupBy("bucket")
+        .agg(F.bitmap_count(F.bitmap_or_agg("bm")).alias("c"))
+        .agg(F.sum("c").alias("distinct_parts"))
+        .select(F.lit("ALL").alias("l_returnflag"), "distinct_parts")
+    )
+    return per_flag.unionByName(merged)
+
+
+@query(
     "q_agg_median",
     oracle="""
     WITH r AS (
