@@ -145,6 +145,7 @@ HEADLINE6 = [
     "q_agg_skew_kurtosis",
     "q_graph_hits",
     "q_agg_bitmap_distinct",
+    "q_quality_psi",
 ]
 
 

@@ -726,3 +726,109 @@ def q_privacy_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_quality_psi — population-stability-index drift detection
+# ---------------------------------------------------------------------------
+
+PSI_BIN_CENTS = 2_000  # $20-wide value bins (~28 observed bins)
+
+
+@query(
+    "q_quality_psi",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) // {PSI_BIN_CENTS} AS bin,
+             CAST(epoch_us(ts) AS BIGINT) AS us
+      FROM events
+    ),
+    b AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM c),
+    counts AS (
+      SELECT event_type, bin,
+             CAST(COUNT(*) FILTER (WHERE us <  (SELECT mid FROM b)) AS BIGINT) AS na,
+             CAST(COUNT(*) FILTER (WHERE us >= (SELECT mid FROM b)) AS BIGINT) AS nb
+      FROM c GROUP BY event_type, bin
+    ),
+    tot AS (
+      SELECT event_type,
+             CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb,
+             CAST(COUNT(*) AS BIGINT) AS nbins
+      FROM counts GROUP BY event_type
+    ),
+    terms AS (
+      SELECT c.event_type, t.ta, t.tb,
+             (CAST(c.na + 1 AS DOUBLE) / CAST(t.ta + t.nbins AS DOUBLE)) AS p,
+             (CAST(c.nb + 1 AS DOUBLE) / CAST(t.tb + t.nbins AS DOUBLE)) AS q
+      FROM counts c JOIN tot t USING (event_type)
+    )
+    SELECT event_type,
+           MIN(ta) AS n_first_half, MIN(tb) AS n_second_half,
+           FLOOR(SUM((p - q) * ln(p / q)) * 1000000 + 0.5) / 1000000 AS psi
+    FROM terms GROUP BY event_type
+    """,
+)
+def q_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event series: the standard
+    training-serving / period-over-period DRIFT detector — split the
+    stream at its time midpoint, histogram the metric into fixed $20
+    bins, and score Σ (p−q)·ln(p/q) between the two periods' bin
+    shares (rule of thumb: <0.1 stable, >0.25 drifted). This is what a
+    feature pipeline runs before retraining and what an ingest monitor
+    alerts on when an upstream change shifts a distribution without
+    breaking any schema.
+
+    Engine-exactness: the midpoint split and the bin ids are pure
+    integer arithmetic; bin counts are exact integers; Laplace
+    smoothing ((n_i+1)/(N+B), B = observed bin count) keeps every
+    bin's share positive without dropping bins present in only one
+    period — p and q are then exact-rational doubles and the ln tail
+    follows the tfidf/bigram-LM precedent (cross-engine log terms have
+    hash-matched since round 2; an irrational sum never lands on a
+    representable rounding half). Quantized at 1e-6.
+
+    Scale shape: ONE partial-aggregable groupBy over (type, bin) with
+    conditional counts — the midpoint is an aggregate-sized scalar,
+    the per-type totals and the PSI reduction are bin-cardinality
+    work. At 100 TB the histogram shuffle carries types × bins rows,
+    nothing else."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(
+            F.floor(F.col("value") * 100 + 0.5).cast("long") / PSI_BIN_CENTS
+        ).cast("long").alias("bin"),
+        F.unix_micros("ts").alias("us"),
+    )
+    b = ev.agg(
+        ((F.min("us") + F.max("us")) / 2).cast("long").alias("mid")
+    )
+    counts = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum((F.col("us") < F.col("mid")).cast("long")).alias("na"),
+            F.sum((F.col("us") >= F.col("mid")).cast("long")).alias("nb"),
+        )
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("na").alias("ta"),
+        F.sum("nb").alias("tb"),
+        F.count(F.lit(1)).alias("nbins"),
+    )
+    p = (F.col("na") + 1).cast("double") / (F.col("ta") + F.col("nbins")).cast(
+        "double"
+    )
+    q = (F.col("nb") + 1).cast("double") / (F.col("tb") + F.col("nbins")).cast(
+        "double"
+    )
+    terms = counts.join(tot, "event_type").select(
+        "event_type", "ta", "tb", p.alias("p"), q.alias("q")
+    )
+    return terms.groupBy("event_type").agg(
+        F.min("ta").alias("n_first_half"),
+        F.min("tb").alias("n_second_half"),
+        F.expr(
+            "FLOOR(SUM((p - q) * ln(p / q)) * 1000000 + 0.5) / 1000000"
+        ).alias("psi"),
+    )

@@ -60,7 +60,7 @@ def _ensure_loaded() -> None:
 # iteration, nothing else. Sampled-key union after this wave lands:
 # 177 of the round-6 216 (r1-r6 union is 132; 45 of these 50 are
 # new-to-driver, the other 5 are the stale-error re-verifications) —
-# 177/226 after this round's ten new keys.
+# 177/227 after this round's eleven new keys.
 DRIVER_WAVE_SIZE = 50  # the driver's observed per-round sample size
 DRIVER_WAVE_ROTATION: tuple[str, ...] = (
     # stale-error keys: their only driver record is an r1/r2 `err`
