@@ -2253,6 +2253,13 @@ def sssp(
                 break
         edges_p.unpersist()
         if stats is not None:
+            # NOTE (ADVICE r7): with hops_per_round>1, convergence on a
+            # non-boundary hop is only DETECTED at the next boundary
+            # count, so `rounds` includes up to hops_per_round-1 extra
+            # relaxations past the fixpoint (results unchanged —
+            # relaxation is idempotent there). tools/sssp_ab.py's
+            # sec-per-relaxation denominator inherits this over-count
+            # for multi-hop variants.
             stats["rounds"] = rounds
         if not converged:
             raise RuntimeError(
@@ -2529,45 +2536,34 @@ def _hits_oracle(n_iters: int) -> str:
     )
 
 
-@query("q_graph_hits", oracle=_hits_oracle(HITS_ITERS))
-def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HITS hubs and authorities over the DIRECTED derived graph
-    (customer → order → part): authority(v) sums the hub scores
-    pointing at v, hub(u) sums the authority scores u points at —
-    mutually reinforcing, L1-normalized to total n_nodes each
-    half-step. On this graph the decomposition is semantically real:
-    customers are pure hubs (no in-edges), parts pure authorities (no
-    out-edges), orders both — HITS separates the two roles that
-    PageRank's single score conflates on the symmetrized graph.
-
-    Fixed 8 iterations, hash-checked against the unrolled DuckDB twin
-    (_hits_oracle — the _pagerank_oracle pattern; outputs quantized at
-    1e-5, see the oracle docstring for the normalizer drift budget).
-
-    Scale shape: per half-step ONE aggregate shuffle keyed on the
-    RECEIVING node (dst for authorities, src for hubs — the edge list
-    is persisted twice, partitioned each way, so only the node-sized
-    state moves), one aggregate-sized L1 sum broadcast back via a
-    1-row crossJoin (no per-iteration driver scalar), and an eager
-    localCheckpoint per half-step (each state is referenced twice —
-    next half-step's push + the carried output — landmine 4, exactly
-    the pagerank rule)."""
-    from neo_olap_spark.graph import edge_count_estimate
-
-    de = edges(spark, sf_dir)
-    nodes = all_nodes(spark, sf_dir)
-    n_edges = edge_count_estimate(spark, sf_dir)
+def hits(
+    directed_edges: DataFrame,
+    nodes: DataFrame,
+    n_iters: int = HITS_ITERS,
+    n_edges: int | None = None,
+) -> DataFrame:
+    """Reusable HITS core: fixed-iteration hubs & authorities over a
+    DIRECTED (src, dst) edge list and a (node) frame, L1-normalized to
+    total n_nodes each half-step. Returns (node_id, hub, auth)
+    quantized at 1e-5 (the normalizer is an order-dependent double sum
+    — see _hits_oracle's drift budget). Extracted from q_graph_hits so
+    the 10× planted-graph soak (tools/soak_graph.py) runs the exact
+    production loop; the query key is a thin wrapper over the derived
+    customer→order→part graph."""
+    spark = directed_edges.sparkSession
+    if n_edges is None:
+        n_edges = directed_edges.count()
     with _no_aqe(spark), _loop_shuffle_partitions(spark, n_edges):
-        e_src = de.repartition("src").persist()
+        e_src = directed_edges.repartition("src").persist()
         # derive the dst-partitioned copy FROM the persisted src copy:
-        # the order→part DISTINCT (a full lineitem shuffle) runs once,
+        # the upstream edge build (a full fact shuffle) runs once,
         # not once per direction (self-review r7 finding)
         e_dst = e_src.repartition("dst").persist()
         base = nodes.repartition("node").persist()
         n_nodes = float(base.count())
         hub = base.select("node", F.lit(1.0).alias("hub")).localCheckpoint()
         auth = None
-        for _ in range(HITS_ITERS):
+        for _ in range(n_iters):
             a_raw = (
                 hub.hint("shuffle_hash")
                 .join(e_src, hub.node == e_src.src)
@@ -2617,3 +2613,37 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         e_dst.unpersist()
         base.unpersist()
         return out
+
+
+@query("q_graph_hits", oracle=_hits_oracle(HITS_ITERS))
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs and authorities over the DIRECTED derived graph
+    (customer → order → part): authority(v) sums the hub scores
+    pointing at v, hub(u) sums the authority scores u points at —
+    mutually reinforcing, L1-normalized to total n_nodes each
+    half-step. On this graph the decomposition is semantically real:
+    customers are pure hubs (no in-edges), parts pure authorities (no
+    out-edges), orders both — HITS separates the two roles that
+    PageRank's single score conflates on the symmetrized graph.
+
+    Fixed 8 iterations, hash-checked against the unrolled DuckDB twin
+    (_hits_oracle — the _pagerank_oracle pattern; outputs quantized at
+    1e-5, see the oracle docstring for the normalizer drift budget).
+
+    Scale shape (the loop body lives in hits(), shared with the 10×
+    planted-graph soak): per half-step ONE aggregate shuffle keyed on
+    the RECEIVING node (dst for authorities, src for hubs — the edge
+    list is persisted twice, partitioned each way, so only the
+    node-sized state moves), one aggregate-sized L1 sum broadcast back
+    via a 1-row crossJoin (no per-iteration driver scalar), and an
+    eager localCheckpoint per half-step (each state is referenced
+    twice — next half-step's push + the carried output — landmine 4,
+    exactly the pagerank rule)."""
+    from neo_olap_spark.graph import edge_count_estimate
+
+    return hits(
+        edges(spark, sf_dir),
+        all_nodes(spark, sf_dir),
+        n_iters=HITS_ITERS,
+        n_edges=edge_count_estimate(spark, sf_dir),
+    )

@@ -127,7 +127,15 @@ def q_embed_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     is row_number over (vec_id) with the rank<=k filter, which Spark
     plans as WindowGroupLimit — only k rows per vector survive the
     rank shuffle. Ranking uses the ROUNDED cosine so both engines
-    order identically (the q_sim_search contract)."""
+    order identically (the q_sim_search contract).
+
+    Residual risk (ADVICE r7): F.round here vs the oracle's ROUND —
+    differing summation order in the two engines' cosine kernels plus
+    differing half-way rounding could flip a rank tie if a true cosine
+    lands within an ulp of a 1e-6 boundary. Parity passes at every
+    fixture; if a boundary hit ever surfaces, switch BOTH sides to the
+    repo's shared FLOOR(x*1e6+0.5)/1e6 expression (the HITS/PSI
+    pattern) instead of engine-native round."""
     from neo_olap_spark.operators.llm_dedup import cosine_pairs_kernel
 
     e = load(spark, sf_dir, "embeddings")

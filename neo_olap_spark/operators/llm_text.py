@@ -675,7 +675,8 @@ POSTINGS_HEAD = 20
     ),
     heads AS (
       SELECT t.term,
-             list_slice(list_sort(list(t.doc_id)), 1, {POSTINGS_HEAD})
+             array_to_string(
+               list_slice(list_sort(list(t.doc_id)), 1, {POSTINGS_HEAD}), ',')
                AS postings_head
       FROM t JOIN top USING (term) GROUP BY t.term
     )
@@ -698,7 +699,14 @@ def q_text_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     20 rows/term inside each partition BEFORE the final per-term
     collect, the q_text_keywords plan): no stopword's full
     million-doc posting list ever funnels anywhere. df counting is a
-    partial-aggregable groupBy on the same exploded rows."""
+    partial-aggregable groupBy on the same exploded rows.
+
+    The head is emitted as a CSV string (numeric sort FIRST, join
+    after — q_agg_collect_sorted's pattern): the driver's row
+    canonicalizer sorts on raw output columns and cannot hash/sort
+    ARRAY cells, so composite types never appear in a registered
+    query's final schema (guarded repo-wide by
+    tests/test_parity.py::test_no_composite_output_columns)."""
     d = load(spark, sf_dir, "documents")
     t = d.select(
         "doc_id",
@@ -719,7 +727,9 @@ def q_text_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= POSTINGS_HEAD)
     )
     heads = ranked.groupBy("term").agg(
-        F.array_sort(F.collect_list("doc_id")).alias("postings_head")
+        F.concat_ws(",", F.array_sort(F.collect_list("doc_id"))).alias(
+            "postings_head"
+        )
     )
     return top.join(heads, "term").select("term", "df", "postings_head")
 

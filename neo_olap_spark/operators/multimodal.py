@@ -749,8 +749,12 @@ SCENE_CUT_THRESHOLD = 30  # mean-abs-diff per pixel-channel => hard cut
              CAST(COUNT(*) FILTER (
                WHERE mean_abs_diff >= {SCENE_CUT_THRESHOLD}) AS BIGINT)
                AS n_cuts,
-             COALESCE(list(step ORDER BY step) FILTER (
-               WHERE mean_abs_diff >= {SCENE_CUT_THRESHOLD}), []) AS cut_steps,
+             -- array_to_string of an EMPTY list is NULL in DuckDB
+             -- (string_agg over zero elements); Spark concat_ws gives
+             -- '' — the outer COALESCE aligns the engines
+             COALESCE(array_to_string(list(step ORDER BY step) FILTER (
+               WHERE mean_abs_diff >= {SCENE_CUT_THRESHOLD}), ','), '')
+               AS cut_steps,
              CAST(MAX(mean_abs_diff) AS BIGINT) AS max_mean_diff
       FROM motion GROUP BY doc_id
     )
@@ -767,7 +771,11 @@ def q_multimodal_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame sampling (sample per SCENE, not per clip, or long static
     shots dominate). Pure composition: the decode + diff pipeline is
     the motion operator's, and this adds one doc-keyed aggregation;
-    cut_steps stays a per-doc array bounded by frames-per-clip. The
+    cut positions stay bounded by frames-per-clip and are emitted as
+    a CSV string (numeric sort FIRST, join after) because the
+    driver's row canonicalizer cannot sort/hash ARRAY cells —
+    composite types never appear in a registered query's final schema
+    (tests/test_parity.py::test_no_composite_output_columns). The
     oracle wraps the motion closed-form SQL in the same aggregation —
     integer throughout, engine-exact. Threshold {SCENE_CUT_THRESHOLD}
     sits between the corpus's static-pan diffs (median 18) and its
@@ -779,8 +787,8 @@ def q_multimodal_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("n_steps"),
             F.sum(is_cut.cast("long")).cast("long").alias("n_cuts"),
-            F.sort_array(
-                F.collect_list(F.when(is_cut, F.col("step")))
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list(F.when(is_cut, F.col("step"))))
             ).alias("cut_steps"),
             F.max("mean_abs_diff").cast("long").alias("max_mean_diff"),
         )

@@ -800,8 +800,12 @@ def q_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("bin"),
         F.unix_micros("ts").alias("us"),
     )
+    # `div` is Spark's integer division — exact BIGINT semantics shared
+    # with the oracle's `(MIN+MAX)//2`. A double `/2` then cast would
+    # lose exactness once min(us)+max(us) exceeds 2^53 (µs epochs past
+    # ~2112), silently diverging the split row-membership (ADVICE r7).
     b = ev.agg(
-        ((F.min("us") + F.max("us")) / 2).cast("long").alias("mid")
+        F.expr("(min(us) + max(us)) div 2").cast("long").alias("mid")
     )
     counts = (
         ev.crossJoin(F.broadcast(b))

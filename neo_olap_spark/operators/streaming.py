@@ -218,18 +218,44 @@ def _copy_events_parquet(spark: SparkSession, sf_dir: str, dest_dir: str) -> Non
 _SHARED_REPLAY_CACHE: dict[tuple[str, str], str] = {}
 
 _REPLAY_ROOT = "/tmp/neo_olap_stream_src"
-_REPLAY_STALE_SECONDS = 24 * 3600
+# 7 days, not 24 h (ADVICE r7): the heartbeat fires on every
+# shared_events_replay_dir call AND every foreachBatch micro-batch
+# (_heartbeat_own_replay_dirs), so for a sibling's prune to hit a live
+# app that app would have to run a single streaming query for a week
+# with no new batch — far past any plausible single-query runtime here.
+_REPLAY_STALE_SECONDS = 7 * 24 * 3600
+
+
+def _heartbeat_own_replay_dirs() -> None:
+    """Refresh the mtime of every replay dir THIS process created, so a
+    long-running streaming query keeps its source alive against sibling
+    apps' staleness pruning even between shared_events_replay_dir calls
+    (ADVICE r7: the heartbeat used to fire only on dir-resolution, so a
+    single query streaming past the cutoff could lose its source
+    mid-run). Called per micro-batch from the foreachBatch sink —
+    driver-side, best-effort, O(#cached dirs)."""
+    import os
+    import time
+
+    now = time.time()
+    for (app_id, _sf), _path in list(_SHARED_REPLAY_CACHE.items()):
+        try:
+            os.utime(os.path.join(_REPLAY_ROOT, app_id), (now, now))
+        except OSError:
+            pass
 
 
 def _prune_stale_replay_dirs(keep_app: str) -> None:
     """Best-effort bounded-disk guard for the per-app replay copies:
-    remove sibling app directories last TOUCHED over a day ago.
-    Liveness is a heartbeat, not just creation time — every
-    shared_events_replay_dir call (cache hit included) utimes its own
-    app dir to now, so an app is only treated as dead after 24 h with
-    NO streaming activity at all; and the cache self-heals (existence
-    check on hit) in case an idle-past-cutoff app ever does lose its
-    copy to a sibling's prune."""
+    remove sibling app directories last TOUCHED over
+    _REPLAY_STALE_SECONDS (7 days) ago. Liveness is a heartbeat, not
+    just creation time — every shared_events_replay_dir call (cache
+    hit included) AND every foreachBatch micro-batch
+    (_heartbeat_own_replay_dirs) utimes the app's own dir, so an app
+    is only treated as dead after a week with NO streaming activity at
+    all; and the cache self-heals (existence check on hit) in case an
+    idle-past-cutoff app ever does lose its copy to a sibling's
+    prune."""
     import os
     import shutil
     import time
@@ -609,6 +635,7 @@ def run_foreach_batch_to_parquet(
     standard exactly-once recipe for foreachBatch."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _heartbeat_own_replay_dirs()
         (
             batch_df.withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")

@@ -11,8 +11,38 @@ import duckdb
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql.types import ArrayType, MapType, StructType
 
 from neo_olap_spark.tables import TABLES
+
+#: Top-level output column types the driver's canonicalizer cannot
+#: sort/hash (pandas sort_values factorizes object columns; a
+#: list/dict cell raises `TypeError: unhashable type`). No registered
+#: query may emit them — serialize to CSV (concat_ws on the Spark
+#: side, array_to_string in the oracle) instead.
+COMPOSITE_TYPES = (ArrayType, MapType, StructType)
+
+
+def assert_no_composite_output(df: DataFrame, key: str = "<query>") -> None:
+    """Raise if the DataFrame's top-level schema contains a composite
+    (array/map/struct) column. Enforced at three choke points so an
+    array-emitting key fails at commit time, never in the driver wave
+    (the round-7 q_text_postings / q_multimodal_scenes lesson):
+    assert_parity (the test suite), tools/correctness_local.py (the
+    ledger), and tests/test_parity.py::test_no_composite_output_columns
+    (registry-wide over the committed ledger's recorded schemas)."""
+    bad = [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if isinstance(f.dataType, COMPOSITE_TYPES)
+    ]
+    if bad:
+        raise AssertionError(
+            f"{key}: output schema contains composite column(s) the "
+            f"driver's canonicalizer cannot sort/hash: {bad}. Emit a "
+            f"CSV string (sort numerically FIRST, then concat_ws / "
+            f"array_to_string) instead."
+        )
 
 
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -23,7 +53,18 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Sort columns by name, normalize dtypes, sort rows."""
+    """Sort columns by name, normalize dtypes, sort rows.
+
+    Row sorting happens on the RAW (pre-stringify) columns, exactly
+    like the driver's canonicalizer: a composite cell (list/dict/
+    ndarray — e.g. an ARRAY output column) makes pandas sort_values
+    raise `TypeError: unhashable type`, and that crash MUST reproduce
+    locally so an array-emitting key fails at commit time, not in the
+    driver wave (round-7 lesson: q_text_postings/q_multimodal_scenes
+    were ledger-green but driver-red because this function used to
+    stringify object columns before sorting). Stringification of
+    object columns happens AFTER the sort, for value comparison only.
+    """
     pdf = pdf[sorted(pdf.columns)].copy()
     for c in pdf.columns:
         s = pdf[c]
@@ -33,9 +74,15 @@ def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf[c] = s.astype("Int64")
         elif pd.api.types.is_bool_dtype(s):
             pdf[c] = s.astype("boolean")
-        else:
-            pdf[c] = s.astype("string")
-    return pdf.sort_values(by=list(pdf.columns), ignore_index=True, na_position="last")
+    pdf = pdf.sort_values(by=list(pdf.columns), ignore_index=True, na_position="last")
+    for c in pdf.columns:
+        if not (
+            pd.api.types.is_float_dtype(pdf[c])
+            or pd.api.types.is_integer_dtype(pdf[c])
+            or pd.api.types.is_bool_dtype(pdf[c])
+        ):
+            pdf[c] = pdf[c].astype("string")
+    return pdf
 
 
 def _column_matches(ls: pd.Series, rs: pd.Series, rtol: float) -> bool:
@@ -66,6 +113,7 @@ def compare_frames(
 
 
 def assert_parity(spark_df: DataFrame, oracle: str, sf_dir: str, rtol: float = 1e-9) -> None:
+    assert_no_composite_output(spark_df)
     left = _canon(spark_df.toPandas())
     con = duck_connect(sf_dir)
     right = _canon(con.execute(oracle).fetchdf())

@@ -30,7 +30,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from neo_olap_spark.registry import REGISTRY, queries
 from neo_olap_spark.session import get_spark
-from neo_olap_spark.testing import _canon, compare_frames, duck_connect
+from neo_olap_spark.testing import (
+    _canon,
+    assert_no_composite_output,
+    compare_frames,
+    duck_connect,
+)
 
 
 def main() -> None:
@@ -62,7 +67,16 @@ def main() -> None:
             ),
         }
         try:
-            left = _canon(q.fn(spark, sf_dir).toPandas())
+            df = q.fn(spark, sf_dir)
+            # Recorded per key so test_no_composite_output_columns can
+            # sweep the WHOLE registry from the committed artifact
+            # without re-running Spark (artifact staleness is already
+            # suite-gated, so the record can't silently rot).
+            entry["spark_schema"] = [
+                f"{f.name}:{f.dataType.simpleString()}" for f in df.schema.fields
+            ]
+            assert_no_composite_output(df, key)
+            left = _canon(df.toPandas())
             entry["spark_rows"] = int(len(left))
             if q.oracle is None:
                 entry["err"] = "no_oracle"

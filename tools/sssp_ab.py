@@ -12,6 +12,13 @@ are evidence):
 Prints one JSON line: per-variant warm wall times (median of reps),
 rounds, and the implied per-relaxation constant.
 
+NOTE (ADVICE r7): for multi-hop variants `rounds` (and therefore the
+sec_per_relaxation denominator) can over-count by up to
+hops_per_round-1 idempotent post-fixpoint relaxations — convergence on
+a non-boundary hop is detected only at the next boundary count. The
+bias DEFLATES multi-hop per-relaxation constants slightly; compare
+variants on warm_sec_median, which is unbiased.
+
 Usage: python tools/sssp_ab.py [reps=3] [sf_dir]
 """
 
