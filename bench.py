@@ -149,6 +149,14 @@ HEADLINE6 = [
 ]
 
 
+# Round-8 wave: keys registered in round 8 (frozen-list protocol).
+HEADLINE7 = [
+    "q_quality_ks",
+    "q_agg_corr_matrix",
+    "q_scalar_variant",
+]
+
+
 # Full TPC-H 22 (schema-adapted; tpch.py + analytics.py): reported as
 # its own total — the one number warehouse engines are compared by.
 TPCH = [
@@ -241,6 +249,7 @@ def main() -> None:
     results5, warm5 = run_set(HEADLINE4)
     results6, warm6 = run_set(HEADLINE5)
     results7, warm7 = run_set(HEADLINE6)
+    results8, warm8 = run_set(HEADLINE7)
     results3, warm3 = run_set(TPCH)
 
     total, warm_total1 = set_totals(results, warm1)
@@ -249,6 +258,7 @@ def main() -> None:
     total5, warm_total5 = set_totals(results5, warm5)
     total6, warm_total6 = set_totals(results6, warm6)
     total7, warm_total7 = set_totals(results7, warm7)
+    total8, warm_total8 = set_totals(results8, warm8)
     total3, warm_total3 = set_totals(results3, warm3)
     # Key order is TRUNCATION-PROOF (VERDICT r5 item 7): the driver
     # captures the stdout TAIL, so anything early in this single line
@@ -278,17 +288,20 @@ def main() -> None:
         "headline5_warm_total": warm_total6,
         "headline6_total": total7,
         "headline6_warm_total": warm_total7,
+        "headline7_total": total8,
+        "headline7_warm_total": warm_total8,
         "tpch_total": total3,
         "tpch_warm_total": warm_total3,
         "errors": errors,
         "warm_incomplete_keys": warm_incomplete,
         # newest wave first … r1-comparable HEADLINE cold per-key LAST
         "queries_warm": {
-            **warm3, **warm7, **warm6, **warm5, **warm4, **warm2, **warm1
+            **warm3, **warm8, **warm7, **warm6, **warm5, **warm4, **warm2,
+            **warm1
         },
         "queries": {
-            **results3, **results7, **results6, **results5, **results4,
-            **results2, **results,
+            **results3, **results8, **results7, **results6, **results5,
+            **results4, **results2, **results,
         },
     }
     sidecar = os.path.join(

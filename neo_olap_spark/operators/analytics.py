@@ -1481,6 +1481,114 @@ def q_agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q_agg_corr_matrix — one-pass pairwise Pearson correlation matrix
+# ---------------------------------------------------------------------------
+
+
+def _corr_micro_expr(a: str, b: str, aa: str, bb: str, ab: str) -> str:
+    """Pearson correlation from exact moment sums, micro-integerized —
+    ONE expression string parsed by BOTH engines (the SKEW_EXPR /
+    rolling_corr discipline: identical parse tree, identical IEEE op
+    sequence, sqrt never pow). All inputs are double columns cast once
+    from exact 128-bit integer sums."""
+    va = f"(n * {aa} - {a} * {a})"
+    vb = f"(n * {bb} - {b} * {b})"
+    return (
+        f"CASE WHEN {va} * {vb} > 0 THEN "
+        f"CAST(FLOOR((n * {ab} - {a} * {b}) / sqrt({va} * {vb}) "
+        f"* 1000000 + 0.5) AS BIGINT) ELSE NULL END"
+    )
+
+
+_CORR_QP = _corr_micro_expr("sq", "sp", "sqq", "spp", "sqp")
+_CORR_QD = _corr_micro_expr("sq", "sd", "sqq", "sdd", "sqd")
+_CORR_PD = _corr_micro_expr("sp", "sd", "spp", "sdd", "spd")
+
+
+@query(
+    "q_agg_corr_matrix",
+    oracle=f"""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS q,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS p,
+             CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS d
+      FROM lineitem
+    ),
+    s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(q AS HUGEINT)) AS DOUBLE) AS sq,
+             CAST(SUM(CAST(p AS HUGEINT)) AS DOUBLE) AS sp,
+             CAST(SUM(CAST(d AS HUGEINT)) AS DOUBLE) AS sd,
+             CAST(SUM(CAST(q AS HUGEINT) * q) AS DOUBLE) AS sqq,
+             CAST(SUM(CAST(p AS HUGEINT) * p) AS DOUBLE) AS spp,
+             CAST(SUM(CAST(d AS HUGEINT) * d) AS DOUBLE) AS sdd,
+             CAST(SUM(CAST(q AS HUGEINT) * p) AS DOUBLE) AS sqp,
+             CAST(SUM(CAST(q AS HUGEINT) * d) AS DOUBLE) AS sqd,
+             CAST(SUM(CAST(p AS HUGEINT) * d) AS DOUBLE) AS spd
+      FROM c GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           {_CORR_QP} AS corr_qty_price_micro,
+           {_CORR_QD} AS corr_qty_disc_micro,
+           {_CORR_PD} AS corr_price_disc_micro
+    FROM s
+    """,
+)
+def q_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the lineitem measures
+    (quantity, price, discount) per return flag, in ONE scan — the
+    feature-correlation profile an ML-prep pipeline computes before
+    feature selection (drop one of every highly-correlated pair) and
+    the cheapest multicollinearity screen. Spark ships corr() but only
+    pairwise-at-a-time and with engine-internal double accumulation;
+    this computes ALL pairs from one pass of exact integer moment
+    sums.
+
+    Exactness: the q_agg_skew_kurtosis scheme — measures integerize
+    (quantity is integral, price to cents, discount to percent), all
+    10 moment sums accumulate in 128-bit (decimal(38,0) / HUGEINT —
+    Σp² alone wraps int64 at ~10⁵ rows), each converts to double once,
+    and every correlation is one shared expression string parsed by
+    both engines (_corr_micro_expr; sqrt never pow). Micro-integerized
+    output; degenerate (zero-variance) pairs emit NULL in both.
+
+    Scale shape: one partial-aggregable groupBy — 10 integer partials
+    combine map-side, 3 rows per flag cross the shuffle. The pair
+    count is quadratic in COLUMNS, not rows — at 100 TB this is the
+    same single scan with a wider combine row."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("q"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("p"),
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("long").alias("d"),
+    )
+    qd = F.col("q").cast("decimal(38,0)")
+    pd_ = F.col("p").cast("decimal(38,0)")
+    dd = F.col("d").cast("decimal(38,0)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(qd).cast("double").alias("sq"),
+        F.sum(pd_).cast("double").alias("sp"),
+        F.sum(dd).cast("double").alias("sd"),
+        F.sum(qd * F.col("q")).cast("double").alias("sqq"),
+        F.sum(pd_ * F.col("p")).cast("double").alias("spp"),
+        F.sum(dd * F.col("d")).cast("double").alias("sdd"),
+        F.sum(qd * F.col("p")).cast("double").alias("sqp"),
+        F.sum(qd * F.col("d")).cast("double").alias("sqd"),
+        F.sum(pd_ * F.col("d")).cast("double").alias("spd"),
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.expr(_CORR_QP).alias("corr_qty_price_micro"),
+        F.expr(_CORR_QD).alias("corr_qty_disc_micro"),
+        F.expr(_CORR_PD).alias("corr_price_disc_micro"),
+    )
+
+
 MAD_SCALE_NUM = 6745  # 0.6745 (Φ⁻¹(0.75)) ×10⁴ — integer-exact compare
 MAD_Z_NUM = 35000  # modified-z threshold 3.5 ×10⁴ (Iglewicz-Hoaglin)
 

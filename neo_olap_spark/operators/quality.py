@@ -836,3 +836,121 @@ def q_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "FLOOR(SUM((p - q) * ln(p / q)) * 1000000 + 0.5) / 1000000"
         ).alias("psi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_quality_ks — two-sample Kolmogorov-Smirnov drift test (PSI's twin)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_quality_ks",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(epoch_us(ts) AS BIGINT) AS us
+      FROM events
+    ),
+    b AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM c),
+    counts AS (
+      SELECT event_type, cents,
+             CAST(COUNT(*) FILTER (WHERE us <  (SELECT mid FROM b)) AS BIGINT) AS na,
+             CAST(COUNT(*) FILTER (WHERE us >= (SELECT mid FROM b)) AS BIGINT) AS nb
+      FROM c GROUP BY event_type, cents
+    ),
+    cum AS (
+      SELECT event_type, cents,
+             CAST(SUM(na) OVER w AS HUGEINT) AS ca,
+             CAST(SUM(nb) OVER w AS HUGEINT) AS cb
+      FROM counts
+      WINDOW w AS (PARTITION BY event_type ORDER BY cents)
+    ),
+    tot AS (
+      SELECT event_type, MAX(ca) AS ta, MAX(cb) AS tb
+      FROM cum GROUP BY event_type
+    ),
+    d AS (
+      SELECT cum.event_type,
+             MAX(ABS(cum.ca * t.tb - cum.cb * t.ta)) AS d_num
+      FROM cum JOIN tot t USING (event_type)
+      GROUP BY cum.event_type
+    )
+    SELECT t.event_type,
+           CAST(t.ta AS BIGINT) AS n_first_half,
+           CAST(t.tb AS BIGINT) AS n_second_half,
+           CAST((d.d_num * 1000000) // (t.ta * t.tb) AS BIGINT) AS ks_ppm
+    FROM tot t JOIN d USING (event_type)
+    """,
+)
+def q_quality_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test per event series — the
+    binning-free twin of q_quality_psi: split the stream at its exact
+    integer time midpoint and report D = max_x |F_first(x) - F_second(x)|
+    over the empirical CDFs of the cents-integerized metric. KS
+    complements PSI exactly where PSI is weakest: it needs no bin
+    width, detects shape shifts inside one bin, and is the classic
+    distribution-equality test a feature store runs per column per
+    release.
+
+    Engine-exactness: D is a RATIONAL number — the maximum over
+    observed levels of |ca·tb − cb·ta| / (ta·tb) with every term an
+    exact integer. Both the cross-multiplied numerator (up to n² —
+    accumulated as decimal(38,0)/HUGEINT, the q_agg_skew_kurtosis
+    128-bit rule) and the final scaled quotient use INTEGER arithmetic
+    only: ks_ppm = ⌊d_num·10⁶ / (ta·tb)⌋ via Spark `div` / DuckDB `//`
+    — no float ever crosses the engine boundary (stronger than the
+    FLOOR(x·10⁶+0.5) tail PSI needs for its logs).
+
+    Scale shape: one partial-aggregable groupBy to per-(type, level)
+    conditional counts, then ONE window pass per type over the
+    DISTINCT VALUE LEVELS (bounded by the metric's domain — cents
+    levels, not rows), then a per-type max. The evaluation grid is the
+    union of observed levels, which is exactly where the empirical-CDF
+    gap attains its max."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        F.unix_micros("ts").alias("us"),
+    )
+    b = ev.agg(F.expr("(min(us) + max(us)) div 2").cast("long").alias("mid"))
+    counts = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("event_type", "cents")
+        .agg(
+            F.sum((F.col("us") < F.col("mid")).cast("long")).alias("na"),
+            F.sum((F.col("us") >= F.col("mid")).cast("long")).alias("nb"),
+        )
+    )
+    w = W.partitionBy("event_type").orderBy("cents")
+    cum = counts.select(
+        "event_type",
+        F.sum("na").over(w).cast("decimal(19,0)").alias("ca"),
+        F.sum("nb").over(w).cast("decimal(19,0)").alias("cb"),
+    )
+    tot = cum.groupBy("event_type").agg(
+        F.max("ca").alias("ta"), F.max("cb").alias("tb")
+    )
+    d = (
+        cum.join(tot, "event_type")
+        .select(
+            "event_type",
+            "ta",
+            "tb",
+            F.abs(
+                F.col("ca") * F.col("tb") - F.col("cb") * F.col("ta")
+            ).alias("num"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min("ta").alias("ta"),
+            F.min("tb").alias("tb"),
+            F.max("num").alias("d_num"),
+        )
+    )
+    return d.select(
+        "event_type",
+        F.col("ta").cast("long").alias("n_first_half"),
+        F.col("tb").cast("long").alias("n_second_half"),
+        F.expr("(d_num * 1000000) div (ta * tb)").cast("long").alias("ks_ppm"),
+    )

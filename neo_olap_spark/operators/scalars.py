@@ -391,3 +391,68 @@ def q_scalar_trycast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("doc_id") % 7 != 0)
         ).alias("div_ok"),
     )
+
+
+@query(
+    "q_scalar_variant",
+    oracle="""
+    WITH doc AS (
+      SELECT event_id,
+             props,
+             '{"id":' || CAST(event_id AS VARCHAR) || ',"meta":' || props
+               || ',"tags":[' || CAST(event_id % 5 AS VARCHAR) || ','
+               || CAST(event_id % 3 AS VARCHAR) || ']}' AS j
+      FROM events
+    )
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+           CAST(json_extract_string(props, '$.missing') AS BIGINT) AS k_missing,
+           CAST(json_extract_string(j, '$.meta.k') AS BIGINT) AS meta_k,
+           CAST(json_extract_string(j, '$.tags[1]') AS BIGINT) AS tag2,
+           json_extract_string(j, '$.id') AS id_str
+    FROM doc
+    """,
+)
+def q_scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT family (Spark 4): parse_json ingests
+    JSON into the binary-encoded VARIANT type ONCE, and every typed
+    extraction (try_variant_get with a target type) reads the binary
+    tree — the modern replacement for repeated get_json_object string
+    re-parsing, and the type a 100 TB semi-structured ingest lands on
+    (shredded parquet VARIANT columns prune like regular columns).
+    Exercises: top-level typed get, missing-path NULL (try_ semantics),
+    NESTED object traversal and ARRAY indexing through a document
+    assembled from row data, and string extraction. The document is
+    constructed with integer-only leaves (doubles never format into
+    JSON text — engine float-formatting differs); DuckDB mirrors every
+    path with json_extract_string + the same typed casts. Pure per-row
+    projection, zero shuffles, fused into the scan.
+
+    Plan note: Catalyst inlines parse_json per extraction (3 parses of
+    the constructed doc in this one-shot projection — projection
+    collapse undoes any select barrier, landmine 1). That is fine for
+    a query-time demo; the at-scale answer is storing the VARIANT
+    column itself (shredded variant parquet), where parsing happens
+    once at ingest and every downstream read is binary traversal."""
+    ev = load(spark, sf_dir, "events")
+    j = F.concat(
+        F.lit('{"id":'),
+        F.col("event_id").cast("string"),
+        F.lit(',"meta":'),
+        F.col("props"),
+        F.lit(',"tags":['),
+        (F.col("event_id") % 5).cast("string"),
+        F.lit(","),
+        (F.col("event_id") % 3).cast("string"),
+        F.lit("]}"),
+    )
+    v = F.parse_json(F.col("props"))
+    vj = F.parse_json(j)
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "bigint").alias("k_num"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("k_missing"),
+        F.try_variant_get(vj, "$.meta.k", "bigint").alias("meta_k"),
+        F.try_variant_get(vj, "$.tags[1]", "bigint").alias("tag2"),
+        F.try_variant_get(vj, "$.id", "string").alias("id_str"),
+    )

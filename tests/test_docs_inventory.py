@@ -38,10 +38,11 @@ def test_driver_wave_rotation_fronts_unsampled_oracle_keys():
     has never checked; this pins (a) every rotation key resolves (a
     typo would shrink the wave silently — _ordered_keys raises, but
     assert the end state too), (b) the rotation IS the dict prefix,
-    (c) every rotated key is oracle-backed EXCEPT the explicitly
-    budgeted ROWS_ONLY_WAVE_KEYS (round 8 spends two slots on the raw
-    seeded-sampling keys to complete the 227/227 sampled union — any
-    other rows-only key in the wave is a wasted slot and fails here),
+    (c) every rotated key is oracle-backed EXCEPT any explicitly
+    budgeted ROWS_ONLY_WAVE_KEYS (empty in round 8: the raw sampling
+    keys' hash-checkable verdict twins carry their evidence, so every
+    slot buys an oracle hash check — an unbudgeted rows-only key in
+    the wave is a wasted slot and fails here),
     and (d) nothing fell out of the dict: rotation is a permutation,
     not a filter. oracle_sql()'s prefix must be the rotation's
     oracle-backed subsequence in the same order."""

@@ -655,3 +655,31 @@ def test_knn_graph_group_limit_and_equi_block_join(q):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "WindowGroupLimit" in p, p
+
+
+def test_corr_matrix_single_partial_agg_pruned_scan(q):
+    # one-pass correlation matrix: ALL 10 moment sums must combine
+    # map-side under a single exchange, and the scan must read exactly
+    # the 4 needed columns (the at-scale claim: 3 rows per flag cross
+    # the shuffle, nothing else)
+    df = q("q_agg_corr_matrix")
+    p = plan_str(df)
+    assert p.count("HashAggregate") >= 2
+    assert "partial_sum" in p
+    # simple mode prints each node once (formatted lists tree + detail)
+    assert plan_str(df, mode="simple").count("Exchange") == 1, p
+    assert_read_schema_only(
+        df,
+        "lineitem",
+        {"l_returnflag", "l_quantity", "l_extendedprice", "l_discount"},
+    )
+
+
+def test_scalar_variant_is_scan_fused_projection(q):
+    # VARIANT extraction must stay a zero-shuffle codegen'd projection
+    # over a 2-column pruned scan — no Python, no exchange
+    df = q("q_scalar_variant")
+    p = plan_str(df)
+    assert "Exchange" not in p, p
+    assert "EvalPython" not in p, p
+    assert_read_schema_only(df, "events", {"event_id", "props"})

@@ -1,0 +1,90 @@
+"""Independent-reference checks for the round-8 statistics keys.
+
+The DuckDB parity suite proves Spark and DuckDB AGREE; these tests
+prove the agreed-on value is the RIGHT statistic, by recomputing it
+from the raw parquet with an implementation that shares no code with
+either engine (python ints / numpy — the q_graph_hits
+numpy-power-iteration precedent).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from neo_olap_spark.registry import REGISTRY, queries
+
+queries()  # populate REGISTRY
+
+
+def _events(sf_dir: str) -> pd.DataFrame:
+    return pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
+
+
+def test_ks_matches_exact_python_reference(spark, sf_dir):
+    """ks_ppm recomputed with arbitrary-precision python ints: split at
+    the exact integer time midpoint, build both empirical CDFs over the
+    union of observed cents levels, maximize the cross-multiplied gap.
+    Exact equality required — the operator promises no float ever
+    crosses the engine boundary."""
+    ev = _events(sf_dir)
+    cents = np.floor(ev["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    # epoch MICROS exactly like the operator's unix_micros: a ns-epoch
+    # midpoint would differ by 500 ns when (min+max) is odd in µs,
+    # flipping a row sitting exactly on the boundary
+    us = ev["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    mid = (int(us.min()) + int(us.max())) // 2
+    first = us < mid
+    expected = {}
+    for etype in sorted(ev["event_type"].unique()):
+        m = (ev["event_type"] == etype).to_numpy()
+        a = np.sort(cents[m & first])
+        b = np.sort(cents[m & ~first])
+        ta, tb = int(len(a)), int(len(b))
+        levels = np.unique(cents[m])
+        ca = np.searchsorted(a, levels, side="right")
+        cb = np.searchsorted(b, levels, side="right")
+        d_num = max(
+            abs(int(x) * tb - int(y) * ta) for x, y in zip(ca, cb)
+        )
+        expected[etype] = (ta, tb, (d_num * 1_000_000) // (ta * tb))
+
+    out = {
+        r["event_type"]: (r["n_first_half"], r["n_second_half"], r["ks_ppm"])
+        for r in REGISTRY["q_quality_ks"].fn(spark, sf_dir).collect()
+    }
+    assert out == expected
+
+
+def test_corr_matrix_matches_numpy(spark, sf_dir):
+    """Each micro-correlation within 2 micro of np.corrcoef on the same
+    integerized measures (numpy accumulates in a different order, so
+    exact equality is not expected — the operator's own exactness claim
+    is cross-ENGINE, pinned by the parity suite)."""
+    li = pq.read_table(f"{sf_dir}/lineitem.parquet").to_pandas()
+    q = li["l_quantity"].to_numpy().astype(np.int64)
+    p = np.floor(li["l_extendedprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+    d = np.floor(li["l_discount"].to_numpy() * 100 + 0.5).astype(np.int64)
+    flags = li["l_returnflag"].to_numpy()
+
+    rows = REGISTRY["q_agg_corr_matrix"].fn(spark, sf_dir).collect()
+    assert rows, "empty corr matrix"
+    for r in rows:
+        m = flags == r["l_returnflag"]
+        assert r["n"] == int(m.sum())
+        ref = np.corrcoef(np.stack([q[m], p[m], d[m]]))
+        for col, (i, j) in [
+            ("corr_qty_price_micro", (0, 1)),
+            ("corr_qty_disc_micro", (0, 2)),
+            ("corr_price_disc_micro", (1, 2)),
+        ]:
+            got = r[col]
+            if np.isnan(ref[i, j]):
+                assert got is None
+            else:
+                assert got is not None
+                assert abs(got - round(float(ref[i, j]) * 1_000_000)) <= 2, (
+                    f"{r['l_returnflag']}/{col}: {got} vs numpy "
+                    f"{ref[i, j] * 1e6:.1f}"
+                )
