@@ -154,6 +154,8 @@ HEADLINE7 = [
     "q_quality_ks",
     "q_agg_corr_matrix",
     "q_scalar_variant",
+    "q_events_attribution",
+    "q_agg_mutual_info",
 ]
 
 

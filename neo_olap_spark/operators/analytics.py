@@ -1589,6 +1589,83 @@ def q_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q_agg_mutual_info — categorical dependence (the corr matrix's twin)
+# ---------------------------------------------------------------------------
+
+# ONE expression string parsed by both engines: per-cell plug-in MI
+# terms from exact integer counts (cast to double once each), ln tail
+# per the tfidf/bigram-LM/PSI precedent (irrational sums never land on
+# a representable rounding half), floor-shift quantized at 1e-6.
+_MI_EXPR = (
+    "FLOOR(SUM((CAST(nab AS DOUBLE) / CAST(n AS DOUBLE)) * "
+    "ln((CAST(nab AS DOUBLE) * CAST(n AS DOUBLE)) / "
+    "(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))) * 1000000 + 0.5) "
+    "/ 1000000"
+)
+
+
+@query(
+    "q_agg_mutual_info",
+    oracle=f"""
+    WITH cells AS (
+      SELECT o_orderpriority AS a, o_orderstatus AS b,
+             CAST(COUNT(*) AS BIGINT) AS nab
+      FROM orders GROUP BY 1, 2
+    ),
+    ma AS (SELECT a, CAST(SUM(nab) AS BIGINT) AS na FROM cells GROUP BY a),
+    mb AS (SELECT b, CAST(SUM(nab) AS BIGINT) AS nb FROM cells GROUP BY b),
+    tot AS (SELECT CAST(SUM(nab) AS BIGINT) AS n FROM cells),
+    j AS (
+      SELECT cells.nab, ma.na, mb.nb, tot.n
+      FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
+    )
+    SELECT MIN(n) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           {_MI_EXPR} AS mi
+    FROM j
+    """,
+)
+def q_agg_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between two categorical columns (order
+    priority × order status) — the categorical twin of
+    q_agg_corr_matrix's numeric screen: MI(A;B) = Σ p(a,b)·ln(p(a,b) /
+    (p(a)p(b))) measures ANY dependence, not just linear, and is the
+    standard feature-relevance / redundancy score for categorical
+    features (zero iff independent). Plug-in estimate from exact
+    counts.
+
+    Exactness: one groupBy produces the exact integer contingency
+    cells; marginals and the total DERIVE from the cell table (never a
+    second fact scan), each count casts to double once inside the ONE
+    shared expression string both engines parse (_MI_EXPR; ln tail per
+    the PSI precedent). Cells with nab·n = na·nb contribute exactly
+    ln(1) = 0 in both engines.
+
+    Scale shape: the fact table is touched by ONE partial-aggregable
+    groupBy; everything downstream operates on the |A|×|B|-cell table
+    (broadcast joins for marginals, a 1-row broadcast total) —
+    aggregate-sized regardless of row count."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("a"), F.col("o_orderstatus").alias("b")
+    )
+    cells = o.groupBy("a", "b").agg(F.count(F.lit(1)).alias("nab"))
+    cells = cells.localCheckpoint()  # cell table feeds 3 consumers
+    ma = cells.groupBy("a").agg(F.sum("nab").cast("long").alias("na"))
+    mb = cells.groupBy("b").agg(F.sum("nab").cast("long").alias("nb"))
+    tot = cells.agg(F.sum("nab").cast("long").alias("n"))
+    j = (
+        cells.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(tot))
+    )
+    return j.agg(
+        F.min("n").alias("n_orders"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.expr(_MI_EXPR).alias("mi"),
+    )
+
+
 MAD_SCALE_NUM = 6745  # 0.6745 (Φ⁻¹(0.75)) ×10⁴ — integer-exact compare
 MAD_Z_NUM = 35000  # modified-z threshold 3.5 ×10⁴ (Iglewicz-Hoaglin)
 

@@ -134,6 +134,99 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ATTRIBUTION_HORIZON_US = 7 * 86_400_000_000  # last-touch lookback: 7 days
+_US_PER_DAY = 86_400_000_000
+
+
+@query(
+    "q_events_attribution",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type, event_id, value,
+             CAST(epoch_us(ts) AS BIGINT) AS us
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    w AS (
+      SELECT *,
+             LAST_VALUE(CASE WHEN event_type = 'click' THEN us END
+                        IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS click_us
+      FROM e
+    ),
+    p AS (
+      SELECT CASE WHEN click_us IS NOT NULL
+                   AND us - click_us <= {ATTRIBUTION_HORIZON_US}
+                  THEN click_us // {_US_PER_DAY} ELSE -1 END AS attr_day,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM w WHERE event_type = 'purchase'
+    )
+    SELECT attr_day,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(cents) AS BIGINT) AS credit_cents
+    FROM p GROUP BY attr_day
+    """,
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase credits the user's most
+    recent click within a 7-day lookback, rolled up to credit per
+    click-day (epoch day; -1 = unattributed — no click, or the click
+    aged out). The marketing-analytics staple next to q_funnel: funnel
+    asks how far users get, attribution asks which touchpoint gets the
+    revenue.
+
+    Shape: ONE window over (user_id, ts, event_id) — last(click ts,
+    ignorenulls) with an explicit ROWS frame carries the latest click
+    forward to each purchase row (the unique (ts, event_id) composite
+    makes RANGE-vs-ROWS peer semantics moot, but the frame is pinned
+    ROWS in BOTH engines anyway), then one partial-aggregable groupBy
+    on the attributed day. The horizon compare and the day bucket are
+    pure integer µs arithmetic (`div`, the PSI-midpoint lesson); value
+    integerizes to cents so the credit sums are engine-exact.
+
+    Scale: the window partitions by user (millions of independent
+    partitions, no skew hub), credit rows are day-cardinality-sized,
+    and the type filter is pushed into the scan."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            "value",
+            F.unix_micros("ts").alias("us"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    clicked = ev.withColumn(
+        "click_us",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("us")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    attributed = clicked.where(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("click_us").isNotNull()
+            & (F.col("us") - F.col("click_us") <= ATTRIBUTION_HORIZON_US),
+            F.expr(f"click_us div {_US_PER_DAY}"),
+        )
+        .otherwise(F.lit(-1))
+        .alias("attr_day"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    return attributed.groupBy("attr_day").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("cents").cast("long").alias("credit_cents"),
+    )
+
+
 # incremental-maintenance split point: ship dates before/after this are
 # the "already materialized base" vs the "newly arrived delta"
 INCR_SPLIT_DATE = "1997-01-01"

@@ -127,7 +127,10 @@ DRIVER_WAVE_ROTATION: tuple[str, ...] = (
     "q_agg_skew_kurtosis",
     "q_agg_bitmap_distinct",
     "q_quality_psi",
-    # the round-8 additions — registered this round, sampled this round
+    # the round-8 additions registered before this rotation froze —
+    # sampled this round. (q_events_attribution / q_agg_mutual_info
+    # registered after the freeze: ledger-green at 3 SFs + TZ, they
+    # front the r9 rotation.)
     "q_quality_ks",
     "q_agg_corr_matrix",
     "q_scalar_variant",

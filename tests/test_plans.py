@@ -683,3 +683,26 @@ def test_scalar_variant_is_scan_fused_projection(q):
     assert "Exchange" not in p, p
     assert "EvalPython" not in p, p
     assert_read_schema_only(df, "events", {"event_id", "props"})
+
+
+def test_attribution_single_window_exchange(q):
+    # last-touch attribution: ONE user-keyed window Exchange plus the
+    # aggregate's — never a self-join or a per-purchase lookup — and
+    # the type filter must reach the scan
+    df = q("q_events_attribution")
+    p = plan_str(df, mode="simple")
+    assert "Window" in p
+    assert p.count("Exchange") <= 2, p
+    assert "Join" not in p, p
+    assert_pushed_filter(df, "In(event_type")
+
+
+def test_mutual_info_one_fact_scan(q):
+    # MI must touch the fact table with ONE partial-aggregable groupBy;
+    # marginals/total derive from the (checkpointed) cell table via
+    # broadcast joins — the plan shows exactly one parquet scan of
+    # orders ... the cell table reuse appears as LogicalRDD scans
+    df = q("q_agg_mutual_info")
+    p = plan_str(df)
+    assert p.count("file:") <= 1 or p.count("orders.parquet") <= 1, p
+    assert plan_str(df, mode="simple").count("BroadcastHashJoin") >= 2, p
