@@ -2541,6 +2541,7 @@ def hits(
     nodes: DataFrame,
     n_iters: int = HITS_ITERS,
     n_edges: int | None = None,
+    checkpoint_raw: bool = True,
 ) -> DataFrame:
     """Reusable HITS core: fixed-iteration hubs & authorities over a
     DIRECTED (src, dst) edge list and a (node) frame, L1-normalized to
@@ -2549,7 +2550,17 @@ def hits(
     — see _hits_oracle's drift budget). Extracted from q_graph_hits so
     the 10× planted-graph soak (tools/soak_graph.py) runs the exact
     production loop; the query key is a thin wrapper over the derived
-    customer→order→part graph."""
+    customer→order→part graph.
+
+    ``checkpoint_raw`` (default on): each half-step's raw push
+    aggregate feeds TWO consumers — the L1 normalizer sum and the
+    state join — so without a checkpoint the edge join + aggregate
+    executes TWICE per half-step (landmine 4's double-reference rule;
+    found in round 8's plan audit: 32 edge joins per run instead of
+    16). Checkpointing the node-sized raw frame costs one extra
+    materialization and halves the edge work — same-session A/B in
+    SCALING.md; values are bit-identical either way (pinned by
+    test_hits_checkpoint_raw_agrees)."""
     spark = directed_edges.sparkSession
     if n_edges is None:
         n_edges = directed_edges.count()
@@ -2571,6 +2582,8 @@ def hits(
                 .agg(F.sum("hub").alias("raw"))
                 .withColumnRenamed("dst", "node")
             )
+            if checkpoint_raw:
+                a_raw = a_raw.localCheckpoint()
             sa = a_raw.agg(F.sum("raw").alias("s"))
             auth = (
                 base.join(a_raw, "node", "left")
@@ -2591,6 +2604,8 @@ def hits(
                 .agg(F.sum("auth").alias("raw"))
                 .withColumnRenamed("src", "node")
             )
+            if checkpoint_raw:
+                h_raw = h_raw.localCheckpoint()
             sh = h_raw.agg(F.sum("raw").alias("s"))
             hub = (
                 base.join(h_raw, "node", "left")

@@ -879,7 +879,9 @@ def q_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT t.event_type,
            CAST(t.ta AS BIGINT) AS n_first_half,
            CAST(t.tb AS BIGINT) AS n_second_half,
-           CAST((d.d_num * 1000000) // (t.ta * t.tb) AS BIGINT) AS ks_ppm
+           CASE WHEN t.ta > 0 AND t.tb > 0
+                THEN CAST((d.d_num * 1000000) // (t.ta * t.tb) AS BIGINT)
+           END AS ks_ppm
     FROM tot t JOIN d USING (event_type)
     """,
 )
@@ -948,9 +950,17 @@ def q_quality_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("num").alias("d_num"),
         )
     )
+    # the degenerate one-sided series (ta or tb = 0 — every row on one
+    # side of the midpoint) yields NULL, guarded EXPLICITLY: Spark's
+    # ANSI `div` RAISES on a zero divisor while DuckDB `//` NULLs
+    # (round-8 self-review probe) — the CASE makes both engines share
+    # the NULL contract instead of diverging crash-vs-NULL
     return d.select(
         "event_type",
         F.col("ta").cast("long").alias("n_first_half"),
         F.col("tb").cast("long").alias("n_second_half"),
-        F.expr("(d_num * 1000000) div (ta * tb)").cast("long").alias("ks_ppm"),
+        F.expr(
+            "CASE WHEN ta > 0 AND tb > 0 "
+            "THEN (d_num * 1000000) div (ta * tb) END"
+        ).cast("long").alias("ks_ppm"),
     )

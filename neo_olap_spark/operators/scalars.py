@@ -405,10 +405,11 @@ def q_scalar_trycast(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
-           CAST(json_extract_string(props, '$.missing') AS BIGINT) AS k_missing,
-           CAST(json_extract_string(j, '$.meta.k') AS BIGINT) AS meta_k,
-           CAST(json_extract_string(j, '$.tags[1]') AS BIGINT) AS tag2,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+           TRY_CAST(json_extract_string(props, '$.missing') AS BIGINT)
+             AS k_missing,
+           TRY_CAST(json_extract_string(j, '$.meta.k') AS BIGINT) AS meta_k,
+           TRY_CAST(json_extract_string(j, '$.tags[1]') AS BIGINT) AS tag2,
            json_extract_string(j, '$.id') AS id_str
     FROM doc
     """,
@@ -427,6 +428,16 @@ def q_scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     JSON text — engine float-formatting differs); DuckDB mirrors every
     path with json_extract_string + the same typed casts. Pure per-row
     projection, zero shuffles, fused into the scan.
+
+    Oracle asymmetry contract (round-8 self-review): the oracle uses
+    TRY_CAST — mirroring try_variant_get's NULL-on-unparseable and
+    matching it exactly on integer leaves, numeric strings, and
+    missing paths (probed). The ONE residual divergence is a DECIMAL
+    leaf: Spark's variant bigint cast TRUNCATES (1.5→1) while DuckDB
+    TRY_CAST ROUNDS (1.5→2, landmine g) — which is why every numeric
+    leaf in this key (props' $.k and the constructed doc) is INTEGER
+    by construction; a future key extracting decimal leaves must
+    compare as DOUBLE, never through a bigint cast.
 
     Plan note: Catalyst inlines parse_json per extraction (3 parses of
     the constructed doc in this one-shot projection — projection

@@ -294,10 +294,12 @@ def shared_events_replay_dir(spark: SparkSession, sf_dir: str) -> str:
     apps on the same sf each write their own copy — concurrent-app
     corruption is structurally impossible, not just contractually
     forbidden. Disk stays bounded: within one app the path is fixed
-    per sf (overwrite in place), and sibling app dirs untouched for a
-    day are pruned best-effort on first use. Every call heartbeats the
-    app's own dir mtime (so an active long-lived app never looks
-    stale) and the cache self-heals on a missing path."""
+    per sf (overwrite in place), and sibling app dirs untouched for
+    _REPLAY_STALE_SECONDS (7 days) are pruned best-effort on first
+    use. Every call heartbeats the app's own dir mtime — as does every
+    foreachBatch micro-batch (_heartbeat_own_replay_dirs) — so an
+    active long-lived app never looks stale, and the cache self-heals
+    on a missing path."""
     import hashlib
     import os
 

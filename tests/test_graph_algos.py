@@ -462,3 +462,27 @@ def test_hits_planted_numpy_pinned(spark):
     for node, (h, a) in want.items():
         assert abs(got[node][0] - h) <= 1e-5, (node, got[node])
         assert abs(got[node][1] - a) <= 1e-5, (node, got[node])
+
+
+def test_hits_checkpoint_raw_agrees(spark, sf_dir):
+    """The raw-push checkpoint (round-8 plan-audit fix: a_raw/h_raw
+    feed two consumers, so the un-checkpointed shape executes every
+    edge join twice) must be a pure execution-strategy change — the
+    score trajectories are bit-identical with and without it."""
+    from neo_olap_spark.graph import edge_count_estimate
+    from neo_olap_spark.operators.graph_algos import all_nodes, edges, hits
+
+    de = edges(spark, sf_dir)
+    nodes = all_nodes(spark, sf_dir)
+    n_edges = edge_count_estimate(spark, sf_dir)
+    a = {
+        r.node_id: (r.hub, r.auth)
+        for r in hits(de, nodes, n_iters=3, n_edges=n_edges,
+                      checkpoint_raw=True).collect()
+    }
+    b = {
+        r.node_id: (r.hub, r.auth)
+        for r in hits(de, nodes, n_iters=3, n_edges=n_edges,
+                      checkpoint_raw=False).collect()
+    }
+    assert a == b

@@ -704,5 +704,9 @@ def test_mutual_info_one_fact_scan(q):
     # orders ... the cell table reuse appears as LogicalRDD scans
     df = q("q_agg_mutual_info")
     p = plan_str(df)
-    assert p.count("file:") <= 1 or p.count("orders.parquet") <= 1, p
+    # the checkpointed cell table appears as LogicalRDD scans, so the
+    # FINAL plan must contain no parquet scan at all (the one fact
+    # scan happened inside the checkpoint job) — both counts, ANDed
+    assert p.count("orders.parquet") == 0, p
+    assert p.count("file:") == 0, p
     assert plan_str(df, mode="simple").count("BroadcastHashJoin") >= 2, p

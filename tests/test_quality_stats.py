@@ -48,7 +48,10 @@ def test_ks_matches_exact_python_reference(spark, sf_dir):
         d_num = max(
             abs(int(x) * tb - int(y) * ta) for x, y in zip(ca, cb)
         )
-        expected[etype] = (ta, tb, (d_num * 1_000_000) // (ta * tb))
+        # one-sided series (ta or tb = 0): the operator emits NULL in
+        # both engines — mirror it instead of ZeroDivisionError
+        ks_ppm = (d_num * 1_000_000) // (ta * tb) if ta and tb else None
+        expected[etype] = (ta, tb, ks_ppm)
 
     out = {
         r["event_type"]: (r["n_first_half"], r["n_second_half"], r["ks_ppm"])

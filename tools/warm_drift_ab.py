@@ -76,9 +76,8 @@ def main() -> None:
     def run_warm(key: str) -> float:
         """cold run (JIT) then timed warm run, clearCache after each —
         exactly bench.py's per-key discipline."""
-        for _ in range(1):
-            qs[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            spark.catalog.clearCache()
+        qs[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         qs[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
