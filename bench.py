@@ -156,6 +156,7 @@ HEADLINE7 = [
     "q_scalar_variant",
     "q_events_attribution",
     "q_agg_mutual_info",
+    "q_stream_dedup_state",
 ]
 
 

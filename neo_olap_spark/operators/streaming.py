@@ -1025,6 +1025,50 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_stream_dedup_state",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives the REAL streaming stateful dedup (q_stream_dedup is the
+    batch twin): events replay as a file stream and dropDuplicates
+    holds the seen-key set in the state store ACROSS micro-batches,
+    emitting each (user_id, event_type) exactly once, on first arrival
+    — the exactly-once ingestion gate a 100 TB/day feed runs in front
+    of its bronze table. Append-mode emissions land in the foreachBatch
+    parquet sink (per-batch dynamic partition overwrite = idempotent
+    redelivery) and the union of all batches must equal the batch
+    DISTINCT — which is exactly the oracle, and holds regardless of
+    replay order because only the KEY columns are emitted.
+
+    State/scale: no watermark, so state = the distinct key set —
+    bounded by the key domain, not the stream length (the honest
+    semantics; dropDuplicatesWithinWatermark trades that bound for
+    possible re-emission of keys whose duplicates outlive the horizon,
+    which would break exact dedup). Keys hash-partition across the
+    state store; the sink read stays lazy."""
+    import glob
+
+    from neo_olap_spark.operators.io_sources import generational_sink_dir
+
+    events_dir = shared_events_replay_dir(spark, sf_dir)
+    base, promote = generational_sink_dir(spark, "stream_dedup_state")
+    sink_dir = f"{base}/sink"
+    with _replay_state_partitions(spark, events_dir):
+        deduped = (
+            stream_events(spark, events_dir)
+            .select("user_id", "event_type")
+            .dropDuplicates(["user_id", "event_type"])
+        )
+        run_foreach_batch_to_parquet(
+            deduped, sink_dir, f"{base}/ckpt", output_mode="append"
+        )
+    promote()
+    if not glob.glob(f"{sink_dir}/batch_id=*/part-*"):
+        return spark.createDataFrame([], "user_id long, event_type string")
+    return spark.read.parquet(sink_dir).select("user_id", "event_type")
+
+
 LATE_DELAY_US = 600_000_000  # the 10-minute watermark, in microseconds
 LATE_STRAGGLER_LAG_US = 7_200_000_000  # stragglers are ≥2h late
 
