@@ -91,3 +91,59 @@ def test_corr_matrix_matches_numpy(spark, sf_dir):
                     f"{r['l_returnflag']}/{col}: {got} vs numpy "
                     f"{ref[i, j] * 1e6:.1f}"
                 )
+
+
+def test_mutual_info_matches_numpy(spark, sf_dir):
+    """Plug-in MI recomputed from a numpy contingency table (log via
+    np.log, summed in a different order) — within 2e-6 of the
+    operator's 1e-6-quantized value."""
+    li = pq.read_table(f"{sf_dir}/orders.parquet").to_pandas()
+    ct = pd.crosstab(li["o_orderpriority"], li["o_orderstatus"]).to_numpy()
+    n = ct.sum()
+    pa = ct.sum(axis=1, keepdims=True) / n
+    pb = ct.sum(axis=0, keepdims=True) / n
+    pab = ct / n
+    mask = pab > 0
+    ref = float((pab[mask] * np.log(pab[mask] / (pa @ pb)[mask])).sum())
+
+    row = REGISTRY["q_agg_mutual_info"].fn(spark, sf_dir).collect()[0]
+    assert row["n_orders"] == int(n)
+    assert row["n_cells"] == int(mask.sum())
+    assert abs(row["mi"] - ref) <= 2e-6, (row["mi"], ref)
+
+
+def test_attribution_matches_pandas_reference(spark, sf_dir):
+    """Last-touch attribution recomputed with a pandas groupby-sort
+    walk (shares no code with either engine): per user, carry the
+    latest click µs forward over (ts, event_id) order; purchases
+    within the 7-day horizon credit the click's epoch day, others the
+    -1 bucket. Exact equality — integer arithmetic end to end."""
+    from neo_olap_spark.operators.warehouse import ATTRIBUTION_HORIZON_US
+
+    ev = _events(sf_dir)
+    ev = ev[ev["event_type"].isin(["click", "purchase"])].copy()
+    ev["us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    ev = ev.sort_values(["user_id", "us", "event_id"])
+    expected: dict[int, list] = {}
+    for _uid, g in ev.groupby("user_id"):
+        click_us = None
+        for r in g.itertuples():
+            if r.event_type == "click":
+                click_us = r.us
+            else:  # purchase
+                if (
+                    click_us is not None
+                    and r.us - click_us <= ATTRIBUTION_HORIZON_US
+                ):
+                    day = click_us // 86_400_000_000
+                else:
+                    day = -1
+                cents = int(np.floor(r.value * 100 + 0.5))
+                agg = expected.setdefault(day, [0, 0])
+                agg[0] += 1
+                agg[1] += cents
+    got = {
+        r["attr_day"]: [r["n_purchases"], r["credit_cents"]]
+        for r in REGISTRY["q_events_attribution"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
