@@ -2559,8 +2559,10 @@ def hits(
     found in round 8's plan audit: 32 edge joins per run instead of
     16). Checkpointing the node-sized raw frame costs one extra
     materialization and halves the edge work — same-session A/B in
-    SCALING.md; values are bit-identical either way (pinned by
-    test_hits_checkpoint_raw_agrees)."""
+    SCALING.md; values agree within one 1e-5 output quantum either way
+    (pinned by test_hits_checkpoint_raw_agrees — the normalizer is an
+    order-dependent double sum, so exact bit-identity across two
+    independent executions is not guaranteed)."""
     spark = directed_edges.sparkSession
     if n_edges is None:
         n_edges = directed_edges.count()

@@ -279,7 +279,8 @@ def _prune_stale_replay_dirs(keep_app: str) -> None:
 def shared_events_replay_dir(spark: SparkSession, sf_dir: str) -> str:
     """One events replay-source copy per (Spark app, sf_dir), shared by
     every streaming key that only READS its source directory (the
-    interval joins, transform_state, stateful, enrich, ohlc). Profiling
+    interval joins, transform_state, stateful, enrich, ohlc,
+    dedup_state). Profiling
     the streaming wave (VERDICT r5 item 5) showed each key paying a
     full read+write copy job before its stream even started — 6 keys ×
     2 bench runs = 12 identical copies of the same parquet per bench.
@@ -526,7 +527,6 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     2×delay+range horizon per user, foreachBatch parquet sink with
     dynamic-partition idempotence, lazy fact-sized read. The sentinel
     flush is two 2-row files; its cost is two extra micro-batches."""
-    import glob as globmod
     import os
     import shutil
     import tempfile
@@ -574,16 +574,13 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         sink_dir = f"{base}/sink"
         with _replay_state_partitions(spark, files_dir):
             run_foreach_batch_to_parquet(joined, sink_dir, f"{base}/ckpt")
-        promote()
-        cols = ["click_id", "purchase_id", "user_id"]
-        if not globmod.glob(f"{sink_dir}/batch_id=*/part-*"):
-            return spark.createDataFrame(
-                [], "click_id long, purchase_id long, user_id long"
-            )
         return (
-            spark.read.parquet(sink_dir)
+            finalize_generational_sink(
+                spark, sink_dir, promote,
+                "click_id long, purchase_id long, user_id long",
+            )
             .where(F.col("user_id") >= 0)
-            .select(*cols)
+            .select("click_id", "purchase_id", "user_id")
         )
     finally:
         shutil.rmtree(replay_dir, ignore_errors=True)
@@ -600,8 +597,6 @@ def _run_interval_join_to_parquet(
     only after its own write completes, so a previous invocation's
     lazy result stays consistent until this one is durable
     (generational_sink_dir's single-outstanding-result contract)."""
-    import glob
-
     from neo_olap_spark.operators.io_sources import generational_sink_dir
 
     events_dir = shared_events_replay_dir(spark, sf_dir)
@@ -613,16 +608,31 @@ def _run_interval_join_to_parquet(
             sink_dir,
             f"{base}/ckpt",
         )
+    return finalize_generational_sink(
+        spark, sink_dir, promote,
+        "click_id long, purchase_id long, user_id long",
+    ).select("click_id", "purchase_id", "user_id")
+
+
+def finalize_generational_sink(
+    spark: SparkSession, sink_dir: str, promote, empty_schema: str
+) -> DataFrame:
+    """Shared tail of every foreachBatch-sink key (interval joins,
+    join_outer, stateful, dedup_state): promote the generation, then
+    return the LAZY sink read — or the TYPED empty frame when every
+    micro-batch was empty (the partitioned writer leaves no part
+    files, so a parquet read cannot infer a schema). Extracted in
+    round 8 (third copy of the promote/glob/empty-fallback boilerplate
+    appeared) so the promote-ordering and empty-sink contracts live in
+    ONE place. Callers chain .where/.select — both work identically on
+    the empty frame (it carries the same columns, minus the sink's
+    batch_id layout metadata, which no caller selects)."""
+    import glob
+
     promote()
-    cols = ["click_id", "purchase_id", "user_id"]
     if not glob.glob(f"{sink_dir}/batch_id=*/part-*"):
-        # every micro-batch was empty: the partitioned writer left
-        # no part files, so a parquet read can't infer a schema —
-        # return the typed empty result the memory sink would have
-        return spark.createDataFrame(
-            [], "click_id long, purchase_id long, user_id long"
-        )
-    return spark.read.parquet(sink_dir).select(*cols)
+        return spark.createDataFrame([], empty_schema)
+    return spark.read.parquet(sink_dir)
 
 
 def run_foreach_batch_to_parquet(
@@ -992,8 +1002,6 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB that is itself a large relation, so nothing here may
     funnel through the driver (same sink rule as the stream-stream
     join keys)."""
-    import glob
-
     from pyspark.sql.window import Window as W
 
     from neo_olap_spark.operators.io_sources import generational_sink_dir
@@ -1010,12 +1018,10 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{base}/ckpt",
             output_mode="update",
         )
-    promote()
-    if not glob.glob(f"{sink_dir}/batch_id=*/part-*"):
-        return spark.createDataFrame(
-            [], "user_id long, n_events long, sum_value double"
-        )
-    mem = spark.read.parquet(sink_dir)
+    mem = finalize_generational_sink(
+        spark, sink_dir, promote,
+        "user_id long, n_events long, sum_value double",
+    )
     # last (= maximal) cumulative emission per user is the final state
     w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
@@ -1047,8 +1053,6 @@ def q_stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     possible re-emission of keys whose duplicates outlive the horizon,
     which would break exact dedup). Keys hash-partition across the
     state store; the sink read stays lazy."""
-    import glob
-
     from neo_olap_spark.operators.io_sources import generational_sink_dir
 
     events_dir = shared_events_replay_dir(spark, sf_dir)
@@ -1063,10 +1067,9 @@ def q_stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_foreach_batch_to_parquet(
             deduped, sink_dir, f"{base}/ckpt", output_mode="append"
         )
-    promote()
-    if not glob.glob(f"{sink_dir}/batch_id=*/part-*"):
-        return spark.createDataFrame([], "user_id long, event_type string")
-    return spark.read.parquet(sink_dir).select("user_id", "event_type")
+    return finalize_generational_sink(
+        spark, sink_dir, promote, "user_id long, event_type string"
+    ).select("user_id", "event_type")
 
 
 LATE_DELAY_US = 600_000_000  # the 10-minute watermark, in microseconds

@@ -467,8 +467,12 @@ def test_hits_planted_numpy_pinned(spark):
 def test_hits_checkpoint_raw_agrees(spark, sf_dir):
     """The raw-push checkpoint (round-8 plan-audit fix: a_raw/h_raw
     feed two consumers, so the un-checkpointed shape executes every
-    edge join twice) must be a pure execution-strategy change — the
-    score trajectories are bit-identical with and without it."""
+    edge join twice) must be a pure execution-strategy change.
+    Compared within ONE 1e-5 output quantum, not exactly: the L1
+    normalizer is an order-dependent double sum across two independent
+    executions, so a score within an ulp of a quantizer boundary can
+    legitimately flip its last digit between runs (the
+    test_hits_planted_numpy_pinned tolerance rationale)."""
     from neo_olap_spark.graph import edge_count_estimate
     from neo_olap_spark.operators.graph_algos import all_nodes, edges, hits
 
@@ -485,4 +489,7 @@ def test_hits_checkpoint_raw_agrees(spark, sf_dir):
         for r in hits(de, nodes, n_iters=3, n_edges=n_edges,
                       checkpoint_raw=False).collect()
     }
-    assert a == b
+    assert a.keys() == b.keys()
+    for node in a:
+        assert abs(a[node][0] - b[node][0]) <= 1e-5, (node, a[node], b[node])
+        assert abs(a[node][1] - b[node][1]) <= 1e-5, (node, a[node], b[node])

@@ -55,7 +55,9 @@ def main() -> None:
         spark.catalog.clearCache()
         return dt
 
-    # warmup (codegen JIT) — not recorded
+    # warmup BOTH variants (they codegen DIFFERENT plans — warming only
+    # one would load its rival's first rep with JIT cost) — not recorded
+    run(False)
     run(True)
     times: dict[str, list[float]] = {"no_ckpt": [], "ckpt": []}
     for _ in range(reps):
