@@ -118,7 +118,16 @@ def exact_jaccard_pairs(
     join quadratic in its posting-list length. Jaccard is computed
     over the FILTERED sets (per-shingle df and per-doc size are window
     counts over the exploded table, shuffling on the same keys the
-    join and pair-aggregation shuffle on anyway)."""
+    join and pair-aggregation shuffle on anyway).
+
+    ``kept`` is localCheckpointed before the self-join: Catalyst does
+    NOT unify the two join sides of a self-join on a derived frame
+    (no ReusedExchange — measured: 4 document scans, 4 WindowExecs),
+    so without the checkpoint the dominant explode+two-window chain —
+    the exploded shingle table is the largest intermediate in the
+    repo — executes once per side. Same landmine as the HITS raw-push
+    checkpoint (loop intermediate feeding two consumers); at 100× the
+    doubled explode would be the whole job."""
     from pyspark.sql.window import Window
 
     ex = sh_df.select("doc_id", F.explode("sh").alias("s"))
@@ -127,6 +136,7 @@ def exact_jaccard_pairs(
         .where(F.col("df") <= max_df)
         .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
         .drop("df")
+        .localCheckpoint()
     )
     a = kept.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "s")
     b = kept.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "s")
@@ -195,7 +205,10 @@ def q_text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     set, direction chosen by set size with id tie-break. Scale: the
     df-cap bounds the join at O(n·df_cap) exactly like the Jaccard
     key; at 100 TB both tiers run on the same persisted shingle
-    table."""
+    table. ``kept`` is localCheckpointed before the self-join — see
+    exact_jaccard_pairs: Catalyst does not reuse the derived frame
+    across the two join sides, so the dominant explode+window chain
+    would otherwise execute twice."""
     from pyspark.sql.window import Window
 
     ex = _shingled(spark, sf_dir).select("doc_id", F.explode("sh").alias("s"))
@@ -204,6 +217,7 @@ def q_text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("df") <= MAX_SHINGLE_DF)
         .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
         .drop("df")
+        .localCheckpoint()
     )
     a = kept.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "s")
     b = kept.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "s")
@@ -329,25 +343,25 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo_olap_spark.operators.graph_algos import connected_components
 
     d = load(spark, sf_dir, "documents")
-    sh = _shingled(spark, sf_dir).persist()
-    # persist the pair graph: it is consumed twice (count for the
-    # shuffle-size hint, then the CC edge build) — without the cache
-    # the expensive inverted-index join would run twice
+    # exact_jaccard_pairs localCheckpoints its postings table, so the
+    # shingle build runs exactly once — no upstream persist needed.
+    # The pair graph itself IS consumed twice (count for the
+    # shuffle-size hint, then the CC edge build): persist it so the
+    # df-capped self-join doesn't run twice.
     edges_df = (
-        exact_jaccard_pairs(sh, JACCARD_THRESHOLD)
+        exact_jaccard_pairs(_shingled(spark, sf_dir), JACCARD_THRESHOLD)
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .persist()
     )
     nodes = d.select(F.col("doc_id").alias("node"))
     try:
         # connected_components runs eagerly (iterative, localCheckpointed
-        # result), so the caches are dead weight once it returns
+        # result), so the cache is dead weight once it returns
         labels = connected_components(
             sym_edges_fn(edges_df), nodes, n_edges=edges_df.count() * 2 + 1
         )
     finally:
         edges_df.unpersist()
-        sh.unpersist()
     return labels.select(
         F.col("node_id").alias("doc_id"), F.col("component").alias("canonical_id")
     )

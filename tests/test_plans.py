@@ -710,3 +710,22 @@ def test_mutual_info_one_fact_scan(q):
     assert p.count("orders.parquet") == 0, p
     assert p.count("file:") == 0, p
     assert plan_str(df, mode="simple").count("BroadcastHashJoin") >= 2, p
+
+
+def test_dedup_postings_subtree_shared(q):
+    # the df-capped postings table (explode → df window → doc-size
+    # window) feeds BOTH sides of the pair self-join; Catalyst does not
+    # unify a self-join on a derived frame (measured pre-fix: 4
+    # document scans, 4 Windows, 0 ReusedExchange), so exact_jaccard_
+    # pairs / q_text_containment localCheckpoint it. The FINAL plan
+    # must therefore contain no documents scan and no Window at all —
+    # the explode+window chain ran exactly once, inside the checkpoint
+    # job — and both join sides read the checkpointed RDD.
+    for key in ("q_text_containment", "q_dedup_ngram"):
+        df = q(key)
+        p = plan_str(df)
+        assert p.count("documents.parquet") == 0, (key, p)
+        assert p.count("file:") == 0, (key, p)
+        assert "Window" not in p, (key, p)
+        # exactly the two join sides read the checkpointed RDD
+        assert plan_str(df, mode="simple").count("Scan ExistingRDD") == 2, (key, p)
