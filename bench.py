@@ -159,6 +159,16 @@ HEADLINE7 = [
     "q_stream_dedup_state",
 ]
 
+# Round-9 additions (frozen-list protocol: earlier waves untouched).
+HEADLINE8 = [
+    "q_join_interval_overlap",
+    "q_events_sequence_match",
+    "q_quality_benford",
+    "q_layout_compaction",
+    "q_text_readability",
+    "q_agg_bloom_filter",
+]
+
 
 # Full TPC-H 22 (schema-adapted; tpch.py + analytics.py): reported as
 # its own total — the one number warehouse engines are compared by.
@@ -253,6 +263,7 @@ def main() -> None:
     results6, warm6 = run_set(HEADLINE5)
     results7, warm7 = run_set(HEADLINE6)
     results8, warm8 = run_set(HEADLINE7)
+    results9, warm9 = run_set(HEADLINE8)
     results3, warm3 = run_set(TPCH)
 
     total, warm_total1 = set_totals(results, warm1)
@@ -262,6 +273,7 @@ def main() -> None:
     total6, warm_total6 = set_totals(results6, warm6)
     total7, warm_total7 = set_totals(results7, warm7)
     total8, warm_total8 = set_totals(results8, warm8)
+    total9, warm_total9 = set_totals(results9, warm9)
     total3, warm_total3 = set_totals(results3, warm3)
     # Key order is TRUNCATION-PROOF (VERDICT r5 item 7): the driver
     # captures the stdout TAIL, so anything early in this single line
@@ -293,18 +305,20 @@ def main() -> None:
         "headline6_warm_total": warm_total7,
         "headline7_total": total8,
         "headline7_warm_total": warm_total8,
+        "headline8_total": total9,
+        "headline8_warm_total": warm_total9,
         "tpch_total": total3,
         "tpch_warm_total": warm_total3,
         "errors": errors,
         "warm_incomplete_keys": warm_incomplete,
         # newest wave first … r1-comparable HEADLINE cold per-key LAST
         "queries_warm": {
-            **warm3, **warm8, **warm7, **warm6, **warm5, **warm4, **warm2,
-            **warm1
+            **warm3, **warm9, **warm8, **warm7, **warm6, **warm5, **warm4,
+            **warm2, **warm1
         },
         "queries": {
-            **results3, **results8, **results7, **results6, **results5,
-            **results4, **results2, **results,
+            **results3, **results9, **results8, **results7, **results6,
+            **results5, **results4, **results2, **results,
         },
     }
     sidecar = os.path.join(

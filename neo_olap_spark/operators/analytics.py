@@ -1635,12 +1635,18 @@ def q_agg_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     features (zero iff independent). Plug-in estimate from exact
     counts.
 
-    Exactness: one groupBy produces the exact integer contingency
-    cells; marginals and the total DERIVE from the cell table (never a
-    second fact scan), each count casts to double once inside the ONE
-    shared expression string both engines parse (_MI_EXPR; ln tail per
-    the PSI precedent). Cells with nab·n = na·nb contribute exactly
-    ln(1) = 0 in both engines.
+    Cross-engine contract: one groupBy produces the exact integer
+    contingency cells; marginals and the total DERIVE from the cell
+    table (never a second fact scan), each count casts to double once
+    inside the ONE shared expression string both engines parse
+    (_MI_EXPR). Cells with nab·n = na·nb contribute exactly ln(1) = 0
+    in both engines. The MI itself is a SUM of double ln-terms —
+    order-dependent in the last ulps — so the FLOOR(x·10⁶+0.5) tail is
+    a HEURISTIC quantizer, not a guarantee (the "irrational sums never
+    hit a representable half" precedent): with ~15 fixed cells the
+    boundary probability is negligible, but if a hash flip ever
+    surfaces here, widen the quantum or compare as DOUBLE with rtol
+    (round-8 ADVICE adjudication).
 
     Scale shape: the fact table is touched by ONE partial-aggregable
     groupBy; everything downstream operates on the |A|×|B|-cell table
@@ -2883,6 +2889,79 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_events_sequence_match — regex pattern detection over ordered journeys
+# ---------------------------------------------------------------------------
+
+# the five event types have distinct initials (view click purchase
+# signup error → v c p s e), so one char per event encodes the journey
+_SEQ_CONVERTED = "s[^e]*p"  # signup, then purchase with no error between
+_SEQ_REPEAT = "p.*p"  # at least two purchases
+_SEQ_CHURN_RISK = "e[^p]*$"  # an error never followed by a purchase
+
+
+@query(
+    "q_events_sequence_match",
+    oracle=f"""
+    WITH j AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS journey
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events, journey,
+           regexp_matches(journey, '{_SEQ_CONVERTED}') AS converted,
+           regexp_matches(journey, '{_SEQ_REPEAT}') AS repeat_buyer,
+           regexp_matches(journey, '{_SEQ_CHURN_RISK}') AS churn_risk
+    FROM j
+    """,
+)
+def q_events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern matching (the MATCH_RECOGNIZE / CEP
+    analog): encode each user's time-ordered journey as one character
+    per event (the five event types have distinct initials) and run
+    regex patterns over the encoded string — "signup converts before
+    any error", "repeat buyer", "error never answered by a purchase".
+    This is the full-sequence generalization of q_funnel (which tracks
+    three dependent first-occurrence times) and q_events_transitions
+    (which sees only adjacent pairs): a regex over the journey string
+    expresses arbitrary ordered patterns with negation and
+    quantifiers, the standard product-analytics escape hatch when
+    funnels stop being linear.
+
+    Determinism: the journey is built by sorting the collected
+    (ts, event_id, ch) structs — (ts, event_id) is unique, so both
+    engines produce the identical string (DuckDB orders inside
+    string_agg). The regex dialect subset used here (char classes,
+    anchors, star) behaves identically in Java regex and RE2.
+
+    Scale shape: ONE groupBy on user_id; per-user state is the
+    journey string (bounded by per-user activity, the sessionization
+    assumption); the regex evaluation is a per-row projection."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.substring("event_type", 1, 1).alias("ch")
+    )
+    j = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "ch"))),
+                lambda s: s["ch"],
+            ),
+        ).alias("journey"),
+    )
+    return j.select(
+        "user_id",
+        "n_events",
+        "journey",
+        F.col("journey").rlike(_SEQ_CONVERTED).alias("converted"),
+        F.col("journey").rlike(_SEQ_REPEAT).alias("repeat_buyer"),
+        F.col("journey").rlike(_SEQ_CHURN_RISK).alias("churn_risk"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_agg_weighted_median — exact weighted median (integer weights)
 # ---------------------------------------------------------------------------
 
@@ -3054,3 +3133,144 @@ def q_time_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo_olap_spark.operators.streaming import build_ohlc
 
     return build_ohlc(load(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# q_agg_bloom_filter — relational Bloom membership (the pruning sketch)
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 1 << 20  # filter positions (bits)
+BLOOM_SEEDS = (1, 2)  # k = 2 hash functions
+
+
+def _bloom_oracle() -> str:
+    """DuckDB twin: the generated xxhash64 pipelines re-derive BOTH
+    hash positions for every key bit-exactly (fourth consumer of the
+    cross-engine hash substrate), so the entire Bloom bitset — and
+    therefore every membership verdict, false-positive included — is
+    recomputed exactly, never bounded by an envelope. AS MATERIALIZED
+    per the substrate landmine (a WHERE over a pipe output otherwise
+    re-substitutes the ~100-level CTE chain)."""
+    from neo_olap_spark.functions.xxhash_sql import xxhash64_sql
+
+    p1 = xxhash64_sql(
+        "orders", ["o_orderkey"], [("o_orderkey", "long"), ("1", "int")], "h1"
+    )
+    p2 = xxhash64_sql(
+        f"({p1})", ["o_orderkey", "h1"], [("o_orderkey", "long"), ("2", "int")], "h2"
+    )
+    m = BLOOM_M
+    return f"""
+    WITH base AS MATERIALIZED ({p2}),
+    keyed AS (
+      SELECT o_orderkey,
+             CAST(((h1 % {m}) + {m}) % {m} AS BIGINT) AS p1,
+             CAST(((h2 % {m}) + {m}) % {m} AS BIGINT) AS p2
+      FROM base
+    ),
+    bits AS MATERIALIZED (
+      SELECT DISTINCT pos FROM (
+        SELECT p1 AS pos FROM keyed WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT p2 FROM keyed WHERE o_orderkey % 2 = 0
+      )
+    ),
+    probe AS (
+      SELECT k.o_orderkey,
+             (k.p1 IN (SELECT pos FROM bits))
+               AND (k.p2 IN (SELECT pos FROM bits)) AS pass
+      FROM keyed k
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) FILTER (WHERE o_orderkey % 2 = 0) AS BIGINT)
+               AS n_members,
+             CAST(COUNT(*) FILTER (WHERE o_orderkey % 2 = 1) AS BIGINT)
+               AS n_nonmembers,
+             CAST(COUNT(*) FILTER (WHERE o_orderkey % 2 = 0 AND NOT pass)
+                  AS BIGINT) AS fn_count,
+             CAST(COUNT(*) FILTER (WHERE o_orderkey % 2 = 1 AND pass)
+                  AS BIGINT) AS fp_count,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_bits_set
+      FROM probe
+    )
+    SELECT n_members, n_nonmembers, fn_count, fp_count, n_bits_set,
+           CAST(CASE WHEN n_nonmembers > 0
+                     THEN (fp_count * 1000000) // n_nonmembers END AS BIGINT)
+             AS fp_ppm
+    FROM agg
+    """
+
+
+@query("q_agg_bloom_filter", oracle=_bloom_oracle())
+def q_agg_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership — the PRUNING sketch completing the
+    approximate tier next to q_agg_hll (cardinality), q_agg_countmin
+    (frequency), and q_agg_bitmap_distinct (exact bitmap): build a
+    2-hash, 2^20-position Bloom set over the even order keys, probe
+    EVERY key through it, and report the membership ledger — member
+    count, non-member count, false negatives (structurally zero — the
+    defining Bloom guarantee, computed rather than assumed), observed
+    false positives, bits set, and the fp rate in ppm. This is the
+    data-skipping primitive behind join pruning (the runtime_bloom
+    optimizer rule builds exactly this to prune the probe side) and
+    partition-level skip indexes.
+
+    Relational formulation: positions are pmod(xxhash64(key, seed),
+    m) — no opaque binary sketch crosses the engine boundary; the
+    "bitset" is the DISTINCT position set, which is BOUNDED BY m
+    (2^20) regardless of row count, so it broadcasts as one sorted
+    array and the probe is two array_contains per row. Build side
+    scans with the member filter pushed down; probe side is one
+    partial-aggregable pass. Engine-exact end to end: the DuckDB twin
+    re-derives both hash positions per key via the generated xxhash64
+    SQL pipelines, so even the false-positive COUNT hash-matches —
+    no recall floor, no envelope.
+
+    Scale: at 100 TB the position set stays ≤ m entries (the array
+    is ~8 MB at full saturation); size m to the member cardinality
+    (here 2^20 over ~75k members at sf0.1 → ~14% load, fp ≈ 2%)."""
+    m = BLOOM_M
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.pmod(F.xxhash64("o_orderkey", F.lit(BLOOM_SEEDS[0])), F.lit(m))
+        .cast("long")
+        .alias("p1"),
+        F.pmod(F.xxhash64("o_orderkey", F.lit(BLOOM_SEEDS[1])), F.lit(m))
+        .cast("long")
+        .alias("p2"),
+    )
+    members = o.where(F.col("o_orderkey") % 2 == 0)
+    bits = (
+        members.select(F.explode(F.array("p1", "p2")).alias("pos"))
+        .agg(F.array_sort(F.collect_set("pos")).alias("bits"))
+    )
+    probe = o.crossJoin(F.broadcast(bits)).select(
+        "o_orderkey",
+        (
+            F.array_contains("bits", F.col("p1"))
+            & F.array_contains("bits", F.col("p2"))
+        ).alias("pass"),
+        F.size("bits").alias("nbits"),
+    )
+    is_member = F.col("o_orderkey") % 2 == 0
+    agg = probe.agg(
+        F.count(F.when(is_member, 1)).cast("long").alias("n_members"),
+        F.count(F.when(~is_member, 1)).cast("long").alias("n_nonmembers"),
+        F.count(F.when(is_member & ~F.col("pass"), 1))
+        .cast("long")
+        .alias("fn_count"),
+        F.count(F.when(~is_member & F.col("pass"), 1))
+        .cast("long")
+        .alias("fp_count"),
+        F.min("nbits").cast("long").alias("n_bits_set"),
+    )
+    return agg.selectExpr(
+        "n_members",
+        "n_nonmembers",
+        "fn_count",
+        "fp_count",
+        "n_bits_set",
+        # shared zero-divisor NULL contract (the q_quality_ks CASE rule)
+        "CAST(CASE WHEN n_nonmembers > 0 "
+        "THEN (fp_count * 1000000) div n_nonmembers END AS BIGINT) AS fp_ppm",
+    )

@@ -2564,8 +2564,16 @@ def hits(
     order-dependent double sum, so exact bit-identity across two
     independent executions is not guaranteed)."""
     spark = directed_edges.sparkSession
+    counted = None
     if n_edges is None:
-        n_edges = directed_edges.count()
+        # persist BEFORE counting: the count would otherwise
+        # materialize the full upstream edge build once for itself and
+        # again when e_src persists — the exact double-build the r7
+        # e_dst-from-e_src fix removed (round-8 ADVICE). All current
+        # callers pass n_edges; this default is the safe fallback.
+        counted = directed_edges.persist()
+        directed_edges = counted
+        n_edges = counted.count()
     with _no_aqe(spark), _loop_shuffle_partitions(spark, n_edges):
         e_src = directed_edges.repartition("src").persist()
         # derive the dst-partitioned copy FROM the persisted src copy:
@@ -2629,6 +2637,8 @@ def hits(
         e_src.unpersist()
         e_dst.unpersist()
         base.unpersist()
+        if counted is not None:
+            counted.unpersist()
         return out
 
 

@@ -971,3 +971,83 @@ def q_text_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.filter(ids, lambda v: v == -1)).cast("long").alias("n_oov"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_text_readability — Flesch-style readability scoring (quality tier)
+# ---------------------------------------------------------------------------
+
+# one shared float tail parsed by BOTH engines from exact integer
+# counts — the q_agg_corr_matrix expression-string discipline
+_FLESCH_EXPR = (
+    "CAST(FLOOR((206.835"
+    " - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))"
+    " - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))"
+    ") * 1000 + 0.5) AS BIGINT)"
+)
+
+
+@query(
+    "q_text_readability",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_words,
+             GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
+                      1) AS n_sentences,
+             GREATEST(CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                           AS BIGINT), 1) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           {_FLESCH_EXPR} AS flesch_milli
+    FROM c
+    """,
+)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease readability scoring — the classic
+    document-quality signal a pretraining pipeline runs next to
+    q_text_quality's length/punctuation ratios: score = 206.835 −
+    1.015·(words/sentences) − 84.6·(syllables/words). Sentences are
+    runs of terminal punctuation; syllables use the standard
+    vowel-group proxy ([aeiouy]+ runs — exact syllabification needs a
+    dictionary, and the proxy preserves the ranking the filter
+    thresholds on). Both denominators are floored at 1 so fragment
+    docs score instead of dividing by zero.
+
+    Exactness: the three counts are exact integers extracted with the
+    same regex semantics in both engines (char classes and + only);
+    the score is ONE shared expression string both engines parse from
+    those integers (_FLESCH_EXPR, milli-quantized) — the corr-matrix
+    discipline, so no float path diverges.
+
+    Scale shape: pure per-row projection fused into the scan — zero
+    shuffles, embarrassingly parallel at any corpus size."""
+    d = load(spark, sf_dir, "documents")
+    c = d.select(
+        "doc_id",
+        F.size(ws_tokens(F.col("text"))).cast("long").alias("n_words"),
+        F.greatest(
+            # idx=0 (whole match): the patterns have no capture group,
+            # and Spark's default idx=1 raises on group-less patterns
+            F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), F.lit(0)))
+            .cast("long"),
+            F.lit(1).cast("long"),
+        ).alias("n_sentences"),
+        F.greatest(
+            F.size(
+                F.regexp_extract_all(
+                    F.lower("text"), F.lit("[aeiouy]+"), F.lit(0)
+                )
+            ).cast("long"),
+            F.lit(1).cast("long"),
+        ).alias("n_syllables"),
+    )
+    return c.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.expr(_FLESCH_EXPR).alias("flesch_milli"),
+    )

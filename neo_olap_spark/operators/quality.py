@@ -851,6 +851,7 @@ def q_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
              CAST(epoch_us(ts) AS BIGINT) AS us
       FROM events
+      WHERE value IS NOT NULL
     ),
     b AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM c),
     counts AS (
@@ -909,11 +910,21 @@ def q_quality_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT VALUE LEVELS (bounded by the metric's domain — cents
     levels, not rows), then a per-type max. The evaluation grid is the
     union of observed levels, which is exactly where the empirical-CDF
-    gap attains its max."""
-    ev = load(spark, sf_dir, "events").select(
-        "event_type",
-        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
-        F.unix_micros("ts").alias("us"),
+    gap attains its max.
+
+    NULL metric rows are filtered BEFORE the window on both sides (a
+    NULL level is meaningless for a CDF) — latent-divergence guard:
+    Spark's window ORDER BY sorts NULLS FIRST ascending while DuckDB
+    defaults NULLS LAST, so an unfiltered NULL cents would silently
+    shift the cumulative counts cross-engine (round-8 ADVICE)."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+            F.unix_micros("ts").alias("us"),
+        )
     )
     b = ev.agg(F.expr("(min(us) + max(us)) div 2").cast("long").alias("mid"))
     counts = (
@@ -963,4 +974,151 @@ def q_quality_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CASE WHEN ta > 0 AND tb > 0 "
             "THEN (d_num * 1000000) div (ta * tb) END"
         ).cast("long").alias("ks_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_quality_benford — first-significant-digit law audit (fraud/DQ screen)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_quality_benford",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    d AS (
+      SELECT CAST(substring(CAST(ABS(cents) AS VARCHAR), 1, 1) AS BIGINT)
+               AS digit,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM c WHERE cents <> 0 GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM d)
+    SELECT d.digit, d.n,
+           CAST((d.n * 1000000) // t.total AS BIGINT) AS obs_ppm,
+           CAST(FLOOR(ln(1.0 + 1.0 / d.digit) / ln(10.0) * 1000000 + 0.5)
+                AS BIGINT) AS benford_ppm,
+           CAST((d.n * 1000000) // t.total
+                - FLOOR(ln(1.0 + 1.0 / d.digit) / ln(10.0) * 1000000 + 0.5)
+                AS BIGINT) AS dev_ppm
+    FROM d CROSS JOIN t
+    """,
+)
+def q_quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit over the metric
+    stream — the classic fabricated-data / fraud screen, and the
+    third drift tier next to q_quality_psi (binned, vs a prior period)
+    and q_quality_ks (binning-free, vs a prior period): Benford
+    compares against a FIXED law, so it needs no reference window and
+    fires on day one.
+
+    Exactness: the first significant digit is extracted from the
+    STRING form of the exact integer cents (never via float log10,
+    whose boundary behavior at exact powers of ten is engine-
+    dependent); observed shares are integer-division ppm. The Benford
+    expectation ln(1+1/d)/ln(10) is the one float tail — a per-digit
+    constant quantized with the FLOOR(x*1e6+0.5) micro rule (the
+    PSI/tfidf ln precedent; the nine constants sit far from rounding
+    boundaries).
+
+    Scale shape: one partial-aggregable groupBy to AT MOST nine digit
+    rows, a 1-row broadcast total — aggregate-sized output regardless
+    of row count."""
+    c = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"))
+        .where(F.col("cents") != 0)
+    )
+    d = (
+        c.groupBy(
+            F.substring(F.abs(F.col("cents")).cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        # the ≤9-row digit table feeds TWO consumers (the total and
+        # the final projection) — checkpoint it so the events scan +
+        # aggregate run once (the shared-subtree rule, r9)
+        .localCheckpoint()
+    )
+    t = d.agg(F.sum("n").cast("long").alias("total"))
+    benford = "FLOOR(ln(1.0 + 1.0 / digit) / ln(10.0) * 1000000 + 0.5)"
+    return d.crossJoin(F.broadcast(t)).selectExpr(
+        "digit",
+        "n",
+        "CAST((n * 1000000) div total AS BIGINT) AS obs_ppm",
+        f"CAST({benford} AS BIGINT) AS benford_ppm",
+        f"CAST((n * 1000000) div total - {benford} AS BIGINT) AS dev_ppm",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_layout_compaction — small-file compaction planner (layout family)
+# ---------------------------------------------------------------------------
+
+COMPACT_TARGET_ROWS = 4000  # rows per compacted output file
+
+
+@query(
+    "q_layout_compaction",
+    oracle=f"""
+    WITH files AS (
+      SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
+               AS part_month,
+             CAST(l_suppkey % 16 AS BIGINT) AS file_id,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT part_month, file_id, n_rows,
+           CAST(COALESCE(SUM(n_rows) OVER (
+                  PARTITION BY part_month ORDER BY n_rows, file_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), 0) // {COMPACT_TARGET_ROWS} AS BIGINT) AS compact_group,
+           n_rows < {COMPACT_TARGET_ROWS} // 4 AS is_small_file
+    FROM files
+    """,
+)
+def q_layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the layout-maintenance job that
+    keeps a 100 TB table scannable: per partition (ship month), take
+    the file inventory (here simulated as supplier-sharded row-count
+    stats — at scale this comes from the table's file metadata, not a
+    data scan) and greedily bin-pack files into compaction groups so
+    each merged output lands near the target size. Greedy
+    cumulative-sum packing: order files smallest-first (file_id
+    tie-break), group = floor(rows-before-this-file / target) — files
+    sharing a (partition, group) are rewritten as one. The
+    smallest-first order means tiny files — the ones actually hurting
+    the scan — merge together first, and the plan is a pure window
+    cumsum: deterministic, integer-exact, one exchange on the
+    partition key.
+
+    Companion to q_zorder_layout (which orders rows WITHIN files) and
+    q_skew_profile (which sizes the shuffle); is_small_file flags the
+    read-amplification tail (< target/4)."""
+    files = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(
+            (F.year("l_shipdate") * 100 + F.month("l_shipdate"))
+            .cast("long")
+            .alias("part_month"),
+            (F.col("l_suppkey") % 16).cast("long").alias("file_id"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    return files.select(
+        "part_month",
+        "file_id",
+        "n_rows",
+        # integer `div`, never float /: the cumsum stays integer-exact
+        F.expr(
+            "CAST(coalesce(sum(n_rows) OVER ("
+            "  PARTITION BY part_month ORDER BY n_rows, file_id"
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+            f"), 0) div {COMPACT_TARGET_ROWS} AS BIGINT)"
+        ).alias("compact_group"),
+        (F.col("n_rows") < COMPACT_TARGET_ROWS // 4).alias("is_small_file"),
     )

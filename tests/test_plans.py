@@ -685,6 +685,22 @@ def test_scalar_variant_is_scan_fused_projection(q):
     assert_read_schema_only(df, "events", {"event_id", "props"})
 
 
+def test_scalar_variant_parses_once(q):
+    # whole-stage codegen subexpression elimination must evaluate each
+    # distinct parse_json ONCE per row: exactly two parseJson call
+    # sites in the generated code (props + the constructed doc), each
+    # inside a cached subExpr function the five extractions read —
+    # never one parse per extraction (the analyzed plan TEXT shows the
+    # parse inlined per extraction; the executed code must not)
+    df = q("q_scalar_variant")
+    code = plan_str(df, mode="codegen")
+    body = "\n".join(
+        ln for ln in code.splitlines() if ln.lstrip().startswith("/*")
+    )
+    assert body.count("VariantExpressionEvalUtils.parseJson") == 2, code
+    assert "subExpr" in body, code
+
+
 def test_attribution_single_window_exchange(q):
     # last-touch attribution: ONE user-keyed window Exchange plus the
     # aggregate's — never a self-join or a per-purchase lookup — and
@@ -729,3 +745,61 @@ def test_dedup_postings_subtree_shared(q):
         assert "Window" not in p, (key, p)
         # exactly the two join sides read the checkpointed RDD
         assert plan_str(df, mode="simple").count("Scan ExistingRDD") == 2, (key, p)
+
+
+def test_interval_overlap_is_binned_equi_join(q):
+    # the overlap predicate has no equi key; the bin decomposition
+    # must turn it into a hash join (broadcast — the window side is 25
+    # rows), never a nested-loop/cartesian theta join
+    df = q("q_join_interval_overlap")
+    p = plan_str(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p.replace(
+        "BroadcastNestedLoopJoin LeftOuter", ""
+    ), p  # the final 25-row restore join may nest; the MATCH join must not
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_sequence_match_single_user_exchange(q):
+    # one groupBy on user_id builds the journey; the regex verdicts are
+    # per-row projections — exactly one data Exchange in the plan
+    df = q("q_events_sequence_match")
+    p = plan_str(df, mode="simple")
+    assert p.count("Exchange") == 1, p
+    assert "EvalPython" not in p, p
+
+
+def test_benford_single_scan_and_aggregate(q):
+    # the checkpointed ≤9-row digit table feeds both the total and the
+    # final projection: the FINAL plan must contain no events scan (it
+    # ran inside the checkpoint job) and only broadcast joins
+    df = q("q_quality_benford")
+    p = plan_str(df)
+    assert p.count("events.parquet") == 0, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_layout_compaction_two_exchanges(q):
+    # one hash Exchange for the (month, file) inventory aggregate, one
+    # for the per-month packing window — nothing else moves data
+    df = q("q_layout_compaction")
+    p = plan_str(df, mode="simple")
+    assert p.count("Exchange") == 2, p
+
+
+def test_readability_zero_shuffle(q):
+    # pure per-row projection fused into the scan
+    df = q("q_text_readability")
+    p = plan_str(df, mode="simple")
+    assert "Exchange" not in p, p
+    assert "EvalPython" not in p, p
+
+
+def test_bloom_filter_broadcasts_position_set(q):
+    # the distinct-position "bitset" (bounded by BLOOM_M) must reach
+    # the probe side as a broadcast — never a shuffle join — and the
+    # probe itself is one partial-aggregable pass
+    df = q("q_agg_bloom_filter")
+    p = plan_str(df)
+    assert "BroadcastExchange" in p or "Scan ExistingRDD" in p, p
+    assert "SortMergeJoin" not in p, p
