@@ -3218,16 +3218,20 @@ def q_agg_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Relational formulation: positions are pmod(xxhash64(key, seed),
     m) — no opaque binary sketch crosses the engine boundary; the
     "bitset" is the DISTINCT position set, which is BOUNDED BY m
-    (2^20) regardless of row count, so it broadcasts as one sorted
-    array and the probe is two array_contains per row. Build side
-    scans with the member filter pushed down; probe side is one
-    partial-aggregable pass. Engine-exact end to end: the DuckDB twin
-    re-derives both hash positions per key via the generated xxhash64
-    SQL pipelines, so even the false-positive COUNT hash-matches —
-    no recall floor, no envelope.
+    (2^20) regardless of row count, so it broadcasts, and the probe
+    is two BROADCAST HASH JOINS against it — O(1) per row. (The first
+    cut broadcast the set as one sorted array and probed with
+    array_contains, which is a LINEAR scan per row: 150k rows ×
+    ~140k-element array measured 41 s at sf0.1, exponent 0.85 — the
+    10× soak caught it; the hash-join probe is the scale shape.)
+    Build side scans with the member filter pushed down; probe side
+    is one partial-aggregable pass. Engine-exact end to end: the
+    DuckDB twin re-derives both hash positions per key via the
+    generated xxhash64 SQL pipelines, so even the false-positive
+    COUNT hash-matches — no recall floor, no envelope.
 
-    Scale: at 100 TB the position set stays ≤ m entries (the array
-    is ~8 MB at full saturation); size m to the member cardinality
+    Scale: at 100 TB the position set stays ≤ m entries (~8 MB
+    broadcast at full saturation); size m to the member cardinality
     (here 2^20 over ~75k members at sf0.1 → ~14% load, fp ≈ 2%)."""
     m = BLOOM_M
     o = load(spark, sf_dir, "orders").select(
@@ -3242,15 +3246,25 @@ def q_agg_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = o.where(F.col("o_orderkey") % 2 == 0)
     bits = (
         members.select(F.explode(F.array("p1", "p2")).alias("pos"))
-        .agg(F.array_sort(F.collect_set("pos")).alias("bits"))
+        .distinct()
+        # the position set feeds THREE consumers (both probe joins and
+        # the bit count) — checkpoint it so the build runs once (the
+        # shared-subtree rule, r9)
+        .localCheckpoint()
     )
-    probe = o.crossJoin(F.broadcast(bits)).select(
-        "o_orderkey",
-        (
-            F.array_contains("bits", F.col("p1"))
-            & F.array_contains("bits", F.col("p2"))
-        ).alias("pass"),
-        F.size("bits").alias("nbits"),
+    nb = bits.agg(F.count(F.lit(1)).cast("long").alias("n_bits_set"))
+    b1 = bits.select(F.col("pos").alias("p1"), F.lit(True).alias("hit1"))
+    b2 = bits.select(F.col("pos").alias("p2"), F.lit(True).alias("hit2"))
+    probe = (
+        o.join(F.broadcast(b1), "p1", "left")
+        .join(F.broadcast(b2), "p2", "left")
+        .select(
+            "o_orderkey",
+            (
+                F.coalesce("hit1", F.lit(False))
+                & F.coalesce("hit2", F.lit(False))
+            ).alias("pass"),
+        )
     )
     is_member = F.col("o_orderkey") % 2 == 0
     agg = probe.agg(
@@ -3262,8 +3276,7 @@ def q_agg_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(~is_member & F.col("pass"), 1))
         .cast("long")
         .alias("fp_count"),
-        F.min("nbits").cast("long").alias("n_bits_set"),
-    )
+    ).crossJoin(F.broadcast(nb))
     return agg.selectExpr(
         "n_members",
         "n_nonmembers",

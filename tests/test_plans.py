@@ -795,11 +795,13 @@ def test_readability_zero_shuffle(q):
     assert "EvalPython" not in p, p
 
 
-def test_bloom_filter_broadcasts_position_set(q):
-    # the distinct-position "bitset" (bounded by BLOOM_M) must reach
-    # the probe side as a broadcast — never a shuffle join — and the
-    # probe itself is one partial-aggregable pass
+def test_bloom_filter_probe_is_broadcast_hash_join(q):
+    # the probe must be TWO broadcast hash joins against the
+    # checkpointed distinct-position set (O(1) per probe row) — never
+    # a shuffle join, and never an array_contains linear scan (the
+    # first cut: 41 s at sf0.1, exponent 0.85, caught by the 10× soak)
     df = q("q_agg_bloom_filter")
-    p = plan_str(df)
-    assert "BroadcastExchange" in p or "Scan ExistingRDD" in p, p
+    p = plan_str(df, mode="simple")
+    assert p.count("BroadcastHashJoin") >= 2, p
     assert "SortMergeJoin" not in p, p
+    assert "array_contains" not in p, p
