@@ -2576,11 +2576,30 @@ def hits(
         n_edges = counted.count()
     with _no_aqe(spark), _loop_shuffle_partitions(spark, n_edges):
         e_src = directed_edges.repartition("src").persist()
-        # derive the dst-partitioned copy FROM the persisted src copy:
-        # the upstream edge build (a full fact shuffle) runs once,
-        # not once per direction (self-review r7 finding)
-        e_dst = e_src.repartition("dst").persist()
-        base = nodes.repartition("node").persist()
+        try:
+            return _hits_loop(e_src, nodes, n_iters, checkpoint_raw)
+        finally:
+            # unpersist on ALL paths: a mid-loop failure must not pin
+            # the largest cached frames for the session lifetime
+            # (self-review r9; _hits_loop unpersists its own frames)
+            e_src.unpersist()
+            if counted is not None:
+                counted.unpersist()
+
+
+def _hits_loop(
+    e_src: DataFrame,
+    nodes: DataFrame,
+    n_iters: int,
+    checkpoint_raw: bool,
+) -> DataFrame:
+    """The hits() iteration body, with exception-safe cache cleanup."""
+    # derive the dst-partitioned copy FROM the persisted src copy:
+    # the upstream edge build (a full fact shuffle) runs once,
+    # not once per direction (self-review r7 finding)
+    e_dst = e_src.repartition("dst").persist()
+    base = nodes.repartition("node").persist()
+    try:
         n_nodes = float(base.count())
         hub = base.select("node", F.lit(1.0).alias("hub")).localCheckpoint()
         auth = None
@@ -2629,17 +2648,16 @@ def hits(
                 )
                 .localCheckpoint()
             )
-        out = hub.join(auth, "node").select(
+        # hub/auth are localCheckpointed, so the returned frame no
+        # longer depends on the caches released below
+        return hub.join(auth, "node").select(
             F.col("node").alias("node_id"),
             F.expr("FLOOR(hub * 100000 + 0.5) / 100000").alias("hub"),
             F.expr("FLOOR(auth * 100000 + 0.5) / 100000").alias("auth"),
         )
-        e_src.unpersist()
+    finally:
         e_dst.unpersist()
         base.unpersist()
-        if counted is not None:
-            counted.unpersist()
-        return out
 
 
 @query("q_graph_hits", oracle=_hits_oracle(HITS_ITERS))

@@ -992,8 +992,8 @@ _FLESCH_EXPR = (
     oracle=f"""
     WITH c AS (
       SELECT doc_id,
-             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
-               AS n_words,
+             GREATEST(CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                           AS BIGINT), 1) AS n_words,
              GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
                       1) AS n_sentences,
              GREATEST(CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
@@ -1013,7 +1013,7 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs of terminal punctuation; syllables use the standard
     vowel-group proxy ([aeiouy]+ runs — exact syllabification needs a
     dictionary, and the proxy preserves the ranking the filter
-    thresholds on). Both denominators are floored at 1 so fragment
+    thresholds on). All three counts are floored at 1 so fragment
     docs score instead of dividing by zero.
 
     Exactness: the three counts are exact integers extracted with the
@@ -1027,7 +1027,13 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     c = d.select(
         "doc_id",
-        F.size(ws_tokens(F.col("text"))).cast("long").alias("n_words"),
+        # explicit ≥1 guard (not just the incidental [''] of splitting
+        # an empty string): ALL THREE counts are floored at 1 so the
+        # two divisions can never hit zero in either engine
+        F.greatest(
+            F.size(ws_tokens(F.col("text"))).cast("long"),
+            F.lit(1).cast("long"),
+        ).alias("n_words"),
         F.greatest(
             # idx=0 (whole match): the patterns have no capture group,
             # and Spark's default idx=1 raises on group-less patterns

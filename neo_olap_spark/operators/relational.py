@@ -379,7 +379,13 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = F.lit(OVERLAP_BIN_DAYS)
     wb = win.withColumn(
-        "bin", F.explode(F.sequence(F.expr("ws div 64"), F.expr("we div 64")))
+        "bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"ws div {OVERLAP_BIN_DAYS}"),
+                F.expr(f"we div {OVERLAP_BIN_DAYS}"),
+            )
+        ),
     )
     lb = li.withColumn(
         "bin",

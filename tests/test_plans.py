@@ -754,9 +754,13 @@ def test_interval_overlap_is_binned_equi_join(q):
     df = q("q_join_interval_overlap")
     p = plan_str(df)
     assert "CartesianProduct" not in p, p
-    assert "BroadcastNestedLoopJoin" not in p.replace(
-        "BroadcastNestedLoopJoin LeftOuter", ""
-    ), p  # the final 25-row restore join may nest; the MATCH join must not
+    # the final 25-row restore join may legitimately nest as a LeftOuter
+    # BNLJ; the MATCH join must never — so every BNLJ line, if any,
+    # must be the LeftOuter restore ("BroadcastNestedLoopJoin BuildX,
+    # LeftOuter" — build side prints between name and join type)
+    for ln in p.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            assert "LeftOuter" in ln, (ln, p)
     assert "BroadcastHashJoin" in p, p
 
 
