@@ -167,6 +167,9 @@ HEADLINE8 = [
     "q_layout_compaction",
     "q_text_readability",
     "q_agg_bloom_filter",
+    "q_agg_regression",
+    "q_agg_gini",
+    "q_graph_assortativity",
 ]
 
 

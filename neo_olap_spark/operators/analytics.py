@@ -3287,3 +3287,182 @@ def q_agg_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(CASE WHEN n_nonmembers > 0 "
         "THEN (fp_count * 1000000) div n_nonmembers END AS BIGINT) AS fp_ppm",
     )
+
+
+# ---------------------------------------------------------------------------
+# q_agg_regression — least-squares trend fit from exact moment sums
+# ---------------------------------------------------------------------------
+
+# shared expression tails (the _corr_micro_expr discipline): every
+# moment is a double column cast ONCE from an exact 128-bit integer
+# sum; both engines parse the identical tree. vx = n·Sxx − Sx² (the
+# scaled x-variance) guards the degenerate constant-x group.
+_REG_VX = "(n * sxx - sx * sx)"
+_REG_COV = "(n * sxy - sx * sy)"
+_REG_VY = "(n * syy - sy * sy)"
+_REG_SLOPE = (
+    f"CASE WHEN {_REG_VX} > 0 THEN "
+    f"CAST(FLOOR({_REG_COV} / {_REG_VX} * 1000000 + 0.5) AS BIGINT) END"
+)
+_REG_INTERCEPT = (
+    f"CASE WHEN {_REG_VX} > 0 THEN "
+    f"CAST(FLOOR((sy * {_REG_VX} - {_REG_COV} * sx) / (n * {_REG_VX}) "
+    f"* 1000000 + 0.5) AS BIGINT) END"
+)
+_REG_R2 = (
+    f"CASE WHEN {_REG_VX} * {_REG_VY} > 0 THEN "
+    f"CAST(FLOOR({_REG_COV} * {_REG_COV} / ({_REG_VX} * {_REG_VY}) "
+    f"* 1000000 + 0.5) AS BIGINT) END"
+)
+
+
+@query(
+    "q_agg_regression",
+    oracle=f"""
+    WITH c AS (
+      SELECT l_returnflag AS flag,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    m AS (
+      SELECT flag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(x) AS HUGEINT) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(y) AS HUGEINT) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS DOUBLE) AS sxy,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM c GROUP BY flag
+    )
+    SELECT flag, n_rows,
+           {_REG_SLOPE} AS slope_micro,
+           {_REG_INTERCEPT} AS intercept_micro,
+           {_REG_R2} AS r2_micro
+    FROM m
+    """,
+)
+def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares linear regression as an AGGREGATE (the ANSI
+    regr_slope / regr_intercept / regr_r2 family): fit price-cents on
+    quantity per return flag — the trend-fit step after
+    q_agg_corr_matrix's multicollinearity screen, and the one-pass
+    distributed form of the per-group OLS that q_udf_grouped_ols
+    computes in Python (this key is its JVM-side cross-check: same
+    moments, no Python). Built-in regr_* aggregates accumulate doubles
+    in partition order — engine-divergent — so this computes the SAME
+    statistics from exact integer moment sums instead: one
+    partial-aggregable groupBy collecting n/Sx/Sy/Sxx/Syy/Sxy in
+    128-bit (the q_agg_skew_kurtosis overflow rule: y² reaches 1e14
+    per row), each cast to double ONCE inside shared expression
+    strings (slope / intercept / r2, micro-quantized, zero-variance
+    CASE guards).
+
+    Scale shape: map-side partials under a single Exchange; output is
+    flag-cardinality rows."""
+    c = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("y"),
+    )
+    dec = "decimal(38,0)"
+    m = c.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x").cast(dec) * F.col("x"))).cast("double").alias("sxx"),
+        F.sum((F.col("y").cast(dec) * F.col("y"))).cast("double").alias("syy"),
+        F.sum((F.col("x").cast(dec) * F.col("y"))).cast("double").alias("sxy"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    return m.select(
+        "flag",
+        "n_rows",
+        F.expr(_REG_SLOPE).alias("slope_micro"),
+        F.expr(_REG_INTERCEPT).alias("intercept_micro"),
+        F.expr(_REG_R2).alias("r2_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_agg_gini — Gini inequality coefficient, all-integer exact
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_agg_gini",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority AS prio,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             o_orderkey
+      FROM orders
+    ),
+    r AS (
+      SELECT prio, cents,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY prio ORDER BY cents, o_orderkey
+             ) AS HUGEINT) AS i
+      FROM c
+    ),
+    m AS (
+      SELECT prio,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(cents) AS HUGEINT) AS s,
+             CAST(SUM(i * cents) AS HUGEINT) AS t
+      FROM r GROUP BY prio
+    )
+    SELECT prio,
+           CAST(n AS BIGINT) AS n_orders,
+           CAST(CASE WHEN n * s > 0
+                THEN ((2 * t - (n + 1) * s) * 1000000) // (n * s)
+           END AS BIGINT) AS gini_ppm
+    FROM m
+    """,
+)
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini inequality coefficient per order priority — the
+    concentration audit next to q_skew_profile's top-key diagnostics:
+    G close to 0 means spend spreads evenly across orders, close to 1
+    means a few orders carry the segment (the metric behind
+    revenue-concentration and data-volume-fairness checks). Sorted
+    formula G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over values ranked
+    ascending — ALL INTEGER end to end: cents values, a row_number
+    rank (orderkey tie-break makes it total), 128-bit sums, and an
+    integer-division ppm output. NO float ever crosses the engine
+    boundary (the q_quality_ks discipline; the zero-divisor CASE is
+    the shared ANSI-div-vs-DuckDB-NULL guard).
+
+    Scale shape: one rank window per priority partition + a groupBy on
+    the SAME key, which reuses the window's hashpartitioning — ONE
+    Exchange total (plan-pinned); output is priority-cardinality
+    rows."""
+    c = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    dec = "decimal(38,0)"
+    r = c.select(
+        "prio",
+        "cents",
+        F.row_number()
+        .over(W.partitionBy("prio").orderBy("cents", "o_orderkey"))
+        .cast(dec)
+        .alias("i"),
+    )
+    m = r.groupBy("prio").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("cents").cast(dec)).alias("s"),
+        F.sum(F.col("i") * F.col("cents")).alias("t"),
+    )
+    return m.select(
+        "prio",
+        F.col("n").cast("long").alias("n_orders"),
+        F.expr(
+            "CAST(CASE WHEN n * s > 0 "
+            "THEN ((2 * t - (n + 1) * s) * 1000000) div (n * s) "
+            "END AS BIGINT)"
+        ).alias("gini_ppm"),
+    )

@@ -2692,3 +2692,101 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_iters=HITS_ITERS,
         n_edges=edge_count_estimate(spark, sf_dir),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_graph_assortativity — degree-degree mixing (one scalar per graph)
+# ---------------------------------------------------------------------------
+
+
+def _assortativity_oracle() -> str:
+    from neo_olap_spark.graph import ORACLE_SYM_EDGES
+    from neo_olap_spark.operators.analytics import _corr_micro_expr
+
+    corr = _corr_micro_expr("sx", "sy", "sxx", "syy", "sxy")
+    return f"""
+    {ORACLE_SYM_EDGES},
+    deg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM sym GROUP BY src
+    ),
+    xy AS (
+      SELECT CAST(d1.deg AS HUGEINT) AS x, CAST(d2.deg AS HUGEINT) AS y
+      FROM sym JOIN deg d1 ON sym.src = d1.node
+               JOIN deg d2 ON sym.dst = d2.node
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(x) AS HUGEINT) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(y) AS HUGEINT) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(x * x) AS HUGEINT) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(y * y) AS HUGEINT) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(x * y) AS HUGEINT) AS DOUBLE) AS sxy,
+             CAST(COUNT(*) AS BIGINT) AS n_sym_edges
+      FROM xy
+    )
+    SELECT n_sym_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           {corr} AS assortativity_micro
+    FROM m
+    """
+
+
+@query("q_graph_assortativity", oracle=_assortativity_oracle())
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the derived graph — the Newman mixing
+    coefficient: the Pearson correlation of (deg(u), deg(v)) over all
+    symmetrized edges. Negative means hubs attach to leaves
+    (disassortative — typical for bipartite-derived and technological
+    graphs), positive means hubs cluster with hubs (social graphs).
+    One scalar that summarizes the wiring the degree histogram
+    (q_graph_degree_hist) can't see — it decides salting strategy for
+    edge joins (disassortative graphs concentrate on few hot receive
+    keys) and is the standard first structure probe after degree.
+
+    Exactness: degrees are exact integer counts; the six edge-level
+    moments accumulate in 128-bit; the correlation is the SAME shared
+    micro expression q_agg_corr_matrix uses (_corr_micro_expr —
+    identical parse tree both engines). Symmetrized edges make the
+    measure direction-free (each edge contributes both (x,y) and
+    (y,x), the standard undirected treatment).
+
+    Scale shape: the symmetrized edge list is localCheckpointed (it
+    feeds the degree build AND the probe join — the shared-subtree
+    rule); the node-sized degree table is checkpointed too (TWO join
+    consumers) and joins via hash on each endpoint; one
+    partial-aggregable moment pass ends it. Everything is linear in
+    edges; output is ONE row."""
+    e_sym = symmetrize(edges(spark, sf_dir)).localCheckpoint()
+    deg = (
+        e_sym.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .localCheckpoint()
+    )
+    dec = "decimal(38,0)"
+    xy = (
+        e_sym.join(deg.select(F.col("node").alias("src"),
+                              F.col("deg").alias("xd")), "src")
+        .join(deg.select(F.col("node").alias("dst"),
+                         F.col("deg").alias("yd")), "dst")
+        .select(F.col("xd").cast(dec).alias("x"), F.col("yd").cast(dec).alias("y"))
+    )
+    m = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.count(F.lit(1)).cast("long").alias("n_sym_edges"),
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    from neo_olap_spark.operators.analytics import _corr_micro_expr
+
+    return m.crossJoin(F.broadcast(n_nodes)).select(
+        "n_sym_edges",
+        "n_nodes",
+        F.expr(
+            _corr_micro_expr("sx", "sy", "sxx", "syy", "sxy")
+        ).alias("assortativity_micro"),
+    )

@@ -121,18 +121,19 @@ DRIVER_WAVE_ROTATION: tuple[str, ...] = (
     "q_layout_compaction",
     "q_join_interval_overlap",
     "q_text_readability",
+    "q_agg_regression",
+    "q_agg_gini",
+    "q_graph_assortativity",
     # re-verification of the oldest remaining (r5) records — the most
-    # machinery-dependent oracles first: approx-sketch verdicts,
-    # rank-pick percentile machinery, sessionization
+    # machinery-dependent oracles first: approx-sketch verdicts and
+    # rank-pick percentile machinery (the rest of the r5 tier is the
+    # r10 staleness ledger in NEXT.md)
     "q_agg_hll",
     "q_agg_hll_union",
     "q_agg_countmin",
     "q_agg_freq_approx",
     "q_agg_approx_quantile",
     "q_agg_heavy_hitters",
-    "q_agg_histogram_eqdepth",
-    "q_sessionize",
-    "q_cohort_retention",
 )
 
 

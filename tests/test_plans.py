@@ -809,3 +809,37 @@ def test_bloom_filter_probe_is_broadcast_hash_join(q):
     assert p.count("BroadcastHashJoin") >= 2, p
     assert "SortMergeJoin" not in p, p
     assert "array_contains" not in p, p
+
+
+def test_regression_single_partial_agg_pruned_scan(q):
+    # one Exchange with map-side partials; the scan reads exactly the
+    # three regression columns
+    df = q("q_agg_regression")
+    p = plan_str(df, mode="simple")
+    assert p.count("Exchange") == 1, p
+    assert "partial" in plan_str(df).lower(), p
+    assert_read_schema_only(
+        df, "lineitem", {"l_returnflag", "l_quantity", "l_extendedprice"}
+    )
+
+
+def test_gini_single_exchange(q):
+    # rank window + moment aggregate both key on the priority, so the
+    # aggregate REUSES the window's hashpartitioning: ONE Exchange
+    # total moves data
+    df = q("q_agg_gini")
+    p = plan_str(df, mode="simple")
+    assert p.count("Exchange") == 1, p
+    assert_read_schema_only(
+        df, "orders", {"o_orderpriority", "o_totalprice", "o_orderkey"}
+    )
+
+
+def test_assortativity_reads_checkpointed_graph(q):
+    # the symmetrized edge list and the degree table are both
+    # localCheckpointed (shared-subtree rule): the FINAL plan reads
+    # only checkpointed RDDs — no parquet scan, no window
+    df = q("q_graph_assortativity")
+    p = plan_str(df)
+    assert ".parquet" not in p, p
+    assert "file:" not in p, p
