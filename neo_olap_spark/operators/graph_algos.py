@@ -2699,13 +2699,20 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _assortativity_oracle() -> str:
-    from neo_olap_spark.graph import ORACLE_SYM_EDGES
+def _assort_corr_expr() -> str:
+    """The shared corr-micro tail over the assortativity moment names
+    — ONE definition consumed by both the oracle and the Spark side
+    (self-review r9 dedup; the import is lazy only to keep sibling
+    operator modules decoupled at the top level)."""
     from neo_olap_spark.operators.analytics import _corr_micro_expr
 
-    corr = _corr_micro_expr("sx", "sy", "sxx", "syy", "sxy")
+    return _corr_micro_expr("sx", "sy", "sxx", "syy", "sxy")
+
+
+def _assortativity_oracle() -> str:
+    corr = _assort_corr_expr()
     return f"""
-    {ORACLE_SYM_EDGES},
+    {_ORACLE_SYM},
     deg AS (
       SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
       FROM sym GROUP BY src
@@ -2781,12 +2788,8 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_sym_edges"),
     )
     n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
-    from neo_olap_spark.operators.analytics import _corr_micro_expr
-
     return m.crossJoin(F.broadcast(n_nodes)).select(
         "n_sym_edges",
         "n_nodes",
-        F.expr(
-            _corr_micro_expr("sx", "sy", "sxx", "syy", "sxy")
-        ).alias("assortativity_micro"),
+        F.expr(_assort_corr_expr()).alias("assortativity_micro"),
     )
