@@ -170,6 +170,7 @@ HEADLINE8 = [
     "q_agg_regression",
     "q_agg_gini",
     "q_graph_assortativity",
+    "q_agg_pareto",
 ]
 
 

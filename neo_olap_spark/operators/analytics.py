@@ -3466,3 +3466,114 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             "END AS BIGINT)"
         ).alias("gini_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_agg_pareto — ABC / 80-20 concentration cut (gini's actionable twin)
+# ---------------------------------------------------------------------------
+
+PARETO_PCT = 80  # the classic 80% revenue line
+
+
+@query(
+    "q_agg_pareto",
+    oracle=f"""
+    WITH c AS (
+      SELECT o_orderpriority AS prio,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             o_orderkey
+      FROM orders
+    ),
+    r AS (
+      SELECT prio, cents,
+             CAST(SUM(cents) OVER (
+               PARTITION BY prio ORDER BY cents DESC, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS HUGEINT) AS cum,
+             CAST(SUM(cents) OVER (PARTITION BY prio) AS HUGEINT) AS s
+      FROM c
+    ),
+    m AS (
+      SELECT prio,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(COUNT(*) FILTER (
+               WHERE (cum - cents) * 100 < s * {PARETO_PCT}
+             ) AS HUGEINT) AS n_top,
+             CAST(COALESCE(SUM(cents) FILTER (
+               WHERE (cum - cents) * 100 < s * {PARETO_PCT}
+             ), 0) AS HUGEINT) AS top_cents,
+             CAST(MIN(s) AS HUGEINT) AS s
+      FROM r GROUP BY prio
+    )
+    SELECT prio,
+           CAST(n AS BIGINT) AS n_orders,
+           CAST(n_top AS BIGINT) AS n_top,
+           CAST(CASE WHEN n > 0 THEN (n_top * 10000) // n END AS BIGINT)
+             AS top_share_bp,
+           CAST(CASE WHEN s > 0 THEN (top_cents * 1000000) // s END AS BIGINT)
+             AS top_revenue_ppm
+    FROM m
+    """,
+)
+def q_agg_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC concentration cut per segment — q_agg_gini's
+    ACTIONABLE twin: instead of one inequality scalar, report the
+    smallest top set of orders (ranked by value descending) that
+    carries 80% of the segment's revenue, as a count, a share of rows
+    in basis points, and its exact revenue share in ppm. This is the
+    ABC-classification query behind inventory tiering, customer-book
+    concentration reviews, and storage-tiering decisions (which keys
+    earn the hot tier).
+
+    Exactness: the cut is decided per row by integer cross-
+    multiplication — a row is in the top set iff the revenue
+    accumulated STRICTLY BEFORE it is below the 80% line
+    ((cum − cents)·100 < s·80) — so the set is the minimal prefix
+    reaching the line under the (cents DESC, orderkey) total order;
+    cumulative and total sums ride in 128-bit, outputs are integer
+    divisions. NO float crosses the engine boundary (the KS/gini
+    discipline).
+
+    Scale shape: the running-sum window, the per-partition total
+    window, and the final groupBy all key on the segment — the plan
+    shares ONE Exchange (the gini reuse, plan-pinned); output is
+    segment-cardinality rows."""
+    c = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    dec = "decimal(38,0)"
+    w_run = (
+        W.partitionBy("prio")
+        .orderBy(F.col("cents").desc(), "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("prio")
+    r = c.select(
+        "prio",
+        "cents",
+        F.sum(F.col("cents").cast(dec)).over(w_run).alias("cum"),
+        F.sum(F.col("cents").cast(dec)).over(w_all).alias("s"),
+    )
+    in_top = (F.col("cum") - F.col("cents")) * 100 < F.col("s") * PARETO_PCT
+    m = r.groupBy("prio").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.when(in_top, 1).otherwise(0)).cast(dec).alias("n_top"),
+        F.coalesce(
+            F.sum(F.when(in_top, F.col("cents").cast(dec))), F.lit(0).cast(dec)
+        ).alias("top_cents"),
+        F.min("s").alias("s"),
+    )
+    return m.select(
+        "prio",
+        F.col("n").cast("long").alias("n_orders"),
+        F.col("n_top").cast("long").alias("n_top"),
+        F.expr(
+            "CAST(CASE WHEN n > 0 THEN (n_top * 10000) div n END AS BIGINT)"
+        ).alias("top_share_bp"),
+        F.expr(
+            "CAST(CASE WHEN s > 0 THEN (top_cents * 1000000) div s END "
+            "AS BIGINT)"
+        ).alias("top_revenue_ppm"),
+    )

@@ -124,6 +124,7 @@ DRIVER_WAVE_ROTATION: tuple[str, ...] = (
     "q_agg_regression",
     "q_agg_gini",
     "q_graph_assortativity",
+    "q_agg_pareto",
     # re-verification of the oldest remaining (r5) records — the most
     # machinery-dependent oracles first: approx-sketch verdicts and
     # rank-pick percentile machinery (the rest of the r5 tier is the
@@ -133,7 +134,6 @@ DRIVER_WAVE_ROTATION: tuple[str, ...] = (
     "q_agg_countmin",
     "q_agg_freq_approx",
     "q_agg_approx_quantile",
-    "q_agg_heavy_hitters",
 )
 
 

@@ -835,6 +835,16 @@ def test_gini_single_exchange(q):
     )
 
 
+def test_pareto_single_exchange(q):
+    # both windows and the groupBy key on the segment: ONE Exchange
+    df = q("q_agg_pareto")
+    p = plan_str(df, mode="simple")
+    assert p.count("Exchange") == 1, p
+    assert_read_schema_only(
+        df, "orders", {"o_orderpriority", "o_totalprice", "o_orderkey"}
+    )
+
+
 def test_assortativity_reads_checkpointed_graph(q):
     # the symmetrized edge list and the degree table are both
     # localCheckpointed (shared-subtree rule): the FINAL plan reads
