@@ -174,6 +174,13 @@ HEADLINE8 = [
 ]
 
 
+# Round-10 additions (frozen-list protocol: earlier waves untouched).
+HEADLINE9 = [
+    "q_text_bm25",
+    "q_scalar_variant_store",
+]
+
+
 # Full TPC-H 22 (schema-adapted; tpch.py + analytics.py): reported as
 # its own total — the one number warehouse engines are compared by.
 TPCH = [
@@ -268,6 +275,7 @@ def main() -> None:
     results7, warm7 = run_set(HEADLINE6)
     results8, warm8 = run_set(HEADLINE7)
     results9, warm9 = run_set(HEADLINE8)
+    results10, warm10 = run_set(HEADLINE9)
     results3, warm3 = run_set(TPCH)
 
     total, warm_total1 = set_totals(results, warm1)
@@ -278,6 +286,7 @@ def main() -> None:
     total7, warm_total7 = set_totals(results7, warm7)
     total8, warm_total8 = set_totals(results8, warm8)
     total9, warm_total9 = set_totals(results9, warm9)
+    total10, warm_total10 = set_totals(results10, warm10)
     total3, warm_total3 = set_totals(results3, warm3)
     # Key order is TRUNCATION-PROOF (VERDICT r5 item 7): the driver
     # captures the stdout TAIL, so anything early in this single line
@@ -311,18 +320,20 @@ def main() -> None:
         "headline7_warm_total": warm_total8,
         "headline8_total": total9,
         "headline8_warm_total": warm_total9,
+        "headline9_total": total10,
+        "headline9_warm_total": warm_total10,
         "tpch_total": total3,
         "tpch_warm_total": warm_total3,
         "errors": errors,
         "warm_incomplete_keys": warm_incomplete,
         # newest wave first … r1-comparable HEADLINE cold per-key LAST
         "queries_warm": {
-            **warm3, **warm9, **warm8, **warm7, **warm6, **warm5, **warm4,
-            **warm2, **warm1
+            **warm3, **warm10, **warm9, **warm8, **warm7, **warm6, **warm5,
+            **warm4, **warm2, **warm1
         },
         "queries": {
-            **results3, **results9, **results8, **results7, **results6,
-            **results5, **results4, **results2, **results,
+            **results3, **results10, **results9, **results8, **results7,
+            **results6, **results5, **results4, **results2, **results,
         },
     }
     sidecar = os.path.join(

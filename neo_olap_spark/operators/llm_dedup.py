@@ -105,8 +105,46 @@ def _shingled_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def capped_postings(
+    ex: DataFrame, max_df: int = MAX_SHINGLE_DF, ckpt: bool = True
+) -> DataFrame:
+    """df-capped postings table over an exploded (doc_id, s) frame:
+    per-shingle document frequency and per-doc post-cap set size as
+    window counts (shuffling on the same keys the downstream join and
+    pair-aggregation shuffle on anyway), stop-shingles (df > max_df)
+    dropped. ONE definition shared by the exact-dedup tier
+    (jaccard/containment/ngram/clusters) AND tools/containment_ab.py,
+    so the A/B tool can never silently measure a stale shape
+    (round-9 ADVICE).
+
+    ``ckpt=True`` (the production default) localCheckpoints the frame
+    before the pair self-join consumes it twice: Catalyst does not
+    unify the two sides of a self-join on a derived frame (measured
+    pre-fix: 4 document scans, 4 WindowExecs, 0 ReusedExchange), so
+    without it the dominant explode+two-window chain — the largest
+    intermediate in the repo — executes once PER SIDE. EAGER
+    trade-off, stated explicitly (round-9 ADVICE): with ckpt=True this
+    call EXECUTES the scan+explode+two-window chain immediately and
+    the checkpointed blocks live until the underlying RDD is
+    garbage-collected; callers that only need the lazy plan (explain,
+    dry-run, composing a larger pipeline) pass ckpt=False and accept
+    the per-consumer recompute instead."""
+    from pyspark.sql.window import Window
+
+    kept = (
+        ex.withColumn("df", F.count("*").over(Window.partitionBy("s")))
+        .where(F.col("df") <= max_df)
+        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+        .drop("df")
+    )
+    return kept.localCheckpoint() if ckpt else kept
+
+
 def exact_jaccard_pairs(
-    sh_df: DataFrame, threshold: float, max_df: int = MAX_SHINGLE_DF
+    sh_df: DataFrame,
+    threshold: float,
+    max_df: int = MAX_SHINGLE_DF,
+    ckpt: bool = True,
 ) -> DataFrame:
     """Ground-truth shingle-Jaccard pairs via inverted-index join:
     explode shingles, self-join on the shingle, count intersections,
@@ -120,24 +158,16 @@ def exact_jaccard_pairs(
     counts over the exploded table, shuffling on the same keys the
     join and pair-aggregation shuffle on anyway).
 
-    ``kept`` is localCheckpointed before the self-join: Catalyst does
-    NOT unify the two join sides of a self-join on a derived frame
-    (no ReusedExchange — measured: 4 document scans, 4 WindowExecs),
-    so without the checkpoint the dominant explode+two-window chain —
-    the exploded shingle table is the largest intermediate in the
-    repo — executes once per side. Same landmine as the HITS raw-push
-    checkpoint (loop intermediate feeding two consumers); at 100× the
-    doubled explode would be the whole job."""
-    from pyspark.sql.window import Window
-
+    The postings table comes from capped_postings(): with the default
+    ckpt=True it is localCheckpointed before the self-join — Catalyst
+    does NOT unify the two join sides of a self-join on a derived
+    frame (same landmine as the HITS raw-push checkpoint: a subtree
+    feeding two consumers executes per consumer; at 100× the doubled
+    explode would be the whole job). NOTE this makes the call EAGER
+    (work runs now, blocks held until RDD GC) — see capped_postings;
+    plan-only callers pass ckpt=False."""
     ex = sh_df.select("doc_id", F.explode("sh").alias("s"))
-    kept = (
-        ex.withColumn("df", F.count("*").over(Window.partitionBy("s")))
-        .where(F.col("df") <= max_df)
-        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
-        .drop("df")
-        .localCheckpoint()
-    )
+    kept = capped_postings(ex, max_df, ckpt=ckpt)
     a = kept.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "s")
     b = kept.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "s")
     inter = (
@@ -205,20 +235,12 @@ def q_text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     set, direction chosen by set size with id tie-break. Scale: the
     df-cap bounds the join at O(n·df_cap) exactly like the Jaccard
     key; at 100 TB both tiers run on the same persisted shingle
-    table. ``kept`` is localCheckpointed before the self-join — see
-    exact_jaccard_pairs: Catalyst does not reuse the derived frame
-    across the two join sides, so the dominant explode+window chain
-    would otherwise execute twice."""
-    from pyspark.sql.window import Window
-
+    table. The postings table is built by the shared capped_postings()
+    (localCheckpointed before the self-join — Catalyst does not reuse
+    the derived frame across the two join sides, so the dominant
+    explode+window chain would otherwise execute twice)."""
     ex = _shingled(spark, sf_dir).select("doc_id", F.explode("sh").alias("s"))
-    kept = (
-        ex.withColumn("df", F.count("*").over(Window.partitionBy("s")))
-        .where(F.col("df") <= MAX_SHINGLE_DF)
-        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
-        .drop("df")
-        .localCheckpoint()
-    )
+    kept = capped_postings(ex, MAX_SHINGLE_DF)
     a = kept.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "s")
     b = kept.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "s")
     cnt = (

@@ -1057,3 +1057,169 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_syllables",
         F.expr(_FLESCH_EXPR).alias("flesch_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_text_bm25 — ranked retrieval over the inverted index (Lucene intent)
+# ---------------------------------------------------------------------------
+
+BM25_TOP_K = 10
+
+# fixed multi-term query workload (the decontamination / RAG lookup
+# shape): query_id -> bag of terms. Tuples, not dict, so iteration
+# order is the literal order in both engines' plans.
+BM25_QUERIES = (
+    ("q_spark_join", "spark"),
+    ("q_spark_join", "join"),
+    ("q_spark_join", "fast"),
+    ("q_stream_win", "stream"),
+    ("q_stream_win", "window"),
+    ("q_sort_merge", "hash"),
+    ("q_sort_merge", "merge"),
+    ("q_sort_merge", "sort"),
+)
+
+# Okapi BM25 per-(term, doc) partial, micro-quantized: k1=1.2 b=0.75
+# (k1+1 and 1-b pre-folded to the exact literals 2.2 / 0.25 so both
+# engines parse identical constants). Inputs are all exact integers
+# (tf, df, dl, n_docs, total_tok); the ONE float tail is this shared
+# expression text — evaluated by both engines on the same integers in
+# the same operation order, then FLOOR(x*1e6+0.5) micro-quantized (the
+# tfidf/psi/benford ln precedent). Per-term partials are summed as
+# INTEGERS, so the query score is order-free (float sums are not).
+# LANDMINE: bare decimal literals (0.5, 2.2) parse as DECIMAL in both
+# engines, pulling the whole expression into decimal arithmetic whose
+# scale/truncation rules DIFFER cross-engine — the scientific form
+# (0.5e0) is a DOUBLE literal in both, keeping every step in IEEE
+# doubles (seen in the plan: cast(... as decimal(20,0)) before the fix).
+_BM25_TERM_MICRO = (
+    "CAST(FLOOR("
+    "ln(1.0e0 + (n_docs - df + 0.5e0) / (df + 0.5e0))"
+    " * (tf * 2.2e0)"
+    " / (tf + 1.2e0 * (0.25e0 + 0.75e0 * (dl * CAST(n_docs AS DOUBLE)) / total_tok))"
+    " * 1.0e6 + 0.5e0) AS BIGINT)"
+)
+
+_BM25_QT_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in BM25_QUERIES)
+
+
+@query(
+    "q_text_bm25",
+    oracle=f"""
+    WITH qt AS (
+      SELECT * FROM (VALUES {_BM25_QT_VALUES}) AS v(query_id, term)
+    ),
+    tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+      FROM documents
+    ),
+    dl AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS dl
+      FROM documents
+    ),
+    scal AS (
+      SELECT CAST(SUM(dl) AS BIGINT) AS total_tok,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM dl
+    ),
+    tfd AS (
+      SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+      WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2
+    ),
+    dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfd GROUP BY term),
+    ts AS (
+      SELECT qt.query_id, tfd.doc_id,
+             {_BM25_TERM_MICRO} AS term_score_micro
+      FROM tfd
+      JOIN dft USING (term)
+      JOIN dl USING (doc_id)
+      JOIN qt ON qt.term = tfd.term
+      CROSS JOIN scal
+    ),
+    sc AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(term_score_micro) AS BIGINT) AS score_micro
+      FROM ts GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, score_micro,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY score_micro DESC, doc_id
+             ) AS BIGINT) AS rnk
+      FROM sc
+    )
+    SELECT query_id, doc_id, score_micro, rnk
+    FROM ranked WHERE rnk <= {BM25_TOP_K}
+    """,
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the inverted index — the retrieval
+    scorer a decontamination / RAG pipeline runs against the corpus
+    (the completion of the reference's Lucene intent signal,
+    pom.xml:50-54, on top of q_text_postings' posting-list layout):
+    per query, the top-{BM25_TOP_K} documents by Okapi BM25
+    (k1=1.2, b=0.75, Lucene's ln(1 + (N-df+.5)/(df+.5)) idf).
+
+    Exactness: every model input is an exact integer (tf, df, dl, N,
+    total tokens); the float arithmetic lives in ONE shared expression
+    string micro-quantized per (term, doc) BEFORE the per-query sum,
+    so the query score is an order-free integer sum (a float sum
+    across terms would be partition-order-dependent); ranks are
+    total-ordered by (score DESC, doc_id).
+
+    Scale shape, stage by stage: doc lengths are a PROJECTION
+    (size(split()) — no explode) localCheckpointed once (doc-sized,
+    two ints per doc; it feeds both the corpus scalars and the score
+    join, and recompute would re-scan the wide text column — the
+    shared-subtree rule); the exploded token stream is filtered to
+    query terms by a BROADCAST semi-join BEFORE its groupBy, so only
+    query-term rows ever shuffle (posting-list retrieval, not a corpus
+    aggregation); per-term df derives from the checkpointed tf table
+    (which also feeds the score join — shared-subtree again) and
+    broadcasts back; the final top-k is a per-query row_number whose
+    filter prunes partially below the Exchange (WindowGroupLimit, the
+    q_text_postings plan). Nothing corpus-sized funnels anywhere:
+    at 100 TB this is exactly Lucene's norms-file + posting-list
+    architecture expressed relationally."""
+    d = load(spark, sf_dir, "documents")
+    qt = spark.createDataFrame(list(BM25_QUERIES), "query_id string, term string")
+    dl = d.select(
+        "doc_id", F.size(ws_tokens(F.col("text"))).cast("long").alias("dl")
+    ).localCheckpoint()
+    scal = dl.agg(
+        F.sum("dl").cast("long").alias("total_tok"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    tok = d.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("term"))
+    tfd = (
+        tok.join(F.broadcast(qt.select("term").distinct()), "term")
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint()
+    )
+    dft = tfd.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    ts = (
+        tfd.join(F.broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(qt), "term")
+        .crossJoin(F.broadcast(scal))
+        .selectExpr(
+            "query_id",
+            "doc_id",
+            f"{_BM25_TERM_MICRO} AS term_score_micro",
+        )
+    )
+    sc = ts.groupBy("query_id", "doc_id").agg(
+        F.sum("term_score_micro").cast("long").alias("score_micro")
+    )
+    ranked = sc.withColumn(
+        "rnk",
+        F.row_number()
+        .over(W.partitionBy("query_id").orderBy(F.col("score_micro").desc(), "doc_id"))
+        .cast("long"),
+    )
+    return ranked.where(F.col("rnk") <= BM25_TOP_K).select(
+        "query_id", "doc_id", "score_micro", "rnk"
+    )

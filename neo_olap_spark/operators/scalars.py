@@ -472,3 +472,84 @@ def q_scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(vj, "$.tags[1]", "bigint").alias("tag2"),
         F.try_variant_get(vj, "$.id", "string").alias("id_str"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_scalar_variant_store — parse-once-at-ingest VARIANT storage
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_scalar_variant_store",
+    oracle="""
+    WITH doc AS (
+      SELECT event_id,
+             '{"id":' || CAST(event_id AS VARCHAR) || ',"meta":' || props
+               || ',"tags":[' || CAST(event_id % 5 AS VARCHAR) || ','
+               || CAST(event_id % 3 AS VARCHAR) || ']}' AS j
+      FROM events
+    )
+    SELECT event_id,
+           TRY_CAST(json_extract_string(j, '$.meta.k') AS BIGINT) AS meta_k,
+           TRY_CAST(json_extract_string(j, '$.tags[1]') AS BIGINT) AS tag2,
+           TRY_CAST(json_extract_string(j, '$.id') AS BIGINT) AS id_num
+    FROM doc
+    """,
+)
+def q_scalar_variant_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shredded-VARIANT STORAGE — the executable form of
+    q_scalar_variant's documented at-scale answer: parse the JSON
+    document ONCE at ingest, store the VARIANT column itself in
+    parquet, and serve every later read from the stored binary with
+    path-level column pruning — no re-parse, ever.
+
+    The ingest assembles the same integer-leaf document as
+    q_scalar_variant (id / nested meta / tags array), parses it, and
+    writes (event_id, v VARIANT, raw_json STRING) to a session-scoped
+    sink; the return is the LAZY read-back extracting three typed
+    paths. What the read-back plan shows (pinned by
+    tests/test_plans.py::test_variant_store_read_prunes): zero
+    parse_json / ParseJson anywhere, the raw_json decoy column absent
+    from ReadSchema, and — Spark 4.1's variant shredding — the
+    variantGet calls REWRITTEN to struct field reads whose ReadSchema
+    requests only the extracted paths' typed leaves, not even the
+    full variant binary. That is the 100 TB contract: extraction cost
+    is a pruned columnar read, identical to a top-level column.
+
+    The sink uses the generational pattern (previous invocation's
+    lazy result stays readable until the new write promotes); the
+    result is fact-sized, so it is never collected (sink rule).
+    Oracle: DuckDB cannot read Spark's variant parquet encoding, so
+    it re-derives the same values from the source JSON text — the
+    hash match proves the store+shred+extract pipeline is lossless.
+    Integer-only leaves per the q_scalar_variant landmine (variant
+    bigint cast truncates where DuckDB TRY_CAST rounds on decimals)."""
+    from neo_olap_spark.operators.io_sources import generational_sink_dir
+
+    ev = load(spark, sf_dir, "events")
+    j = F.concat(
+        F.lit('{"id":'),
+        F.col("event_id").cast("string"),
+        F.lit(',"meta":'),
+        F.col("props"),
+        F.lit(',"tags":['),
+        (F.col("event_id") % 5).cast("string"),
+        F.lit(","),
+        (F.col("event_id") % 3).cast("string"),
+        F.lit("]}"),
+    )
+    ingest = ev.select(
+        "event_id",
+        F.parse_json(j).alias("v"),  # the ONE parse, at write time
+        j.alias("raw_json"),  # pruning decoy: must not appear in reads
+    )
+    root, promote = generational_sink_dir(spark, "variant_store")
+    ingest.write.mode("overwrite").parquet(root)
+    promote()
+    back = spark.read.parquet(root)
+    return back.select(
+        "event_id",
+        F.try_variant_get(F.col("v"), "$.meta.k", "bigint").alias("meta_k"),
+        F.try_variant_get(F.col("v"), "$.tags[1]", "bigint").alias("tag2"),
+        F.try_variant_get(F.col("v"), "$.id", "bigint").alias("id_num"),
+    )

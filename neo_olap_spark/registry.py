@@ -72,68 +72,66 @@ DRIVER_WAVE_SIZE = 50  # the driver's observed per-round sample size
 ROWS_ONLY_WAVE_KEYS: frozenset[str] = frozenset()
 
 DRIVER_WAVE_ROTATION: tuple[str, ...] = (
-    # the 3 keys registered after the r8 rotation froze — the only
-    # oracle-backed keys with NO driver record (VERDICT r8 item 2)
-    "q_events_attribution",
-    "q_agg_mutual_info",
-    "q_stream_dedup_state",
-    # every key whose only driver record is r1 — scans/sinks and the
-    # relational core, verified once on round-1 code
-    "q_scan_lineitem",
-    "q_sink_roundtrip",
-    "q_project",
-    "q_filter_range",
-    "q_filter_disjunctive",
-    "q_join_inner",
-    "q_join_outer",
-    "q_join_anti",
-    "q_udf_pandas",
-    "q_text_fingerprint",
-    "q_multimodal_meta",
-    # every key whose only driver record is r2 — sources, the dedup /
-    # similarity / text tier (q_dedup_ngram and q_dedup_clusters also
-    # carry this round's shared-postings plan change), graph
-    "q_source_csv",
-    "q_source_json",
-    "q_source_orc",
-    "q_shortest_path_len",
-    "q_dedup_exact",
-    "q_dedup_ngram",
-    "q_dedup_clusters",
-    "q_dedup_embed",
-    "q_sim_search",
-    "q_text_tokens",
-    "q_text_quality",
-    "q_text_langid",
-    "q_text_tfidf",
-    "q_text_winnow",
-    "q_text_decontaminate",
-    "q_pipeline_filter",
-    "q_mix_sample",
-    "q_pack_sequences",
-    "q_embed_quantize",
-    "q_triangle_count",
-    "q_graph_clustering",
-    # round-9 additions (registered this round, parity at 3 SFs)
-    "q_agg_bloom_filter",
+    # round-10 wave. Composition (VERDICT r9 items 2+3): the two keys
+    # whose PLAN changed after their latest driver record (containment
+    # fixed r9 but sampled r8; sequence_match gained the journey cap
+    # this round — values unchanged, plan re-verified anyway), the two
+    # r10-registered keys (first-wave records), then the ENTIRE 45-key
+    # r5 staleness tier (computed from CORRECTNESS_r01..r09: every key
+    # whose latest driver record is r5), machinery-heaviest first (the
+    # four explicitly deferred from r9 lead), and one r6 slot for the
+    # bench-drift-cluster key q_multimodal_resize. After this wave no
+    # key's latest driver record predates r6.
+    "q_text_containment",
+    "q_text_bm25",
+    "q_scalar_variant_store",
     "q_events_sequence_match",
-    "q_quality_benford",
-    "q_layout_compaction",
-    "q_join_interval_overlap",
-    "q_text_readability",
-    "q_agg_regression",
-    "q_agg_gini",
-    "q_graph_assortativity",
-    "q_agg_pareto",
-    # re-verification of the oldest remaining (r5) records — the most
-    # machinery-dependent oracles first: approx-sketch verdicts and
-    # rank-pick percentile machinery (the rest of the r5 tier is the
-    # r10 staleness ledger in NEXT.md)
-    "q_agg_hll",
-    "q_agg_hll_union",
-    "q_agg_countmin",
-    "q_agg_freq_approx",
-    "q_agg_approx_quantile",
+    "q_sessionize",
+    "q_agg_histogram_eqdepth",
+    "q_cohort_retention",
+    "q_agg_heavy_hitters",
+    "q_agg_argmax",
+    "q_agg_bool",
+    "q_agg_collect_sorted",
+    "q_agg_cube",
+    "q_agg_histogram",
+    "q_agg_median",
+    "q_agg_mode",
+    "q_agg_percentile_exact",
+    "q_agg_salted",
+    "q_agg_stats",
+    "q_agg_weighted_median",
+    "q_anomaly_zscore",
+    "q_events_active_users",
+    "q_events_json",
+    "q_events_transitions",
+    "q_feature_target_enc",
+    "q_grouping_sets",
+    "q_join_multiway",
+    "q_join_salted",
+    "q_pivot",
+    "q_profile_stats",
+    "q_sql_params",
+    "q_sql_surface",
+    "q_sql_tpch_q1",
+    "q_sql_tpch_q10",
+    "q_sql_tpch_q14",
+    "q_sql_tpch_q19",
+    "q_sql_tpch_q4",
+    "q_sql_tpch_q6",
+    "q_star_join",
+    "q_time_calendar",
+    "q_time_downsample",
+    "q_time_ewma",
+    "q_time_gap_fill",
+    "q_time_interpolate",
+    "q_time_rollup",
+    "q_unpivot",
+    "q_window_distinct_running",
+    "q_window_range_frame",
+    "q_window_rolling_corr",
+    "q_window_streak",
+    "q_multimodal_resize",
 )
 
 

@@ -853,3 +853,33 @@ def test_assortativity_reads_checkpointed_graph(q):
     p = plan_str(df)
     assert ".parquet" not in p, p
     assert "file:" not in p, p
+
+
+def test_variant_store_read_prunes(q):
+    # the stored-VARIANT read must serve extractions from the shredded
+    # parquet layout: no JSON parse anywhere in the read plan, the
+    # raw_json decoy column absent, and the variantGet calls rewritten
+    # to struct-field reads whose ReadSchema carries ONLY the three
+    # extracted paths' typed leaves (not the full variant binary)
+    df = q("q_scalar_variant_store")
+    p = plan_str(df, mode="formatted")
+    assert "parse_json" not in p and "ParseJson" not in p, p
+    assert "raw_json" not in p, p
+    assert "variant_get" not in p, p  # rewritten to shredded field reads
+    assert "ReadSchema: struct<event_id:bigint,v:struct<0:bigint,1:bigint,2:bigint>>" in p, p
+
+
+def test_bm25_topk_prunes_partially(q):
+    # per-query top-k must prune below the Exchange (partial
+    # WindowGroupLimit — the q_text_postings pattern), the small side
+    # tables (query terms, df, scalars) must broadcast, and the
+    # checkpointed dl/tf tables must appear as RDD scans (built once)
+    df = q("q_text_bm25")
+    p = plan_str(df, mode="simple")
+    assert p.count("WindowGroupLimit") == 2, p  # Partial + Final
+    assert "Partial" in p and "Final" in p, p
+    assert p.count("SortMergeJoin") == 0, p
+    assert "ExistingRDD" in p, p  # checkpointed tf/dl subtrees
+    # no raw decimal arithmetic: the shared micro expr must stay in
+    # doubles end-to-end (cross-engine decimal scale rules differ)
+    assert "decimal" not in plan_str(df, mode="formatted"), "decimal leak"

@@ -28,28 +28,23 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from neo_olap_spark.operators.llm_dedup import (
     CONTAINMENT_THRESHOLD,
     MAX_SHINGLE_DF,
     _shingled,
+    capped_postings,
 )
 from neo_olap_spark.session import get_spark
 
 
 def containment_pairs(spark, sf_dir: str, ckpt: bool):
     # the q_text_containment shape with the checkpoint togglable —
-    # no_ckpt reproduces the pre-r9 plan exactly
+    # the postings builder is IMPORTED from llm_dedup (round-9 ADVICE:
+    # an inline copy would silently measure a stale shape if the
+    # operator changed); no_ckpt reproduces the pre-r9 plan exactly
     ex = _shingled(spark, sf_dir).select("doc_id", F.explode("sh").alias("s"))
-    kept = (
-        ex.withColumn("df", F.count("*").over(Window.partitionBy("s")))
-        .where(F.col("df") <= MAX_SHINGLE_DF)
-        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
-        .drop("df")
-    )
-    if ckpt:
-        kept = kept.localCheckpoint()
+    kept = capped_postings(ex, MAX_SHINGLE_DF, ckpt=ckpt)
     a = kept.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "s")
     b = kept.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "s")
     cnt = (
