@@ -178,6 +178,14 @@ HEADLINE8 = [
 HEADLINE9 = [
     "q_text_bm25",
     "q_scalar_variant_store",
+    "q_window_cume",
+    "q_privacy_ldiversity",
+    "q_feature_hashing",
+    "q_sql_recursive",
+    "q_text_collocations",
+    "q_sim_centroid_assign",
+    "q_sql_pipe",
+    "q_sim_outliers",
 ]
 
 

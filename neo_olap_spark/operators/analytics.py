@@ -3607,3 +3607,211 @@ def q_agg_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS BIGINT)"
         ).alias("top_revenue_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_feature_hashing — hashing-trick feature bucketing (feature family)
+# ---------------------------------------------------------------------------
+
+FEATURE_HASH_BUCKETS = 256
+
+
+def _feature_hashing_oracle() -> str:
+    """DuckDB twin: both hashes (bucket + sign) re-derived bit-exactly
+    via the xxhash64 SQL substrate (sixth consumer) — the bucket hash
+    is one string kernel from seed 42 (mirroring F.xxhash64(feat)),
+    the sign hash chains int-tag 1 then the string (mirroring
+    F.xxhash64(lit(1), feat)), so every collision and every sign
+    lands identically. AS MATERIALIZED per the substrate landmine."""
+    from neo_olap_spark.functions.xxhash_sql import SPARK_SEED, XXPipe
+
+    p1 = XXPipe(["feat"])
+    h1 = p1.hash_str("feat", SPARK_SEED)
+    sql1 = p1.sql("feats", "h1", p1.signed(h1))
+
+    p2 = XXPipe(["feat", "h1"])
+    h2 = p2.hash_int("1", SPARK_SEED)
+    h2 = p2.hash_str("feat", h2)
+    sql2 = p2.sql(f"({sql1})", "h2", p2.signed(h2))
+
+    m = FEATURE_HASH_BUCKETS
+    return f"""
+    WITH feats AS (
+      SELECT 'brand=' || p_brand AS feat FROM part
+      UNION ALL SELECT 'type=' || p_type FROM part
+      UNION ALL SELECT 'size=' || CAST(p_size AS VARCHAR) FROM part
+    ),
+    base AS MATERIALIZED ({sql2})
+    SELECT CAST(((h1 % {m}) + {m}) % {m} AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_feats,
+           CAST(COUNT(DISTINCT feat) AS BIGINT) AS n_distinct,
+           CAST(SUM(CASE WHEN ((h2 % 2) + 2) % 2 = 0 THEN 1 ELSE -1 END)
+                AS BIGINT) AS coef
+    FROM base GROUP BY 1
+    """
+
+
+@query("q_feature_hashing", oracle=_feature_hashing_oracle())
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick feature bucketing (the sklearn HashingVectorizer /
+    Vowpal-Wabbit encoder): categorical features map to a FIXED
+    {FEATURE_HASH_BUCKETS}-bucket space via a hash, with a second,
+    independent hash choosing each feature's ±1 sign so colliding
+    features cancel in expectation instead of biasing the bucket — the
+    standard way a training pipeline encodes unbounded-vocabulary
+    categoricals without building (or shipping) a dictionary.
+
+    Per bucket: occupancy, distinct colliding features, and the signed
+    accumulation. Both hashes are Spark's xxhash64 (bucket = plain
+    hash of the feature string; sign = hash of int-tag 1 then the
+    string — two independent functions from one kernel), re-derived
+    bit-exactly in DuckDB by the substrate, so the oracle pins every
+    collision, not an envelope.
+
+    Scale shape: features unpivot map-side (one scan of three pruned
+    columns), hash + sign are per-row JVM expressions, and the only
+    shuffle is a map-side-combined groupBy into ≤{FEATURE_HASH_BUCKETS}
+    partials — output bounded by the bucket count regardless of corpus
+    size. No dictionary, no vocabulary shuffle, no driver state: the
+    defining property of the hashing trick at 100 TB."""
+    p = load(spark, sf_dir, "part")
+    feats = p.select(
+        F.explode(
+            F.array(
+                F.concat(F.lit("brand="), F.col("p_brand")),
+                F.concat(F.lit("type="), F.col("p_type")),
+                F.concat(F.lit("size="), F.col("p_size").cast("string")),
+            )
+        ).alias("feat")
+    )
+    m = FEATURE_HASH_BUCKETS
+    sign = F.when(F.pmod(F.xxhash64(F.lit(1), F.col("feat")), 2) == 0, 1).otherwise(-1)
+    return (
+        feats.select(
+            F.pmod(F.xxhash64(F.col("feat")), m).cast("long").alias("bucket"),
+            F.col("feat"),
+            sign.alias("sign"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.countDistinct("feat").alias("n_distinct"),
+            F.sum("sign").cast("long").alias("coef"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_sql_recursive — recursive CTE (SQL-surface family)
+# ---------------------------------------------------------------------------
+
+RECURSIVE_ROOT_CAP = 5000  # anchor slice: orderkeys below this walk up
+
+# Shared query text: a deterministic division-tree hierarchy walk
+# (parent(k) = k div 10, a terminating integer hierarchy over the
+# SPARSE orderkey domain — a parent only continues the chain when it
+# actually exists in orders, exactly like an org chart with missing
+# managers). Each recursion level is one join against orders; per
+# node the walk carries the accumulated cents along the chain.
+_RECURSIVE_SQL = f"""
+WITH RECURSIVE chain AS (
+  SELECT o_orderkey AS node, o_orderkey AS cur, 0 AS depth,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS path_cents
+  FROM orders WHERE o_orderkey < {RECURSIVE_ROOT_CAP}
+  UNION ALL
+  SELECT c.node, o.o_orderkey, c.depth + 1,
+         c.path_cents + CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)
+  FROM chain c JOIN orders o ON o.o_orderkey = c.cur {{div}} 10
+  WHERE c.cur >= 10
+),
+tops AS (
+  SELECT node, cur AS top_ancestor, depth AS chain_len, path_cents,
+         ROW_NUMBER() OVER (PARTITION BY node ORDER BY depth DESC) AS rn
+  FROM chain
+)
+SELECT node, top_ancestor, CAST(chain_len AS BIGINT) AS chain_len, path_cents
+FROM tops WHERE rn = 1
+"""
+
+
+@query("q_sql_recursive", oracle=_RECURSIVE_SQL.format(div="//"))
+def q_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.1 WITH RECURSIVE) — the SQL-surface
+    hierarchy walk every warehouse client eventually needs (org
+    charts, BOM explosion, folder trees): each order walks its
+    division-tree ancestor chain (parent = orderkey div 10) as far as
+    ancestors EXIST in the sparse orderkey domain, accumulating cents
+    along the path; per node the deepest row is reported (top
+    ancestor, chain length, path total).
+
+    Same query text both engines (only the integer-division operator
+    differs: Spark ``div``, DuckDB ``//``); all arithmetic is exact
+    integers, and the per-node cut is a total-ordered row_number (depth
+    is unique within a node's chain). Termination is structural — the
+    cursor strictly shrinks by 10× per level, so depth ≤ log10(cap) —
+    and the WHERE cur >= 10 guard stops the recursion before div
+    reaches 0 on every branch.
+
+    Scale shape: Spark executes each recursion level as ONE join of
+    the (shrinking) frontier against orders — identical to the
+    repo's iterative-loop operators (bfs/sssp) but declared in pure
+    SQL text; the frontier shrinks geometrically, the orders side
+    prunes to two scanned columns, and no level ever funnels to the
+    driver. The anchor cap keeps the demo slice bounded; production
+    hierarchies replace it with the root predicate."""
+    from neo_olap_spark.tables import register_views
+
+    register_views(spark, sf_dir, names=("orders",))
+    return spark.sql(_RECURSIVE_SQL.format(div="div"))
+
+
+# ---------------------------------------------------------------------------
+# q_sql_pipe — SQL pipe syntax (SQL-surface family)
+# ---------------------------------------------------------------------------
+
+_PIPE_SQL = """
+FROM orders
+|> WHERE o_orderstatus = 'F'
+|> EXTEND CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+|> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(cents) AS BIGINT) AS sum_cents,
+             CAST(MIN(o_orderkey) AS BIGINT) AS first_key
+   GROUP BY o_orderpriority
+|> EXTEND CAST(sum_cents div n_orders AS BIGINT) AS avg_cents
+|> ORDER BY o_orderpriority
+"""
+
+
+@query(
+    "q_sql_pipe",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(MIN(o_orderkey) AS BIGINT) AS first_key,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                // COUNT(*) AS BIGINT) AS avg_cents
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.1 ``|>`` operators, the linear
+    FROM-first dialect): scan |> WHERE |> EXTEND |> AGGREGATE ...
+    GROUP BY |> EXTEND |> ORDER BY — each stage reads top-to-bottom in
+    execution order, the ergonomics modern SQL clients are adopting.
+    The oracle is the equivalent CLASSIC query (DuckDB has no pipe
+    dialect), so the hash match proves the pipe plan computes exactly
+    the nested-SELECT semantics.
+
+    Catalyst lowers the pipe stages to the same logical plan as the
+    classic form — the filter still reaches the parquet scan, the
+    aggregate still map-side combines — so the dialect costs nothing
+    at 100 TB (pinned by test_sql_pipe_lowers_to_classic_plan).
+    Integer cents per the repo money rule; avg via ANSI ``div``
+    (integer division, total-order-free)."""
+    from neo_olap_spark.tables import register_views
+
+    register_views(spark, sf_dir, names=("orders",))
+    return spark.sql(_PIPE_SQL)

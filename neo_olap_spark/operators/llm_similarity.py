@@ -622,3 +622,179 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k operator stays available as lsh_topk; recall is asserted in
     tests/test_llm_ops.py."""
     return _ann_verdict(spark, sf_dir, lsh_topk, recall_floor=0.6)
+
+
+# ---------------------------------------------------------------------------
+# q_sim_centroid_assign / q_sim_outliers — k-means assignment + outlier audit
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8  # fixed deterministic centroids: the vectors with vec_id < K
+EMBED_QUANT = 10**6  # the PCA/embed per-element quantization step
+
+# the assignment CTE chain shared by BOTH centroid-tier oracles (one
+# text, two consumers — the capped_postings single-definition rule
+# applied to oracle SQL)
+_ASSIGN_CTES = f"""
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * {EMBED_QUANT} + 0.5)
+                         AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    c AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < {KMEANS_K}),
+    d AS (
+      SELECT q.vec_id, c.cid,
+             CAST(list_sum(list_transform(range(1, 65),
+               i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS BIGINT)
+               AS dist
+      FROM q CROSS JOIN c
+    ),
+    a AS (
+      SELECT vec_id, CAST(cid AS BIGINT) AS centroid, dist AS dist_q
+      FROM (SELECT vec_id, cid, dist,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM d)
+      WHERE rn = 1
+    )
+"""
+
+
+def centroid_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, centroid, dist_q) nearest-centroid assignment — the
+    shared implementation behind q_sim_centroid_assign and
+    q_sim_outliers (one definition so the outlier tier can never
+    drift from the assignment it audits). See q_sim_centroid_assign
+    for the exactness and zero-shuffle scale arguments."""
+    e = load(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * EMBED_QUANT + 0.5).cast("long"),
+    )
+    cents = (
+        e.where(F.col("vec_id") < KMEANS_K)
+        .select("vec_id", qv.alias("cv"))
+        .orderBy("vec_id")
+        .collect()  # bounded: exactly KMEANS_K rows
+    )
+    carr = F.array(*[
+        F.array(*[F.lit(int(v)) for v in row["cv"]]) for row in cents
+    ])
+    dists = F.transform(
+        carr,
+        lambda cv: F.aggregate(
+            F.zip_with(qv, cv, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return e.select(
+        "vec_id",
+        dists.alias("dists"),
+    ).select(
+        "vec_id",
+        (F.array_position(F.col("dists"), F.array_min(F.col("dists"))) - 1)
+        .cast("long")
+        .alias("centroid"),
+        F.array_min(F.col("dists")).alias("dist_q"),
+    )
+
+
+@query(
+    "q_sim_centroid_assign",
+    oracle=f"""
+    WITH {_ASSIGN_CTES}
+    SELECT vec_id, centroid, dist_q FROM a
+    """,
+)
+def q_sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means ASSIGNMENT step — nearest-centroid labeling of every
+    embedding (the inner loop of Lloyd's, and the clustering primitive
+    a data-curation pipeline uses for domain bucketing, diversity
+    sampling, and per-cluster mixing quotas). Centroids here are the
+    {KMEANS_K} vectors with vec_id < {KMEANS_K} — the deterministic
+    seeding round (first-iteration shape); the full Lloyd's loop
+    alternates this operator with a per-cluster mean (one
+    map-side-combined groupBy), exactly like the repo's other
+    iterative loops.
+
+    Exactness: per-element micro-quantization (the PCA anchor rule)
+    makes every vector integer, so squared-L2 distances are EXACT
+    BIGINTs in any evaluation order (max |q|≈5e6 → dist ≤ 64·1e14,
+    far under int64), and argmin with the (dist, cid) tie-break is
+    total-ordered — no float comparison anywhere.
+
+    Scale shape: the centroid table broadcasts as ONE literal
+    array-of-vectors column (collected {KMEANS_K} rows — aggregate-
+    sized by construction); assignment is a PER-ROW projection (a
+    transform computing all K distances + array_min/array_position
+    argmin) fused into the scan — ZERO shuffle, the map-side shape the
+    K×N explode-join alternative would destroy (plan-pinned by
+    test_centroid_assign_zero_shuffle). K up to a few thousand stays
+    broadcastable; beyond that the IVF key (q_sim_ann_ivf) is the
+    celled path."""
+    return centroid_assignments(spark, sf_dir)
+
+
+OUTLIER_MEDIAN_FACTOR = 2  # flag dist > factor x cluster median
+
+
+@query(
+    "q_sim_outliers",
+    oracle=f"""
+    WITH {_ASSIGN_CTES},
+    m AS (
+      SELECT centroid, dist_q AS med_dist FROM (
+        SELECT centroid, dist_q,
+               ROW_NUMBER() OVER (PARTITION BY centroid
+                                  ORDER BY dist_q, vec_id) AS rn,
+               COUNT(*) OVER (PARTITION BY centroid) AS cnt
+        FROM a)
+      WHERE rn = (cnt + 1) // 2
+    )
+    SELECT a.vec_id, a.centroid, a.dist_q, m.med_dist,
+           a.dist_q > {OUTLIER_MEDIAN_FACTOR} * m.med_dist AS is_outlier
+    FROM a JOIN m USING (centroid)
+    """,
+)
+def q_sim_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier audit — the curation pass that runs ON
+    TOP of the centroid assignment: per cluster, the (rank-pick lower)
+    median squared distance is the robust scale anchor, and any vector
+    farther than {OUTLIER_MEDIAN_FACTOR}x its cluster's median is
+    flagged — mislabeled, off-domain, or garbage embeddings that
+    distort both training mixes and ANN recall. Median-based (the
+    q_anomaly_mad argument): a mean/stddev anchor gets dragged by the
+    very outliers under audit; the integer median + integer
+    cross-multiply keeps the whole verdict float-free.
+
+    Scale shape: assignment is the shared zero-shuffle projection
+    (centroid_assignments — localCheckpointed here because it feeds
+    BOTH the median window and the final join, the shared-subtree
+    rule); the median is one window Exchange on the centroid key over
+    (vec_id, centroid, dist) triples — 3 ints per vector, never the
+    embeddings; the K-row median table broadcasts back. Flags stay
+    with the rows: the caller decides drop-vs-review."""
+    assign = centroid_assignments(spark, sf_dir).localCheckpoint()
+    w = W.partitionBy("centroid").orderBy("dist_q", "vec_id")
+    wc = W.partitionBy("centroid")
+    med = (
+        assign.select(
+            "centroid",
+            "dist_q",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("cnt"),
+        )
+        .where(F.col("rn") == F.expr("(cnt + 1) div 2"))
+        .select("centroid", F.col("dist_q").alias("med_dist"))
+    )
+    return assign.join(F.broadcast(med), "centroid").select(
+        "vec_id",
+        "centroid",
+        "dist_q",
+        "med_dist",
+        (F.col("dist_q") > OUTLIER_MEDIAN_FACTOR * F.col("med_dist")).alias(
+            "is_outlier"
+        ),
+    )

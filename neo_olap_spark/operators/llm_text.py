@@ -1223,3 +1223,114 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.where(F.col("rnk") <= BM25_TOP_K).select(
         "query_id", "doc_id", "score_micro", "rnk"
     )
+
+
+# ---------------------------------------------------------------------------
+# q_text_collocations — PMI-scored collocations (tokenizer/vocab signal)
+# ---------------------------------------------------------------------------
+
+COLLOC_MIN_COUNT = 5  # significance floor: rare pairs have unstable PMI
+COLLOC_TOP_N = 40
+
+# pointwise mutual information, micro-quantized: PMI = ln p(ab) -
+# ln p(a) - ln p(b) with p(ab)=c_ab/n_bg and p(w)=c_w/n_uni, expanded
+# to the overflow-free sum-of-logs form (products like c_a*c_b*n_bg
+# would overflow BIGINT at corpus scale; each ln input here is a bare
+# integer). One shared expression text evaluated by both engines on
+# identical integers (the BM25/tfidf/psi ln precedent); double
+# literals in scientific form per the BM25 decimal landmine.
+_PMI_MICRO = (
+    "CAST(FLOOR((ln(c_ab * 1.0e0) + 2.0e0 * ln(n_uni * 1.0e0)"
+    " - ln(n_bg * 1.0e0) - ln(c_a * 1.0e0) - ln(c_b * 1.0e0))"
+    " * 1.0e6 + 0.5e0) AS BIGINT)"
+)
+
+
+@query(
+    "q_text_collocations",
+    oracle=f"""
+    WITH {{bigram_cte}},
+    bgc AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bg GROUP BY bigram),
+    uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM
+        (SELECT unnest(toks) AS w FROM t) GROUP BY w
+    ),
+    scal AS (
+      SELECT (SELECT SUM(c) FROM uni) AS n_uni,
+             (SELECT SUM(c_ab) FROM bgc) AS n_bg
+    ),
+    scored AS (
+      SELECT bgc.bigram, bgc.c_ab,
+             {_PMI_MICRO.replace('c_a ', 'ua.c ').replace('c_b ', 'ub.c ')}
+               AS pmi_micro
+      FROM bgc
+      JOIN uni ua ON ua.w = split_part(bgc.bigram, ' ', 1)
+      JOIN uni ub ON ub.w = split_part(bgc.bigram, ' ', 2)
+      CROSS JOIN scal
+      WHERE bgc.c_ab >= {COLLOC_MIN_COUNT}
+    ),
+    ranked AS (
+      SELECT bigram, c_ab, pmi_micro,
+             CAST(ROW_NUMBER() OVER (ORDER BY pmi_micro DESC, bigram)
+                  AS BIGINT) AS rnk
+      FROM scored
+    )
+    SELECT bigram, c_ab, pmi_micro, rnk FROM ranked
+    WHERE rnk <= {COLLOC_TOP_N}
+    """.format(bigram_cte=_BIGRAM_CTE),
+)
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-scored collocation mining — which adjacent word pairs
+    co-occur far above chance: the association statistic behind
+    tokenizer merge candidates, multi-word-expression vocabularies,
+    and boilerplate phrase detection (next to q_text_ngram_stats'
+    raw frequencies, which rank common pairs, PMI ranks SURPRISING
+    pairs). Rare-pair noise is floored at c_ab ≥ {COLLOC_MIN_COUNT};
+    the top-{COLLOC_TOP_N} cut is total-ordered (pmi DESC, bigram).
+
+    Exactness: all counts are integers; PMI is ONE shared
+    sum-of-logs expression micro-quantized (overflow-free at any
+    corpus size — no count ever multiplies another). Scale shape:
+    two vocabulary-bounded aggregations (unigram + bigram counts,
+    both map-side combined; the exploded streams shuffle only
+    vocab-bounded partials), two joins against the (bounded) unigram
+    table, broadcast scalars, and a rank cut over the floored
+    collocation table — nothing corpus-sized past the partial
+    aggregates. The token array is localCheckpoint-barriered before
+    the bigram lambda (computed-array landmine #1)."""
+    d = load(spark, sf_dir, "documents")
+    toks_df = d.select(ws_tokens(F.col("text")).alias("toks")).localCheckpoint()
+    bgc = (
+        toks_df.where(F.size("toks") >= 2)
+        .select(F.explode(bigrams(F.col("toks"))).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .localCheckpoint()  # feeds the n_bg scalar AND the join
+    )
+    uni = (
+        toks_df.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()  # feeds the n_uni scalar AND two joins
+    )
+    scal = uni.agg(F.sum("c").alias("n_uni")).crossJoin(
+        bgc.agg(F.sum("c_ab").alias("n_bg"))
+    )
+    ua = uni.select(F.col("w").alias("wa"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("w").alias("wb"), F.col("c").alias("c_b"))
+    scored = (
+        bgc.where(F.col("c_ab") >= COLLOC_MIN_COUNT)
+        .withColumn("wa", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .withColumn("wb", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)))
+        .join(ua, "wa")
+        .join(ub, "wb")
+        .crossJoin(F.broadcast(scal))
+        .selectExpr("bigram", "c_ab", f"{_PMI_MICRO} AS pmi_micro")
+    )
+    ranked = scored.withColumn(
+        "rnk",
+        F.row_number()
+        .over(W.orderBy(F.col("pmi_micro").desc(), "bigram"))
+        .cast("long"),
+    )
+    return ranked.where(F.col("rnk") <= COLLOC_TOP_N)

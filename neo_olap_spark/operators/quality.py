@@ -1122,3 +1122,59 @@ def q_layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("compact_group"),
         (F.col("n_rows") < COMPACT_TARGET_ROWS // 4).alias("is_small_file"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_privacy_ldiversity — l-diversity audit (privacy family)
+# ---------------------------------------------------------------------------
+
+LDIV_L = 3
+
+
+@query(
+    "q_privacy_ldiversity",
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band
+      FROM customer
+    ),
+    groups_ AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT bal_band) AS BIGINT) AS n_sensitive
+      FROM rows_ GROUP BY 1, 2
+    )
+    SELECT c_nationkey, c_mktsegment, n_rows, n_sensitive,
+           n_sensitive >= {LDIV_L} AS l_diverse
+    FROM groups_
+    """,
+)
+def q_privacy_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the companion check to q_privacy_kanon:
+    k-anonymity alone fails when an equivalence class is large but
+    every member shares the SAME sensitive value (the homogeneity
+    attack); l-diversity demands each quasi-identifier group contain
+    at least l={LDIV_L} distinct sensitive values (here the
+    floor-integerized account-balance band, the kanon banding).
+
+    Scale shape: one groupBy on the QI tuple with COUNT and
+    COUNT(DISTINCT sensitive) — the distinct runs as the standard
+    two-phase expand (partial per (QI, band), then per QI), both
+    phases map-side combined; output is bounded by the QI domain
+    product. Groups below l are flagged, not dropped — the caller
+    decides suppress-vs-generalize."""
+    c = load(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct(
+            F.floor(F.col("c_acctbal") / 1000).cast("long")
+        ).alias("n_sensitive"),
+    )
+    return g.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n_rows",
+        "n_sensitive",
+        (F.col("n_sensitive") >= LDIV_L).alias("l_diverse"),
+    )

@@ -1527,3 +1527,61 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_b",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_window_cume — distribution-rank windows (percent_rank / cume_dist)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_window_cume",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag AS flag, l_orderkey, l_linenumber,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem WHERE l_orderkey < 2000
+    )
+    SELECT flag, l_orderkey, l_linenumber, cents,
+           CAST(FLOOR(percent_rank() OVER w * 1000000 + 0.5) AS BIGINT)
+             AS pct_rank_micro,
+           CAST(FLOOR(cume_dist() OVER w * 1000000 + 0.5) AS BIGINT)
+             AS cume_dist_micro
+    FROM c
+    WINDOW w AS (PARTITION BY flag ORDER BY cents, l_orderkey, l_linenumber)
+    """,
+)
+def q_window_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window family — percent_rank (relative rank
+    in [0,1]) and cume_dist (fraction of partition at-or-below) per
+    return flag: the score-normalization shape behind percentile
+    features and fair cross-segment comparisons.
+
+    Exactness: the window ORDER BY is total (cents, orderkey,
+    linenumber — unique), so ranks are engine-identical; both
+    functions are small-integer ratios ((rank-1)/(n-1), rank_le/n)
+    computed in doubles from identical ints, micro-quantized with the
+    shared FLOOR rule. Scale shape: ONE Exchange on the partition key
+    serving both functions (same window spec); the pushed orderkey
+    filter bounds the demo slice, and at 100 TB the sort is per-flag
+    partition-local — the same cost class as any ranked window."""
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 2000)
+    c = li.select(
+        F.col("l_returnflag").alias("flag"),
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    w = W.partitionBy("flag").orderBy("cents", "l_orderkey", "l_linenumber")
+    return c.select(
+        "flag",
+        "l_orderkey",
+        "l_linenumber",
+        "cents",
+        F.floor(F.percent_rank().over(w) * 1000000 + 0.5)
+        .cast("long")
+        .alias("pct_rank_micro"),
+        F.floor(F.cume_dist().over(w) * 1000000 + 0.5)
+        .cast("long")
+        .alias("cume_dist_micro"),
+    )

@@ -75,28 +75,39 @@ DRIVER_WAVE_ROTATION: tuple[str, ...] = (
     # round-10 wave. Composition (VERDICT r9 items 2+3): the two keys
     # whose PLAN changed after their latest driver record (containment
     # fixed r9 but sampled r8; sequence_match gained the journey cap
-    # this round — values unchanged, plan re-verified anyway), the two
-    # r10-registered keys (first-wave records), then the ENTIRE 45-key
-    # r5 staleness tier (computed from CORRECTNESS_r01..r09: every key
-    # whose latest driver record is r5), machinery-heaviest first (the
-    # four explicitly deferred from r9 lead), and one r6 slot for the
-    # bench-drift-cluster key q_multimodal_resize. After this wave no
-    # key's latest driver record predates r6.
+    # this round — values unchanged, plan re-verified anyway), the TEN
+    # r10-registered keys (first-wave records), then the r5 staleness
+    # tier (computed from CORRECTNESS_r01..r09: every key whose latest
+    # driver record is r5), machinery-heaviest first (the four
+    # explicitly deferred from r9 lead), and one r6 slot for the
+    # bench-drift-cluster key q_multimodal_resize. Budgeting: the
+    # eight post-first-batch r10 keys took the slots of the EIGHT
+    # LEAST machinery-dependent r5 keys (bool, argmax, mode, tpch_q1,
+    # tpch_q6, downsample, histogram, calendar — single-aggregate /
+    # self-generating oracles, code untouched since r5; the
+    # r9-endorsed first-wave-records-over-oldest-reverification
+    # trade), which move to the r11 staleness ledger in NEXT.md.
+    # After this wave, those eight are the only keys whose latest
+    # driver record predates r6.
     "q_text_containment",
     "q_text_bm25",
     "q_scalar_variant_store",
+    "q_window_cume",
+    "q_privacy_ldiversity",
+    "q_feature_hashing",
+    "q_sql_recursive",
+    "q_text_collocations",
+    "q_sim_centroid_assign",
+    "q_sql_pipe",
+    "q_sim_outliers",
     "q_events_sequence_match",
     "q_sessionize",
     "q_agg_histogram_eqdepth",
     "q_cohort_retention",
     "q_agg_heavy_hitters",
-    "q_agg_argmax",
-    "q_agg_bool",
     "q_agg_collect_sorted",
     "q_agg_cube",
-    "q_agg_histogram",
     "q_agg_median",
-    "q_agg_mode",
     "q_agg_percentile_exact",
     "q_agg_salted",
     "q_agg_stats",
@@ -113,15 +124,11 @@ DRIVER_WAVE_ROTATION: tuple[str, ...] = (
     "q_profile_stats",
     "q_sql_params",
     "q_sql_surface",
-    "q_sql_tpch_q1",
     "q_sql_tpch_q10",
     "q_sql_tpch_q14",
     "q_sql_tpch_q19",
     "q_sql_tpch_q4",
-    "q_sql_tpch_q6",
     "q_star_join",
-    "q_time_calendar",
-    "q_time_downsample",
     "q_time_ewma",
     "q_time_gap_fill",
     "q_time_interpolate",

@@ -883,3 +883,80 @@ def test_bm25_topk_prunes_partially(q):
     # no raw decimal arithmetic: the shared micro expr must stay in
     # doubles end-to-end (cross-engine decimal scale rules differ)
     assert "decimal" not in plan_str(df, mode="formatted"), "decimal leak"
+
+
+def test_centroid_assign_zero_shuffle(q):
+    # k-means assignment must be a scan-fused per-row projection: the
+    # centroid table rides as a literal array column, so there is NO
+    # Exchange and NO join anywhere — the map-side shape (a K x N
+    # explode-join would shuffle the corpus K-fold)
+    df = q("q_sim_centroid_assign")
+    p = plan_str(df, mode="simple")
+    assert "Exchange" not in p, p
+    assert "Join" not in p, p
+
+
+def test_window_cume_single_exchange(q):
+    # both distribution functions share ONE window spec: one Exchange,
+    # one Window node, and the orderkey slice filter reaches the scan
+    df = q("q_window_cume")
+    p = plan_str(df, mode="simple")
+    assert p.count("Exchange") == 1, p
+    assert p.count("Window [") == 1, p
+    assert_pushed_filter(df, "LessThan(l_orderkey,2000)")
+
+
+def test_feature_hashing_pruned_bounded(q):
+    # the unpivot reads exactly the three feature columns; the only
+    # shuffles are the two-phase distinct aggregate into <=256 buckets
+    df = q("q_feature_hashing")
+    assert_read_schema_only(df, "part.parquet", {"p_brand", "p_type", "p_size"})
+    p = plan_str(df, mode="simple")
+    assert p.count("Exchange") == 2, p
+    assert "Join" not in p, p
+
+
+def test_sql_recursive_loop_and_cut(q):
+    # WITH RECURSIVE must plan as a UnionLoop (per-level frontier
+    # joins, not a materialized cross product), and the per-node
+    # deepest-row cut must prune partially below its Exchange
+    df = q("q_sql_recursive")
+    p = plan_str(df, mode="simple")
+    assert "UnionLoop" in p, p
+    assert p.count("WindowGroupLimit") == 2, p
+
+
+def test_collocations_checkpointed_subtrees(q):
+    # the unigram and bigram count tables each feed a scalar AND a
+    # join: both are checkpointed (ExistingRDD), so the final plan
+    # contains no parquet scan at all and no re-derived count chain
+    df = q("q_text_collocations")
+    p = plan_str(df, mode="simple")
+    assert "ExistingRDD" in p, p
+    assert "FileScan" not in p, p
+
+
+def test_sql_pipe_lowers_to_classic_plan(q):
+    # the pipe dialect must lower to the same physical shape as the
+    # classic query: status filter pushed to the scan, one partial-
+    # aggregable groupBy Exchange plus the ORDER BY range Exchange
+    df = q("q_sql_pipe")
+    assert_pushed_filter(df, "EqualTo(o_orderstatus,F)")
+    p = plan_str(df, mode="simple")
+    assert p.count("Exchange") == 2, p
+    assert "HashAggregate" in p, p
+
+
+def test_sim_outliers_checkpointed_assignment(q):
+    # the assignment subtree feeds the median window AND the final
+    # join: it must be checkpointed (ExistingRDD, no parquet scan in
+    # the final plan), with ONE centroid-keyed Exchange and the K-row
+    # median table broadcast back
+    df = q("q_sim_outliers")
+    p = plan_str(df, mode="simple")
+    assert "ExistingRDD" in p, p
+    assert "FileScan" not in p, p
+    # one shuffle (the median window's centroid partitioning); the
+    # BroadcastExchange of the K-row median table is not a shuffle
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "BroadcastHashJoin" in p, p
