@@ -186,6 +186,7 @@ HEADLINE9 = [
     "q_sim_centroid_assign",
     "q_sql_pipe",
     "q_sim_outliers",
+    "q_sim_kmeans_update",
 ]
 
 

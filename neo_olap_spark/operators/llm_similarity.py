@@ -798,3 +798,71 @@ def q_sim_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_outlier"
         ),
     )
+
+
+@query(
+    "q_sim_kmeans_update",
+    oracle=f"""
+    WITH {_ASSIGN_CTES},
+    grid AS (
+      SELECT a.centroid, r.i AS pos, q.qv[r.i] AS v
+      FROM a JOIN q USING (vec_id), range(1, 65) r(i)
+    )
+    SELECT centroid, CAST(pos AS BIGINT) AS pos,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(v) AS BIGINT) AS sum_q,
+           CAST(CASE WHEN SUM(v) >= 0 THEN SUM(v) // COUNT(*)
+                     ELSE -((-SUM(v)) // COUNT(*)) END AS BIGINT) AS mean_q
+    FROM grid GROUP BY 1, 2
+    """,
+)
+def q_sim_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means UPDATE step — the other half of Lloyd's iteration: per
+    (cluster, dimension), the member count, exact integer coordinate
+    sum, and the truncated-toward-zero integer mean that becomes the
+    next centroid. Together with q_sim_centroid_assign this is one
+    full Lloyd round; a driver loop alternating the two (re-seeding
+    the assignment's centroid literals from this output) is the
+    complete distributed k-means, shaped exactly like the repo's
+    other iterative loops.
+
+    Exactness: coordinates are the micro-quantized integers of the
+    assignment key, so per-dim sums are exact in any order; the mean
+    is integer division truncated TOWARD ZERO in both engines (DuckDB
+    // floors, so negative sums go through the shared
+    negate-divide-negate form; Spark's ANSI div truncates natively —
+    the expression mirrors it exactly). Output is K×64 rows —
+    aggregate-sized regardless of corpus size.
+
+    Scale shape: the checkpointed assignment joins the integerized
+    vectors on vec_id (one shuffle of (id, centroid) against (id,
+    qv)), then posexplode fans each vector into (pos, v) pairs that
+    aggregate map-side into K×64 partials — the classic
+    big-in/small-out moment pass (the PCA anchor shape)."""
+    e = load(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * EMBED_QUANT + 0.5).cast("long"),
+    )
+    assign = centroid_assignments(spark, sf_dir).select("vec_id", "centroid")
+    vecs = e.select("vec_id", qv.alias("qv"))
+    grid = assign.join(vecs, "vec_id").select(
+        "centroid", F.posexplode("qv").alias("pos0", "v")
+    )
+    return (
+        grid.groupBy("centroid", (F.col("pos0") + 1).cast("long").alias("pos"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("v").cast("long").alias("sum_q"),
+        )
+        .select(
+            "centroid",
+            "pos",
+            "n_members",
+            "sum_q",
+            F.expr(
+                "CAST(CASE WHEN sum_q >= 0 THEN sum_q div n_members"
+                " ELSE -((-sum_q) div n_members) END AS BIGINT)"
+            ).alias("mean_q"),
+        )
+    )

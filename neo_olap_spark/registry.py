@@ -75,19 +75,19 @@ DRIVER_WAVE_ROTATION: tuple[str, ...] = (
     # round-10 wave. Composition (VERDICT r9 items 2+3): the two keys
     # whose PLAN changed after their latest driver record (containment
     # fixed r9 but sampled r8; sequence_match gained the journey cap
-    # this round — values unchanged, plan re-verified anyway), the TEN
+    # this round — values unchanged, plan re-verified anyway), the ELEVEN
     # r10-registered keys (first-wave records), then the r5 staleness
     # tier (computed from CORRECTNESS_r01..r09: every key whose latest
     # driver record is r5), machinery-heaviest first (the four
     # explicitly deferred from r9 lead), and one r6 slot for the
     # bench-drift-cluster key q_multimodal_resize. Budgeting: the
-    # eight post-first-batch r10 keys took the slots of the EIGHT
+    # nine post-first-batch r10 keys took the slots of the NINE
     # LEAST machinery-dependent r5 keys (bool, argmax, mode, tpch_q1,
-    # tpch_q6, downsample, histogram, calendar — single-aggregate /
+    # tpch_q6, downsample, histogram, calendar, collect_sorted — single-aggregate /
     # self-generating oracles, code untouched since r5; the
     # r9-endorsed first-wave-records-over-oldest-reverification
     # trade), which move to the r11 staleness ledger in NEXT.md.
-    # After this wave, those eight are the only keys whose latest
+    # After this wave, those nine are the only keys whose latest
     # driver record predates r6.
     "q_text_containment",
     "q_text_bm25",
@@ -100,12 +100,12 @@ DRIVER_WAVE_ROTATION: tuple[str, ...] = (
     "q_sim_centroid_assign",
     "q_sql_pipe",
     "q_sim_outliers",
+    "q_sim_kmeans_update",
     "q_events_sequence_match",
     "q_sessionize",
     "q_agg_histogram_eqdepth",
     "q_cohort_retention",
     "q_agg_heavy_hitters",
-    "q_agg_collect_sorted",
     "q_agg_cube",
     "q_agg_median",
     "q_agg_percentile_exact",

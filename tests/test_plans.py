@@ -960,3 +960,12 @@ def test_sim_outliers_checkpointed_assignment(q):
     # BroadcastExchange of the K-row median table is not a shuffle
     assert p.count("Exchange hashpartitioning") == 1, p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_kmeans_update_single_shuffle(q):
+    # the Lloyd update must be one id-keyed join feeding a map-side-
+    # combined (centroid, pos) aggregate: exactly ONE shuffle, no sort
+    df = q("q_sim_kmeans_update")
+    p = plan_str(df, mode="simple")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "SortMergeJoin" not in p, p
