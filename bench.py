@@ -187,6 +187,8 @@ HEADLINE9 = [
     "q_sql_pipe",
     "q_sim_outliers",
     "q_sim_kmeans_update",
+    "q_time_seasonal",
+    "q_quality_freshness",
 ]
 
 

@@ -3815,3 +3815,135 @@ def q_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, names=("orders",))
     return spark.sql(_PIPE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q_time_seasonal — trend/seasonal/residual decomposition (time family)
+# ---------------------------------------------------------------------------
+
+SEASONAL_TREND_HALF = 3  # 7-day centered rolling-mean trend window
+
+
+def _trunc_div(num: str, den: str, div: str) -> str:
+    """Integer division truncated TOWARD ZERO as shared SQL text —
+    DuckDB // floors (so negatives diverge) while Spark ANSI div
+    truncates; the negate-divide-negate form computes the identical
+    value under either semantic (the q_sim_kmeans_update precedent)."""
+    return (
+        f"CAST(CASE WHEN {num} >= 0 THEN ({num}) {div} ({den}) "
+        f"ELSE -((-({num})) {div} ({den})) END AS BIGINT)"
+    )
+
+
+def _seasonal_oracle() -> str:
+    trend = _trunc_div("fs", "fc", "//")
+    seas = _trunc_div("SUM(detr)", "COUNT(*)", "//")
+    return f"""
+    WITH c AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents0
+      FROM events WHERE value IS NOT NULL
+    ),
+    daily AS (
+      SELECT event_type, day, CAST(SUM(cents0) AS BIGINT) AS cents
+      FROM c GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT event_type, day, cents,
+             CAST(SUM(cents) OVER w AS BIGINT) AS fs,
+             CAST(COUNT(*) OVER w AS BIGINT) AS fc
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN {SEASONAL_TREND_HALF} PRECEDING
+                            AND {SEASONAL_TREND_HALF} FOLLOWING)
+    ),
+    dt AS (
+      SELECT event_type, day, cents, {trend} AS trend_q,
+             cents - {trend} AS detr
+      FROM tr
+    ),
+    se AS (
+      SELECT event_type, (day + 4) % 7 AS dow, {seas} AS seasonal_q
+      FROM dt GROUP BY 1, 2
+    )
+    SELECT dt.event_type, dt.day, dt.cents, dt.trend_q,
+           se.seasonal_q, dt.detr - se.seasonal_q AS residual_q
+    FROM dt JOIN se ON se.event_type = dt.event_type
+                   AND se.dow = (dt.day + 4) % 7
+    """
+
+
+@query("q_time_seasonal", oracle=_seasonal_oracle())
+def q_time_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend / seasonal / residual decomposition (STL-lite) of each
+    event type's daily revenue series — the decomposition a
+    forecasting or anomaly pipeline runs before modeling: trend as a
+    7-day centered rolling mean over observed days, day-of-week
+    seasonal as the mean of the detrended values per weekday, residual
+    as what's left. Completes the time family next to downsample /
+    interpolate / gap_fill / ewma / ohlc.
+
+    Exactness: daily totals are integer cents; BOTH means are integer
+    divisions truncated toward zero via the shared
+    negate-divide-negate form (DuckDB // floors, Spark div truncates —
+    the form agrees under either), so every output column is an exact
+    BIGINT; dow = (epoch_day + 4) % 7 on non-negative days (the
+    q_time_calendar rule).
+
+    Scale shape: one fact groupBy to the day-bounded daily table, one
+    series-keyed window, one (type, dow)-bounded aggregate broadcast
+    back; the detrended table feeds BOTH the seasonal aggregate and
+    the final join — localCheckpointed (shared-subtree rule; it is
+    day-bounded, not corpus-sized)."""
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    daily = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("ts").cast("long") / 86400).cast("long").alias("day"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents0"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents0").cast("long").alias("cents"))
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-SEASONAL_TREND_HALF, SEASONAL_TREND_HALF)
+    )
+    tr = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.sum("cents").over(w).cast("long").alias("fs"),
+        F.count(F.lit(1)).over(w).cast("long").alias("fc"),
+    )
+    trend = _trunc_div("fs", "fc", "div")
+    dt = tr.selectExpr(
+        "event_type",
+        "day",
+        "cents",
+        f"{trend} AS trend_q",
+        f"cents - {trend} AS detr",
+    ).localCheckpoint()  # feeds the seasonal aggregate AND the final join
+    se = (
+        dt.groupBy("event_type", ((F.col("day") + 4) % 7).alias("dow"))
+        .agg(F.sum("detr").alias("sdetr"), F.count(F.lit(1)).alias("ndetr"))
+        .selectExpr(
+            "event_type",
+            "dow",
+            f"{_trunc_div('sdetr', 'ndetr', 'div')} AS seasonal_q",
+        )
+    )
+    return (
+        dt.withColumn("dow", (F.col("day") + 4) % 7)
+        .join(F.broadcast(se), ["event_type", "dow"])
+        .select(
+            "event_type",
+            "day",
+            "cents",
+            "trend_q",
+            "seasonal_q",
+            (F.col("detr") - F.col("seasonal_q")).alias("residual_q"),
+        )
+    )

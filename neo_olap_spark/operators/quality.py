@@ -1178,3 +1178,107 @@ def q_privacy_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sensitive",
         (F.col("n_sensitive") >= LDIV_L).alias("l_diverse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_quality_freshness — per-series freshness / volume-drop audit
+# ---------------------------------------------------------------------------
+
+FRESH_STALE_DAYS = 2  # a series whose last event is older is stale
+FRESH_WINDOW_DAYS = 7  # trailing vs prior volume comparison window
+
+
+@query(
+    "q_quality_freshness",
+    oracle=f"""
+    WITH byday AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    anchor AS (SELECT CAST(MAX(day) AS BIGINT) AS max_day FROM byday)
+    SELECT event_type,
+           CAST(MAX(day) AS BIGINT) AS last_day,
+           CAST(ANY_VALUE(max_day) - MAX(day) AS BIGINT) AS lag_days,
+           ANY_VALUE(max_day) - MAX(day) >= {FRESH_STALE_DAYS} AS is_stale,
+           CAST(COALESCE(SUM(n) FILTER (
+             WHERE day > max_day - {FRESH_WINDOW_DAYS}), 0) AS BIGINT)
+             AS n_last7,
+           CAST(COALESCE(SUM(n) FILTER (
+             WHERE day <= max_day - {FRESH_WINDOW_DAYS}
+               AND day > max_day - {2 * FRESH_WINDOW_DAYS}), 0) AS BIGINT)
+             AS n_prev7,
+           CAST(CASE WHEN COALESCE(SUM(n) FILTER (
+                  WHERE day <= max_day - {FRESH_WINDOW_DAYS}
+                    AND day > max_day - {2 * FRESH_WINDOW_DAYS}), 0) > 0
+                THEN (COALESCE(SUM(n) FILTER (
+                       WHERE day > max_day - {FRESH_WINDOW_DAYS}), 0)
+                      * 1000000)
+                     // COALESCE(SUM(n) FILTER (
+                       WHERE day <= max_day - {FRESH_WINDOW_DAYS}
+                         AND day > max_day - {2 * FRESH_WINDOW_DAYS}), 0)
+                END AS BIGINT) AS volume_ratio_ppm
+    FROM byday CROSS JOIN anchor
+    GROUP BY event_type
+    """,
+)
+def q_quality_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series freshness and volume-drop audit — the on-call's
+    second question after q_time_backfill_gaps' "which partitions are
+    missing": has any event series gone QUIET (last event ≥
+    {FRESH_STALE_DAYS} days before the feed's global high-water mark)
+    or DROPPED (trailing {FRESH_WINDOW_DAYS}-day volume vs the prior
+    window, as an integer ppm ratio)? Anchoring on the feed's own max
+    day — never wall-clock now() — keeps the audit deterministic and
+    engine-exact (and is what a backfill-safe monitor wants anyway:
+    lag measured against the freshest data that DID arrive).
+
+    Scale shape: ONE fact groupBy to the (series, day)-bounded daily
+    table (localCheckpointed — it feeds the 1-row anchor AND the
+    per-series rollup, the shared-subtree rule), a broadcast of the
+    anchor, then a series-bounded aggregate with FILTER clauses — no
+    second fact scan, output bounded by the series count. The ratio
+    guards its zero denominator identically in both engines (ANSI div
+    raises; DuckDB // NULLs — landmine g)."""
+    byday = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.floor(F.col("ts").cast("long") / 86400).cast("long").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()  # feeds the anchor AND the rollup
+    )
+    anchor = byday.agg(F.max("day").alias("max_day"))
+    last7 = F.when(
+        F.col("day") > F.col("max_day") - FRESH_WINDOW_DAYS, F.col("n")
+    )
+    prev7 = F.when(
+        (F.col("day") <= F.col("max_day") - FRESH_WINDOW_DAYS)
+        & (F.col("day") > F.col("max_day") - 2 * FRESH_WINDOW_DAYS),
+        F.col("n"),
+    )
+    g = (
+        byday.crossJoin(F.broadcast(anchor))
+        .groupBy("event_type")
+        .agg(
+            F.max("day").alias("last_day"),
+            (F.first("max_day") - F.max("day")).alias("lag_days"),
+            F.coalesce(F.sum(last7), F.lit(0)).cast("long").alias("n_last7"),
+            F.coalesce(F.sum(prev7), F.lit(0)).cast("long").alias("n_prev7"),
+        )
+    )
+    return g.select(
+        "event_type",
+        "last_day",
+        "lag_days",
+        (F.col("lag_days") >= FRESH_STALE_DAYS).alias("is_stale"),
+        "n_last7",
+        "n_prev7",
+        F.expr(
+            "CAST(CASE WHEN n_prev7 > 0 THEN (n_last7 * 1000000) div n_prev7 "
+            "END AS BIGINT)"
+        ).alias("volume_ratio_ppm"),
+    )

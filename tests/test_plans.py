@@ -969,3 +969,24 @@ def test_kmeans_update_single_shuffle(q):
     p = plan_str(df, mode="simple")
     assert p.count("Exchange hashpartitioning") == 1, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_seasonal_checkpointed_detrended(q):
+    # the detrended table feeds the seasonal aggregate AND the final
+    # join: checkpointed (ExistingRDD, no parquet scan in the final
+    # plan), one dow-keyed shuffle, seasonal table broadcast back
+    df = q("q_time_seasonal")
+    p = plan_str(df, mode="simple")
+    assert "ExistingRDD" in p and "FileScan" not in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_freshness_single_fact_pass(q):
+    # byday feeds the anchor AND the rollup: checkpointed, so the
+    # final plan has no fact scan; the 1-row anchor broadcasts and
+    # the only shuffle is the series-bounded rollup
+    df = q("q_quality_freshness")
+    p = plan_str(df, mode="simple")
+    assert "ExistingRDD" in p and "FileScan" not in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
