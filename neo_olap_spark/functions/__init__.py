@@ -155,3 +155,17 @@ def money_sum(col):
     self-contained artifact the driver can run verbatim."""
     c = col if isinstance(col, Column) else F.col(col)
     return F.sum(F.floor(c * 100 + F.lit(0.5)).cast("long")).cast("double") / 100.0
+
+
+def trunc_div_sql(num: str, den: str, div: str) -> str:
+    """Integer division truncated TOWARD ZERO as shared SQL text —
+    DuckDB ``//`` floors (so negatives diverge) while Spark ANSI
+    ``div`` truncates; the negate-divide-negate form computes the
+    identical value under either semantic. ``div`` is the dialect's
+    operator: ``'div'`` for Spark expressions, ``'//'`` for DuckDB
+    oracles. ONE definition for every consumer (kmeans update,
+    seasonal decomposition — round-10 self-review)."""
+    return (
+        f"CAST(CASE WHEN {num} >= 0 THEN ({num}) {div} ({den}) "
+        f"ELSE -((-({num})) {div} ({den})) END AS BIGINT)"
+    )

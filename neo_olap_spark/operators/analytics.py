@@ -3825,14 +3825,11 @@ SEASONAL_TREND_HALF = 3  # 7-day centered rolling-mean trend window
 
 
 def _trunc_div(num: str, den: str, div: str) -> str:
-    """Integer division truncated TOWARD ZERO as shared SQL text —
-    DuckDB // floors (so negatives diverge) while Spark ANSI div
-    truncates; the negate-divide-negate form computes the identical
-    value under either semantic (the q_sim_kmeans_update precedent)."""
-    return (
-        f"CAST(CASE WHEN {num} >= 0 THEN ({num}) {div} ({den}) "
-        f"ELSE -((-({num})) {div} ({den})) END AS BIGINT)"
-    )
+    """Shared truncate-toward-zero integer division — one definition
+    in functions.trunc_div_sql (round-10 self-review)."""
+    from neo_olap_spark.functions import trunc_div_sql
+
+    return trunc_div_sql(num, den, div)
 
 
 def _seasonal_oracle() -> str:

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from neo_olap_spark.functions import trunc_div_sql
 from neo_olap_spark.registry import query
 from neo_olap_spark.tables import load
 
@@ -661,12 +662,20 @@ _ASSIGN_CTES = f"""
 """
 
 
-def centroid_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, centroid, dist_q) nearest-centroid assignment — the
-    shared implementation behind q_sim_centroid_assign and
-    q_sim_outliers (one definition so the outlier tier can never
-    drift from the assignment it audits). See q_sim_centroid_assign
-    for the exactness and zero-shuffle scale arguments."""
+def centroid_assignments(
+    spark: SparkSession, sf_dir: str, with_qv: bool = False
+) -> DataFrame:
+    """(vec_id, centroid, dist_q[, qv]) nearest-centroid assignment —
+    the shared implementation behind q_sim_centroid_assign,
+    q_sim_outliers, and q_sim_kmeans_update (one definition so the
+    downstream tiers can never drift from the assignment they build
+    on). ``with_qv=True`` additionally emits the micro-quantized
+    integer vector, still from the SAME single scan — the update step
+    consumes it without a second embeddings scan or a corpus-sized
+    join (round-10 self-review: the first cut joined assignment back
+    to a second scan, a broadcast of the full corpus at scale). See
+    q_sim_centroid_assign for the exactness and zero-shuffle scale
+    arguments."""
     e = load(spark, sf_dir, "embeddings")
     qv = F.transform(
         "embedding",
@@ -700,8 +709,10 @@ def centroid_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ),
     )
+    extra = [F.col("qv")] if with_qv else []
     return e.select(
         "vec_id",
+        qv.alias("qv"),
         dists.alias("dists"),
     ).select(
         "vec_id",
@@ -709,6 +720,7 @@ def centroid_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("centroid"),
         F.array_min(F.col("dists")).alias("dist_q"),
+        *extra,
     )
 
 
@@ -822,8 +834,7 @@ def q_sim_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT centroid, CAST(pos AS BIGINT) AS pos,
            CAST(COUNT(*) AS BIGINT) AS n_members,
            CAST(SUM(v) AS BIGINT) AS sum_q,
-           CAST(CASE WHEN SUM(v) >= 0 THEN SUM(v) // COUNT(*)
-                     ELSE -((-SUM(v)) // COUNT(*)) END AS BIGINT) AS mean_q
+           {trunc_div_sql("SUM(v)", "COUNT(*)", "//")} AS mean_q
     FROM grid GROUP BY 1, 2
     """,
 )
@@ -839,41 +850,34 @@ def q_sim_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: coordinates are the micro-quantized integers of the
     assignment key, so per-dim sums are exact in any order; the mean
-    is integer division truncated TOWARD ZERO in both engines (DuckDB
-    // floors, so negative sums go through the shared
-    negate-divide-negate form; Spark's ANSI div truncates natively —
-    the expression mirrors it exactly). Output is K×64 rows —
-    aggregate-sized regardless of corpus size.
+    is integer division truncated TOWARD ZERO in both engines via the
+    shared trunc_div_sql form (DuckDB // floors, Spark ANSI div
+    truncates — the negate-divide-negate text agrees under either).
+    Output is K×64 rows — aggregate-sized regardless of corpus size.
 
-    Scale shape: the checkpointed assignment joins the integerized
-    vectors on vec_id (one shuffle of (id, centroid) against (id,
-    qv)), then posexplode fans each vector into (pos, v) pairs that
-    aggregate map-side into K×64 partials — the classic
-    big-in/small-out moment pass (the PCA anchor shape)."""
-    e = load(spark, sf_dir, "embeddings")
-    qv = F.transform(
-        "embedding",
-        lambda x: F.floor(x.cast("double") * EMBED_QUANT + 0.5).cast("long"),
-    )
-    assign = centroid_assignments(spark, sf_dir).select("vec_id", "centroid")
-    vecs = e.select("vec_id", qv.alias("qv"))
-    grid = assign.join(vecs, "vec_id").select(
-        "centroid", F.posexplode("qv").alias("pos0", "v")
-    )
+    Scale shape: ZERO joins — centroid_assignments(with_qv=True)
+    emits (vec_id, centroid, qv) from ONE embeddings scan (the
+    assignment is a per-row projection, so the integerized vector
+    rides along for free); posexplode fans each vector into (pos, v)
+    pairs that aggregate map-side into K×64 partials — the classic
+    big-in/small-out moment pass (the PCA anchor shape), one shuffle
+    total (plan-pinned: no Join node, one fact scan, one Exchange).
+    The first cut joined the assignment back to a SECOND embeddings
+    scan — a broadcast of the full corpus at scale; killed by the
+    round-10 self-review."""
+    a = centroid_assignments(spark, sf_dir, with_qv=True)
+    grid = a.select("centroid", F.posexplode("qv").alias("pos0", "v"))
     return (
         grid.groupBy("centroid", (F.col("pos0") + 1).cast("long").alias("pos"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_members"),
             F.sum("v").cast("long").alias("sum_q"),
         )
-        .select(
+        .selectExpr(
             "centroid",
             "pos",
             "n_members",
             "sum_q",
-            F.expr(
-                "CAST(CASE WHEN sum_q >= 0 THEN sum_q div n_members"
-                " ELSE -((-sum_q) div n_members) END AS BIGINT)"
-            ).alias("mean_q"),
+            f"{trunc_div_sql('sum_q', 'n_members', 'div')} AS mean_q",
         )
     )

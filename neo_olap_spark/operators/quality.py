@@ -1197,30 +1197,27 @@ FRESH_WINDOW_DAYS = 7  # trailing vs prior volume comparison window
              CAST(COUNT(*) AS BIGINT) AS n
       FROM events GROUP BY 1, 2
     ),
-    anchor AS (SELECT CAST(MAX(day) AS BIGINT) AS max_day FROM byday)
-    SELECT event_type,
-           CAST(MAX(day) AS BIGINT) AS last_day,
-           CAST(ANY_VALUE(max_day) - MAX(day) AS BIGINT) AS lag_days,
-           ANY_VALUE(max_day) - MAX(day) >= {FRESH_STALE_DAYS} AS is_stale,
-           CAST(COALESCE(SUM(n) FILTER (
-             WHERE day > max_day - {FRESH_WINDOW_DAYS}), 0) AS BIGINT)
-             AS n_last7,
-           CAST(COALESCE(SUM(n) FILTER (
-             WHERE day <= max_day - {FRESH_WINDOW_DAYS}
-               AND day > max_day - {2 * FRESH_WINDOW_DAYS}), 0) AS BIGINT)
-             AS n_prev7,
-           CAST(CASE WHEN COALESCE(SUM(n) FILTER (
-                  WHERE day <= max_day - {FRESH_WINDOW_DAYS}
-                    AND day > max_day - {2 * FRESH_WINDOW_DAYS}), 0) > 0
-                THEN (COALESCE(SUM(n) FILTER (
-                       WHERE day > max_day - {FRESH_WINDOW_DAYS}), 0)
-                      * 1000000)
-                     // COALESCE(SUM(n) FILTER (
-                       WHERE day <= max_day - {FRESH_WINDOW_DAYS}
-                         AND day > max_day - {2 * FRESH_WINDOW_DAYS}), 0)
+    anchor AS (SELECT CAST(MAX(day) AS BIGINT) AS max_day FROM byday),
+    g AS (
+      SELECT event_type,
+             CAST(MAX(day) AS BIGINT) AS last_day,
+             CAST(ANY_VALUE(max_day) - MAX(day) AS BIGINT) AS lag_days,
+             CAST(COALESCE(SUM(n) FILTER (
+               WHERE day > max_day - {FRESH_WINDOW_DAYS}), 0) AS BIGINT)
+               AS n_last7,
+             CAST(COALESCE(SUM(n) FILTER (
+               WHERE day <= max_day - {FRESH_WINDOW_DAYS}
+                 AND day > max_day - {2 * FRESH_WINDOW_DAYS}), 0) AS BIGINT)
+               AS n_prev7
+      FROM byday CROSS JOIN anchor
+      GROUP BY event_type
+    )
+    SELECT event_type, last_day, lag_days,
+           lag_days >= {FRESH_STALE_DAYS} AS is_stale,
+           n_last7, n_prev7,
+           CAST(CASE WHEN n_prev7 > 0 THEN (n_last7 * 1000000) // n_prev7
                 END AS BIGINT) AS volume_ratio_ppm
-    FROM byday CROSS JOIN anchor
-    GROUP BY event_type
+    FROM g
     """,
 )
 def q_quality_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:

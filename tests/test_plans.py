@@ -962,13 +962,18 @@ def test_sim_outliers_checkpointed_assignment(q):
     assert "BroadcastHashJoin" in p, p
 
 
-def test_kmeans_update_single_shuffle(q):
-    # the Lloyd update must be one id-keyed join feeding a map-side-
-    # combined (centroid, pos) aggregate: exactly ONE shuffle, no sort
+def test_kmeans_update_single_scan_no_join(q):
+    # the Lloyd update must be ZERO joins: the assignment emits the
+    # integerized vector from the SAME scan (with_qv), so the plan is
+    # one fact scan -> posexplode -> one map-side-combined (centroid,
+    # pos) aggregate shuffle. A Join node here means the corpus was
+    # re-scanned and broadcast/shuffled K-fold (the first-cut defect
+    # the round-10 self-review killed).
     df = q("q_sim_kmeans_update")
     p = plan_str(df, mode="simple")
     assert p.count("Exchange hashpartitioning") == 1, p
-    assert "SortMergeJoin" not in p, p
+    assert "Join" not in p, p
+    assert p.count("FileScan") == 1, p
 
 
 def test_seasonal_checkpointed_detrended(q):
