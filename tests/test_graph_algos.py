@@ -493,3 +493,24 @@ def test_hits_checkpoint_raw_agrees(spark, sf_dir):
     for node in a:
         assert abs(a[node][0] - b[node][0]) <= 1e-5, (node, a[node], b[node])
         assert abs(a[node][1] - b[node][1]) <= 1e-5, (node, a[node], b[node])
+
+
+def test_edge_count_hint_releases_cache_on_failure(spark):
+    """The n_edges=None fallback must unpersist its edge cache even
+    when the loop body raises (round-9 ADVICE: the old hits() shape
+    pinned the cache for the session on a pre-loop failure)."""
+    import pytest
+
+    from neo_olap_spark.operators.graph_algos import _edge_count_hint
+
+    df = spark.range(100).selectExpr("id AS src", "id + 1 AS dst")
+    with pytest.raises(RuntimeError, match="boom"):
+        with _edge_count_hint(df, None) as (cached, n):
+            assert n == 100
+            assert cached.storageLevel.useMemory  # persisted for reuse
+            raise RuntimeError("boom")
+    assert not cached.storageLevel.useMemory  # released on the error path
+    # the n_edges-provided path must not persist anything
+    with _edge_count_hint(df, 42) as (same, n):
+        assert same is df and n == 42
+        assert not df.storageLevel.useMemory

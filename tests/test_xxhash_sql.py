@@ -66,3 +66,25 @@ def test_duckdb_pipeline_matches_python(inputs):
             for e, t in inputs
         ]
         assert h == spark_xxhash64(vals), (i, l, inputs)
+
+
+def test_trunc_div_sql_negatives_agree_cross_engine(spark):
+    """trunc_div_sql must compute the IDENTICAL value under DuckDB //
+    (floor) and Spark ANSI div (truncate) — the negate-divide-negate
+    form exists exactly for the negative-numerator case where the two
+    operators diverge (floor(-7/2) = -4 vs trunc(-7/2) = -3)."""
+    import duckdb
+
+    from neo_olap_spark.functions import trunc_div_sql
+
+    cases = [(-7, 2), (7, 2), (-7, 7), (-1, 3), (0, 5), (-100, 3), (99, 100)]
+    spark_rows = spark.createDataFrame(cases, "num long, den long").selectExpr(
+        "num", "den", f"{trunc_div_sql('num', 'den', 'div')} AS q"
+    ).collect()
+    con = duckdb.connect()
+    for r in spark_rows:
+        (dq,) = con.execute(
+            f"SELECT {trunc_div_sql(str(r.num), str(r.den), '//')}"
+        ).fetchone()
+        want = int(r.num / r.den) if r.den else None  # python trunc division
+        assert r.q == dq == want, (r.num, r.den, r.q, dq, want)
