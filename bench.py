@@ -189,6 +189,7 @@ HEADLINE9 = [
     "q_sim_kmeans_update",
     "q_time_seasonal",
     "q_quality_freshness",
+    "q_anomaly_cusum",
 ]
 
 

@@ -3944,3 +3944,120 @@ def q_time_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("detr") - F.col("seasonal_q")).alias("residual_q"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_anomaly_cusum — CUSUM level-shift (changepoint) detection
+# ---------------------------------------------------------------------------
+
+CUSUM_THRESH_CENTS = 50_000  # mean |cumulative deviation| flag level
+
+
+@query(
+    "q_anomaly_cusum",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, day, cents,
+             CAST(SUM(cents) OVER (PARTITION BY event_type ORDER BY day
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS prefix,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                  AS BIGINT) AS t,
+             CAST(SUM(cents) OVER (PARTITION BY event_type) AS BIGINT)
+               AS total,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+               AS n_days
+      FROM daily
+    ),
+    dev AS (
+      SELECT event_type, day, n_days,
+             n_days * prefix - t * total AS cum_dev_xn
+      FROM c
+    )
+    SELECT event_type,
+           CAST(MIN(day) FILTER (WHERE ABS(cum_dev_xn) = mx) AS BIGINT)
+             AS cp_day,
+           CAST(ANY_VALUE(mx) AS BIGINT) AS max_absdev_xn,
+           CAST(ANY_VALUE(n_days) AS BIGINT) AS n_days,
+           ANY_VALUE(mx) > {CUSUM_THRESH_CENTS} * ANY_VALUE(n_days)
+             AS level_shift
+    FROM (SELECT *, MAX(ABS(cum_dev_xn)) OVER (PARTITION BY event_type)
+                      AS mx FROM dev)
+    GROUP BY event_type
+    """,
+)
+def q_anomaly_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event series — the LEVEL-SHIFT
+    monitor completing the anomaly tier: q_anomaly_zscore/q_anomaly_mad
+    flag POINT outliers and q_quality_psi/ks flag DISTRIBUTION drift,
+    but a step change in the daily mean (a deploy, a pricing change, a
+    silent partial outage) is exactly what the classic CUSUM statistic
+    C_t = Σ_{{i<=t}} (x_i − μ) localizes: |C_t| peaks AT the
+    changepoint. Reported per series: the argmax day, the peak
+    magnitude, and a threshold flag.
+
+    Exactness: μ = total/n never divides — the statistic is carried
+    CROSS-MULTIPLIED as n·prefix_t − t·total (exact BIGINTs; daily
+    cents ≤1e9, n ≤1e5 → <1e14, far under int64), the argmax tie-break
+    is the smallest day, and the flag compares n-scaled magnitudes
+    (peak > THRESH·n both sides — no division anywhere).
+
+    Scale shape: one fact-groupBy Exchange to the day-bounded daily
+    table, then ONE series-keyed Exchange serving the prefix-sum
+    window, the per-series total/count windows, the peak window, AND
+    the final per-series aggregate (all partition on event_type — the
+    gini shared-partitioning pattern; exactly two Exchanges total,
+    plan-pinned); output is one row per series."""
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    daily = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("ts").cast("long") / 86400).cast("long").alias("day"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents0"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents0").cast("long").alias("cents"))
+    )
+    wo = W.partitionBy("event_type").orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wp = W.partitionBy("event_type")
+    dev = daily.select(
+        "event_type",
+        "day",
+        F.count(F.lit(1)).over(wp).cast("long").alias("n_days"),
+        (
+            F.count(F.lit(1)).over(wp) * F.sum("cents").over(wo)
+            - F.row_number().over(W.partitionBy("event_type").orderBy("day"))
+            * F.sum("cents").over(wp)
+        ).cast("long").alias("cum_dev_xn"),
+    )
+    peak = dev.withColumn(
+        "mx", F.max(F.abs(F.col("cum_dev_xn"))).over(wp)
+    )
+    return (
+        peak.groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(F.abs(F.col("cum_dev_xn")) == F.col("mx"), F.col("day"))
+            ).alias("cp_day"),
+            F.first("mx").cast("long").alias("max_absdev_xn"),
+            F.first("n_days").cast("long").alias("n_days"),
+        )
+        .select(
+            "event_type",
+            "cp_day",
+            "max_absdev_xn",
+            "n_days",
+            (
+                F.col("max_absdev_xn") > CUSUM_THRESH_CENTS * F.col("n_days")
+            ).alias("level_shift"),
+        )
+    )

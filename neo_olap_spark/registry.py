@@ -71,20 +71,20 @@ DRIVER_WAVE_ROTATION: tuple[str, ...] = (
     # round-10 wave. Composition (VERDICT r9 items 2+3): the two keys
     # whose PLAN changed after their latest driver record (containment
     # fixed r9 but sampled r8; sequence_match gained the journey cap
-    # this round — values unchanged, plan re-verified anyway), the THIRTEEN
+    # this round — values unchanged, plan re-verified anyway), the FOURTEEN
     # r10-registered keys (first-wave records), then the r5 staleness
     # tier (computed from CORRECTNESS_r01..r09: every key whose latest
     # driver record is r5), machinery-heaviest first (the four
     # explicitly deferred from r9 lead), and one r6 slot for the
     # bench-drift-cluster key q_multimodal_resize. Budgeting: the
-    # eleven post-first-batch r10 keys took the slots of the ELEVEN
+    # twelve post-first-batch r10 keys took the slots of the TWELVE
     # LEAST machinery-dependent r5 keys (bool, argmax, mode, tpch_q1,
     # tpch_q6, downsample, histogram, calendar, collect_sorted,
-    # unpivot, pivot — single-aggregate / reshape / self-generating
+    # unpivot, pivot, sql_surface — single-aggregate / plain-SQL-text /
     # oracles, code untouched since r5; the
     # r9-endorsed first-wave-records-over-oldest-reverification
     # trade), which move to the r11 staleness ledger in NEXT.md.
-    # After this wave, those eleven are the only keys whose latest
+    # After this wave, those twelve are the only keys whose latest
     # driver record predates r6.
     "q_text_containment",
     "q_text_bm25",
@@ -100,6 +100,7 @@ DRIVER_WAVE_ROTATION: tuple[str, ...] = (
     "q_sim_kmeans_update",
     "q_time_seasonal",
     "q_quality_freshness",
+    "q_anomaly_cusum",
     "q_events_sequence_match",
     "q_sessionize",
     "q_agg_histogram_eqdepth",
@@ -121,7 +122,6 @@ DRIVER_WAVE_ROTATION: tuple[str, ...] = (
     "q_join_salted",
     "q_profile_stats",
     "q_sql_params",
-    "q_sql_surface",
     "q_sql_tpch_q10",
     "q_sql_tpch_q14",
     "q_sql_tpch_q19",

@@ -995,3 +995,13 @@ def test_freshness_single_fact_pass(q):
     p = plan_str(df, mode="simple")
     assert "ExistingRDD" in p and "FileScan" not in p, p
     assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_cusum_shared_series_partitioning(q):
+    # the daily groupBy is one Exchange; EVERYTHING after it (prefix
+    # window, total/count windows, peak window, final aggregate) must
+    # share the single series-keyed Exchange — exactly two total
+    df = q("q_anomaly_cusum")
+    p = plan_str(df, mode="simple")
+    assert p.count("Exchange hashpartitioning") == 2, p
+    assert "Join" not in p, p
