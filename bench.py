@@ -190,6 +190,18 @@ HEADLINE9 = [
     "q_time_seasonal",
     "q_quality_freshness",
     "q_anomaly_cusum",
+    "q_events_rfm",
+    "q_basket_lift",
+    "q_privacy_tcloseness",
+    "q_time_acf",
+    "q_text_zipf",
+    "q_feature_woe",
+    "q_quality_abtest",
+    "q_agg_hhi",
+    "q_sim_silhouette",
+    "q_join_dpp",
+    "q_sql_lateral",
+    "q_events_funnel_time",
 ]
 
 

@@ -4061,3 +4061,411 @@ def q_anomaly_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("level_shift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_events_rfm — RFM quintile segmentation (recency / frequency / monetary)
+# ---------------------------------------------------------------------------
+
+RFM_NTILES = 5
+
+
+@query(
+    "q_events_rfm",
+    oracle=f"""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(MAX(FLOOR(epoch(o_orderdate) / 86400)) AS BIGINT) AS last_day,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    anchor AS (SELECT CAST(MAX(last_day) AS BIGINT) AS max_day FROM cust),
+    scored AS (
+      SELECT c_mktsegment,
+             CAST(max_day - last_day AS BIGINT) AS recency_days,
+             frequency, monetary_cents, o_custkey,
+             CAST(NTILE({RFM_NTILES}) OVER (PARTITION BY c_mktsegment
+                    ORDER BY max_day - last_day, o_custkey) AS BIGINT) AS r_q,
+             CAST(NTILE({RFM_NTILES}) OVER (PARTITION BY c_mktsegment
+                    ORDER BY frequency DESC, o_custkey) AS BIGINT) AS f_q,
+             CAST(NTILE({RFM_NTILES}) OVER (PARTITION BY c_mktsegment
+                    ORDER BY monetary_cents DESC, o_custkey) AS BIGINT) AS m_q
+      FROM cust
+      JOIN customer ON o_custkey = c_custkey
+      CROSS JOIN anchor
+    )
+    SELECT c_mktsegment, r_q, f_q, m_q,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary_cents) AS BIGINT) AS monetary_cents,
+           CAST(MIN(recency_days) AS BIGINT) AS best_recency_days
+    FROM scored
+    GROUP BY c_mktsegment, r_q, f_q, m_q
+    """,
+)
+def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic CRM / growth-analytics cut: each
+    customer scored by Recency (days since last order, anchored on the
+    feed's own max order day — never wall-clock, the freshness-key
+    rule), Frequency (order count), and Monetary (exact lifetime
+    cents), each bucketed into quintiles WITHIN the customer's market
+    segment, then rolled up to segment×(R,F,M) cell counts. Quintile 1
+    is best on every axis ((1,1,1) = champions, (5,5,5) = lost).
+
+    Exactness: money is integer cents (money_sum rule), recency is an
+    integer day difference, and every NTILE rides a TOTAL order
+    (metric, then custkey) so bucket boundaries are engine-identical.
+
+    Scale shape: one fact groupBy(o_custkey) Exchange builds the
+    per-customer triple, localCheckpointed because it feeds BOTH the
+    anchor scalar and the join (the shared-subtree rule);
+    the customer dimension joins on the SAME key;
+    then ONE segment-keyed Exchange serves all three NTILE windows
+    (same partitionBy, three sort orders — the gini shared-Exchange
+    discipline); the final rollup is a map-side-combined aggregate
+    over the ≤ |segments|·{RFM_NTILES}³ cell domain. Per-segment
+    windows bound the sort partitions the way q_agg_gini's do; at
+    extreme customer cardinality swap the NTILE for pre-aggregated
+    exact-percentile breakpoints (q_agg_percentile_exact's shape)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.floor(F.col("o_orderdate").cast("timestamp").cast("long") / 86400))
+            .cast("long")
+            .alias("last_day"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+        .localCheckpoint()  # feeds the anchor scalar AND the join
+    )
+    anchor = cust.agg(F.max("last_day").alias("max_day"))
+    seg = W.partitionBy("c_mktsegment")
+    scored = (
+        cust.join(c, cust.o_custkey == c.c_custkey)
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "c_mktsegment",
+            (F.col("max_day") - F.col("last_day")).cast("long").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+            "o_custkey",
+        )
+        .select(
+            "c_mktsegment",
+            "recency_days",
+            "monetary_cents",
+            F.ntile(RFM_NTILES)
+            .over(seg.orderBy("recency_days", "o_custkey"))
+            .cast("long")
+            .alias("r_q"),
+            F.ntile(RFM_NTILES)
+            .over(seg.orderBy(F.col("frequency").desc(), "o_custkey"))
+            .cast("long")
+            .alias("f_q"),
+            F.ntile(RFM_NTILES)
+            .over(seg.orderBy(F.col("monetary_cents").desc(), "o_custkey"))
+            .cast("long")
+            .alias("m_q"),
+        )
+    )
+    return scored.groupBy("c_mktsegment", "r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("monetary_cents").cast("long").alias("monetary_cents"),
+        F.min("recency_days").cast("long").alias("best_recency_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_time_acf — autocorrelation function per series (lags 1..7)
+# ---------------------------------------------------------------------------
+
+ACF_MAX_LAG = 7
+
+_ACF_CORR = _corr_micro_expr("sx", "sy", "sxx", "syy", "sxy")
+
+
+@query(
+    "q_time_acf",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, cents AS y,
+             {", ".join(f"LAG(cents, {L}) OVER w AS x{L}" for L in range(1, ACF_MAX_LAG + 1))}
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    pairs AS (
+      {" UNION ALL ".join(
+        f"SELECT event_type, CAST({L} AS BIGINT) AS lag, x{L} AS x, y "
+        f"FROM lagged WHERE x{L} IS NOT NULL"
+        for L in range(1, ACF_MAX_LAG + 1)
+      )}
+    ),
+    s AS (
+      SELECT event_type, lag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT event_type, lag, CAST(n AS BIGINT) AS n_pairs,
+           {_ACF_CORR} AS acf_micro
+    FROM s
+    """,
+)
+def q_time_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function per event series, lags 1..{ACF_MAX_LAG}
+    — the seasonality/persistence diagnostic that tells a forecaster
+    WHICH structure the series carries (a lag-7 peak = weekly cycle,
+    slow decay = trend) before q_time_seasonal commits to a period;
+    complements q_window_rolling_corr (local lag-1 in a moving window)
+    with the series-global view at every lag. ACF here is the sample
+    Pearson correlation of (x_t, x_{{t+L}}) over observed consecutive
+    observations (lag counts OBSERVATIONS, not calendar days — run
+    q_time_gap_fill first for strict calendar lags).
+
+    Exactness: daily revenue is exact integer cents; all {ACF_MAX_LAG}
+    lag columns come from ONE ordered window pass; moment sums
+    accumulate in 128-bit (cents² sums wrap int64 at scale — the
+    corr_matrix scheme), convert to double once, and the correlation
+    is the SAME shared micro expression q_agg_corr_matrix parses in
+    both engines.
+
+    Scale shape: one fact groupBy Exchange to the day-bounded daily
+    table; ONE series-keyed Exchange serves the single Window that
+    computes every lag (same partition+order → one sort); the stack
+    unpivot is a projection (×{ACF_MAX_LAG} fan-out of day-bounded
+    rows); and the final (series, lag) aggregate REUSES the series
+    partitioning (grouping keys are a superset — the rfm/gini rule).
+    Exactly two Exchanges move data; output is series×{ACF_MAX_LAG}
+    rows."""
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    daily = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("ts").cast("long") / 86400).cast("long").alias("day"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents0"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents0").cast("long").alias("cents"))
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        F.col("cents").alias("y"),
+        *[F.lag("cents", L).over(w).alias(f"x{L}") for L in range(1, ACF_MAX_LAG + 1)],
+    )
+    stack_args = ", ".join(
+        f"CAST({L} AS BIGINT), x{L}" for L in range(1, ACF_MAX_LAG + 1)
+    )
+    pairs = lagged.selectExpr(
+        "event_type", "y", f"stack({ACF_MAX_LAG}, {stack_args}) AS (lag, x)"
+    ).where(F.col("x").isNotNull())
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    s = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * F.col("x")).cast("double").alias("sxx"),
+        F.sum(yd * F.col("y")).cast("double").alias("syy"),
+        F.sum(xd * F.col("y")).cast("double").alias("sxy"),
+    )
+    return s.select(
+        "event_type",
+        "lag",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.expr(_ACF_CORR).alias("acf_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_feature_woe — weight-of-evidence feature binning vs a binary target
+# ---------------------------------------------------------------------------
+
+# WOE with +1 Laplace smoothing, micro-quantized: ln of each BARE
+# integer (the collocations sum-of-logs discipline — products like
+# (g+1)*(B+K) never form inside the ln), double literals scientific.
+_WOE_MICRO = (
+    "CAST(FLOOR((ln((n_good + 1) * 1.0e0) - ln((n_bad + 1) * 1.0e0)"
+    " - ln((g_tot + n_bands) * 1.0e0) + ln((b_tot + n_bands) * 1.0e0))"
+    " * 1.0e6 + 0.5e0) AS BIGINT)"
+)
+
+
+@query(
+    "q_feature_woe",
+    oracle=f"""
+    WITH t AS (
+      SELECT c_custkey,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS band,
+             CASE WHEN EXISTS (
+               SELECT 1 FROM orders
+               WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+             ) THEN 1 ELSE 0 END AS y
+      FROM customer
+    ),
+    cells AS (
+      SELECT band,
+             CAST(SUM(y) AS BIGINT) AS n_good,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_bad
+      FROM t GROUP BY band
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_good) AS BIGINT) AS g_tot,
+             CAST(SUM(n_bad) AS BIGINT) AS b_tot,
+             CAST(COUNT(*) AS BIGINT) AS n_bands
+      FROM cells
+    )
+    SELECT band, n_good, n_bad,
+           CAST(((n_good + 1) * 1000000) // (g_tot + n_bands) AS BIGINT)
+             AS dist_good_ppm,
+           CAST(((n_bad + 1) * 1000000) // (b_tot + n_bands) AS BIGINT)
+             AS dist_bad_ppm,
+           {_WOE_MICRO} AS woe_micro
+    FROM cells CROSS JOIN tot
+    """,
+)
+def q_feature_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence feature binning — the credit-scoring /
+    risk-modeling encoding next to q_feature_target_enc's mean
+    encoding: per account-balance band (the kanon banding), the
+    smoothed log-odds ratio ln((g_i/G)/(b_i/B)) of a binary target
+    (customer has placed a 1-URGENT order). Positive WOE = band
+    over-indexes on the target; the full table is the reject-inference
+    scorecard input, and Σ(share_g − share_b)·WOE (the information
+    value) is one exact derivation away from these columns.
+
+    Exactness: counts are exact integers; +1 Laplace smoothing keeps
+    empty cells finite and is folded into ONE shared sum-of-logs micro
+    expression on bare integers (no count products inside the ln —
+    the collocations discipline); the share columns are positive-only
+    integer-division ppm.
+
+    Scale shape: the target derives from a semi-join-shaped EXISTS
+    (Spark side: groupBy(o_custkey) on the urgent-filtered orders,
+    left join on the customer key — the filter prunes the orders scan
+    first); ONE groupBy to the band-domain-bounded cell table,
+    localCheckpointed (it feeds the totals scalar AND the output
+    projection); the totals broadcast back. Output is one row per
+    band."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    urgent = (
+        o.where(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.lit(1).alias("y1"))
+    )
+    t = c.join(urgent, c.c_custkey == urgent.o_custkey, "left").select(
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("band"),
+        F.coalesce(F.col("y1"), F.lit(0)).alias("y"),
+    )
+    cells = (
+        t.groupBy("band")
+        .agg(
+            F.sum("y").cast("long").alias("n_good"),
+            (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("n_bad"),
+        )
+        .localCheckpoint()  # band-domain-bounded; feeds totals AND output
+    )
+    tot = cells.agg(
+        F.sum("n_good").cast("long").alias("g_tot"),
+        F.sum("n_bad").cast("long").alias("b_tot"),
+        F.count(F.lit(1)).cast("long").alias("n_bands"),
+    )
+    return cells.crossJoin(F.broadcast(tot)).selectExpr(
+        "band",
+        "n_good",
+        "n_bad",
+        "CAST(((n_good + 1) * 1000000) div (g_tot + n_bands) AS BIGINT)"
+        " AS dist_good_ppm",
+        "CAST(((n_bad + 1) * 1000000) div (b_tot + n_bands) AS BIGINT)"
+        " AS dist_bad_ppm",
+        f"{_WOE_MICRO} AS woe_micro",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_agg_hhi — Herfindahl-Hirschman concentration index per segment
+# ---------------------------------------------------------------------------
+
+# HHI = sum of squared revenue shares, from exact sums cast to double
+# once inside one shared expression (single division). The equivalent
+# competitor count 1/HHI ships in milli units from the same sums.
+_HHI_PPM = "CAST(FLOOR(sxx / (sx * sx) * 1.0e6 + 0.5e0) AS BIGINT)"
+_HHI_EQ_N_MILLI = "CAST(FLOOR(sx * sx / sxx * 1.0e3 + 0.5e0) AS BIGINT)"
+
+
+@query(
+    "q_agg_hhi",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT o_orderpriority,
+             o_custkey,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(cents AS HUGEINT) * cents) AS DOUBLE) AS sxx
+      FROM per_cust GROUP BY 1
+    )
+    SELECT o_orderpriority, n_customers,
+           {_HHI_PPM} AS hhi_ppm,
+           {_HHI_EQ_N_MILLI} AS equiv_n_milli
+    FROM s
+    """,
+)
+def q_agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per order-priority
+    segment — Σ(revenue share)² over customers, the antitrust/market
+    -structure statistic completing the concentration tier next to
+    q_agg_gini (inequality of the distribution) and q_agg_pareto (the
+    80-20 cut): HHI answers "how close is this segment to single-
+    buyer dependence", and its reciprocal (the equivalent number of
+    equal-size customers, shipped in milli units) is the capacity-
+    planning readout. 1e6 ppm = monopoly; 1e6/n = perfectly even.
+
+    Exactness: per-customer revenue is exact integer cents; Σx and
+    Σx² accumulate in 128-bit (cents² wraps int64 — the corr_matrix
+    scheme), cast to double once, and each output is ONE shared
+    expression with a single division.
+
+    Scale shape: one fact groupBy Exchange to the per-(segment,
+    customer) table, then the moment aggregate — partial-aggregable
+    both levels, map-side combined; no window, no sort, no join.
+    Output is one row per segment."""
+    o = load(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_orderpriority", "o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    cd = F.col("cents").cast("decimal(38,0)")
+    s = per_cust.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(cd).cast("double").alias("sx"),
+        F.sum(cd * F.col("cents")).cast("double").alias("sxx"),
+    )
+    return s.selectExpr(
+        "o_orderpriority",
+        "n_customers",
+        f"{_HHI_PPM} AS hhi_ppm",
+        f"{_HHI_EQ_N_MILLI} AS equiv_n_milli",
+    )

@@ -2812,3 +2812,146 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nodes",
         F.expr(_assort_corr_expr()).alias("assortativity_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_basket_lift — association-rule mining (support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+BASKET_MIN_SUPPORT = 2  # pairs must co-occur in >= this many orders
+BASKET_TOP_N = 40
+
+# log-lift, micro-quantized: lift = (n_ab * N) / (n_a * n_b) reported
+# as ln(lift) in micro-nats via the overflow-free sum-of-logs form
+# (n_ab * N alone overflows BIGINT at warehouse scale; every ln input
+# here is a bare positive integer — the collocations-PMI discipline,
+# double literals in scientific form per the BM25 decimal landmine).
+_LLIFT_MICRO = (
+    "CAST(FLOOR((ln(n_ab * 1.0e0) + ln(n_orders * 1.0e0)"
+    " - ln(c_a * 1.0e0) - ln(c_b * 1.0e0)) * 1.0e6 + 0.5e0) AS BIGINT)"
+)
+
+
+@query(
+    "q_basket_lift",
+    oracle=f"""
+    WITH op AS (
+      SELECT o, p FROM (
+        SELECT l_orderkey AS o, l_partkey AS p,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      ) WHERE rn <= {MAX_BASKET_PARTS}
+    ),
+    scal AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM op),
+    items AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM op GROUP BY p),
+    pc AS (
+      SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT u, v, n_ab,
+             CAST((n_ab * 1000000) // ia.c AS BIGINT) AS conf_ppm,
+             {_LLIFT_MICRO.replace('c_a ', 'ia.c ').replace('c_b ', 'ib.c ')}
+               AS llift_micro
+      FROM pc
+      JOIN items ia ON ia.p = pc.u
+      JOIN items ib ON ib.p = pc.v
+      CROSS JOIN scal
+      WHERE n_ab >= {BASKET_MIN_SUPPORT}
+    ),
+    ranked AS (
+      SELECT u, v, n_ab, conf_ppm, llift_micro,
+             CAST(ROW_NUMBER() OVER (ORDER BY llift_micro DESC, u, v)
+                  AS BIGINT) AS rnk
+      FROM scored
+    )
+    SELECT u, v, n_ab, conf_ppm, llift_micro, rnk FROM ranked
+    WHERE rnk <= {BASKET_TOP_N}
+    """,
+)
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets — retail OLAP's
+    classic: which part pairs co-occur in orders far above chance.
+    Reports support (n_ab = co-occurrence count), directional
+    confidence P(v|u) as integer ppm, and ln(lift) micro-quantized
+    (lift = n_ab·N / (n_a·n_b); its log is the basket-level PMI, so
+    ranking by llift ranks by lift — ln is monotone). Top-
+    {BASKET_TOP_N} rules, total-ordered (llift DESC, u, v); rare-pair
+    noise floored at support ≥ {BASKET_MIN_SUPPORT}.
+
+    Distinct from q_graph_clustering/q_triangle_count (which consume
+    the same co-purchase structure as an unweighted GRAPH): this key
+    keeps the per-pair COUNTS — the statistics an association miner
+    needs — and from q_text_collocations (PMI over adjacent token
+    pairs): baskets are unordered sets, so pair generation is the
+    capped in-array expansion, not adjacency.
+
+    Exactness: all counts are integers; confidence is positive-only
+    integer division (// and div agree); log-lift is ONE shared
+    sum-of-logs expression micro-quantized on identical integers.
+
+    Scale shape: baskets build with ONE groupBy(l_orderkey) (collect_set
+    dedups in-agg; capped at MAX_BASKET_PARTS lowest part ids — the
+    _copurchase_pairs degenerate-basket guard), localCheckpointed
+    because THREE consumers read it (the order-count scalar, item
+    counts, pair counts). Pair fan-out is in-array (bounded by
+    C(cap,2) per order); pair counts and item counts are both
+    map-side-combined groupBys; the two enrichment joins hit the
+    part-domain-bounded item table (localCheckpointed — two join
+    consumers); the final rank cut is a total-ordered row_number over
+    the support-floored rule table (the collocations cut shape)."""
+    li = load(spark, sf_dir, "lineitem")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_set("l_partkey")), 1, MAX_BASKET_PARTS
+            ).alias("parts")
+        )
+        .localCheckpoint()  # feeds the N scalar, item counts, pair counts
+    )
+    scal = baskets.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    items = (
+        baskets.select(F.explode("parts").alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()  # feeds two joins
+    )
+    pair_arrays = F.flatten(
+        F.transform(
+            "parts",
+            lambda x, i: F.transform(
+                F.slice(F.col("parts"), i + 2, MAX_BASKET_PARTS),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
+    pc = (
+        baskets.select(F.explode(pair_arrays).alias("pr"))
+        .select("pr.u", "pr.v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .where(F.col("n_ab") >= BASKET_MIN_SUPPORT)
+    )
+    ia = items.select(F.col("p").alias("u"), F.col("c").alias("c_a"))
+    ib = items.select(F.col("p").alias("v"), F.col("c").alias("c_b"))
+    scored = (
+        pc.join(ia, "u")
+        .join(ib, "v")
+        .crossJoin(F.broadcast(scal))
+        .selectExpr(
+            "u",
+            "v",
+            "n_ab",
+            "CAST((n_ab * 1000000) div c_a AS BIGINT) AS conf_ppm",
+            f"{_LLIFT_MICRO} AS llift_micro",
+        )
+    )
+    ranked = scored.withColumn(
+        "rnk",
+        F.row_number()
+        .over(W.orderBy(F.col("llift_micro").desc(), "u", "v"))
+        .cast("long"),
+    )
+    return ranked.where(F.col("rnk") <= BASKET_TOP_N)

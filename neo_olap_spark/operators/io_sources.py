@@ -229,3 +229,78 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{root}/gen=1", f"{root}/gen=2")
         .select("o_orderkey", "price_cents", "o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_join_dpp — dynamic partition pruning through a partitioned sink
+# ---------------------------------------------------------------------------
+
+DPP_MONTH_CUTOFF = "1995-07"  # urgent-order months before this drive the probe
+
+
+@query(
+    "q_join_dpp",
+    oracle=f"""
+    WITH dim AS (
+      SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS m
+      FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+        AND strftime(o_orderdate, '%Y-%m') < '{DPP_MONTH_CUTOFF}'
+    )
+    SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem
+    JOIN dim ON strftime(l_shipdate, '%Y-%m') = dim.m
+    GROUP BY 1
+    """,
+)
+def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning — the 100 TB join pattern this whole
+    layout tier exists for: the fact table is stored partitioned by
+    ship month (the q_sink_partitioned layout), the probe side is a
+    SMALL filtered dimension whose qualifying months are only known at
+    RUN time (urgent-order months before {DPP_MONTH_CUTOFF}), and
+    Spark turns the join key into a runtime partition filter — the
+    fact scan reads ONLY the ~6 matching month directories instead of
+    all ~80 (plan-asserted: PartitionFilters carries a dynamicpruning
+    expression). Static pruning cannot do this (the month list is data-
+    dependent); without DPP the scan is full and the join does the
+    filtering after IO.
+
+    Exactness: month keys are strftime/date_format '%Y-%m' strings on
+    NTZ timestamps (identical in both engines); revenue is exact
+    integer cents.
+
+    Scale shape: one partitioned write (the sink is session-scoped and
+    generational), a broadcast of the tiny month dim, and a fact scan
+    bounded by the qualifying partitions; the rollup is map-side
+    combined per month. At 100 TB the scan cost is proportional to the
+    SELECTED months — the data-layout dividend this key pins."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_extendedprice",
+        F.date_format(F.col("l_shipdate"), "yyyy-MM").alias("ship_month"),
+    )
+    root, promote = generational_sink_dir(spark, "join_dpp")
+    li.write.mode("overwrite").partitionBy("ship_month").parquet(root)
+    promote()
+    fact = spark.read.parquet(root)
+    o = load(spark, sf_dir, "orders")
+    dim = (
+        o.where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.date_format(F.col("o_orderdate"), "yyyy-MM").alias("m"))
+        .where(F.col("m") < DPP_MONTH_CUTOFF)
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(dim), fact.ship_month == dim.m)
+        .groupBy("ship_month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+    )

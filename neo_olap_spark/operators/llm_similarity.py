@@ -663,7 +663,8 @@ _ASSIGN_CTES = f"""
 
 
 def centroid_assignments(
-    spark: SparkSession, sf_dir: str, with_qv: bool = False
+    spark: SparkSession, sf_dir: str, with_qv: bool = False,
+    with_second: bool = False,
 ) -> DataFrame:
     """(vec_id, centroid, dist_q[, qv]) nearest-centroid assignment —
     the shared implementation behind q_sim_centroid_assign,
@@ -673,7 +674,10 @@ def centroid_assignments(
     integer vector, still from the SAME single scan — the update step
     consumes it without a second embeddings scan or a corpus-sized
     join (round-10 self-review: the first cut joined assignment back
-    to a second scan, a broadcast of the full corpus at scale). See
+    to a second scan, a broadcast of the full corpus at scale).
+    ``with_second=True`` additionally emits ``dist2_q``, the distance
+    to the SECOND-nearest centroid (the silhouette b-term), computed
+    in-array from the same distance vector. See
     q_sim_centroid_assign for the exactness and zero-shuffle scale
     arguments."""
     e = load(spark, sf_dir, "embeddings")
@@ -710,6 +714,13 @@ def centroid_assignments(
         ),
     )
     extra = [F.col("qv")] if with_qv else []
+    if with_second:
+        # sorted[1] is the second-smallest distance; on a tied minimum
+        # it equals the minimum — exactly the silhouette b-term
+        # convention (b == a -> s == 0)
+        extra = extra + [
+            F.element_at(F.array_sort(F.col("dists")), 2).alias("dist2_q")
+        ]
     return e.select(
         "vec_id",
         qv.alias("qv"),
@@ -880,4 +891,75 @@ def q_sim_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_q",
             f"{trunc_div_sql('sum_q', 'n_members', 'div')} AS mean_q",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_sim_silhouette — simplified silhouette score per cluster
+# ---------------------------------------------------------------------------
+
+# per-vector silhouette from exact integer squared distances, the
+# single division in doubles (corr-micro discipline); b >= a by
+# construction (a IS the minimum), so s in [0, 1e6]
+_SIL_PPM = "CAST(FLOOR((b_q - a_q) / b_q * 1.0e6 + 0.5e0) AS BIGINT)"
+
+
+@query(
+    "q_sim_silhouette",
+    oracle=f"""
+    WITH {_ASSIGN_CTES},
+    r AS (
+      SELECT vec_id, cid, dist,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cid) AS rn
+      FROM d
+    ),
+    ab AS (
+      SELECT vec_id,
+             CAST(MIN(CASE WHEN rn = 1 THEN cid END) AS BIGINT) AS centroid,
+             CAST(MIN(CASE WHEN rn = 1 THEN dist END) AS BIGINT) AS a_q,
+             CAST(MIN(CASE WHEN rn = 2 THEN dist END) AS BIGINT) AS b_q
+      FROM r WHERE rn <= 2 GROUP BY vec_id
+    ),
+    sc AS (
+      SELECT centroid, {_SIL_PPM} AS s_ppm FROM ab WHERE b_q > 0
+    )
+    SELECT centroid,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(s_ppm) // COUNT(*) AS BIGINT) AS mean_s_ppm,
+           CAST(MIN(s_ppm) AS BIGINT) AS min_s_ppm
+    FROM sc GROUP BY centroid
+    """,
+)
+def q_sim_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette score per cluster — the clustering-
+    quality readout that closes the k-means family (assign → update →
+    outliers → EVALUATE): for each vector, a = squared distance to
+    its own centroid, b = squared distance to the second-nearest
+    centroid, s = (b−a)/b ∈ [0,1] (the centroid-based "simplified
+    silhouette" — O(n·K), not the O(n²) pairwise form, which is the
+    variant that exists at 100 TB). Low mean or min per cluster says
+    the centroid set under-fits there — the signal that picks K.
+
+    Exactness: both distances are exact integer squared-L2 on the
+    micro-quantized grid (the assignment substrate); b comes from the
+    SAME in-array distance vector via array_sort (tied minima give
+    b = a → s = 0 in both engines); the single division runs in
+    doubles from exact integers and micro-quantizes (corr-micro
+    discipline); the per-cluster mean is positive-only integer
+    division.
+
+    Scale shape: centroid_assignments(with_second=True) — the
+    zero-shuffle scan-fused projection (no join, no Exchange; the
+    K-bounded centroid literal rides in the plan) — followed by ONE
+    K-bounded groupBy Exchange. Output is one row per cluster."""
+    a = centroid_assignments(spark, sf_dir, with_second=True)
+    sc = a.where(F.col("dist2_q") > 0).selectExpr(
+        "centroid",
+        f"{_SIL_PPM.replace('b_q', 'dist2_q').replace('a_q', 'dist_q')} AS s_ppm",
+    )
+    return sc.groupBy("centroid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.expr("CAST(SUM(s_ppm) div COUNT(*) AS BIGINT)").alias("mean_s_ppm"),
+        F.min("s_ppm").cast("long").alias("min_s_ppm"),
     )

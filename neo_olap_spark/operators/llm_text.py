@@ -1335,3 +1335,114 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long"),
     )
     return ranked.where(F.col("rnk") <= COLLOC_TOP_N)
+
+
+# ---------------------------------------------------------------------------
+# q_text_zipf — Zipf rank-frequency law fit over the corpus vocabulary
+# ---------------------------------------------------------------------------
+
+# per-row micro-quantized natural logs of BARE integers (rank, freq) —
+# ln of an exact integer is the one float op both engines evaluate on
+# identical input (the collocations/BM25 precedent); quantizing BEFORE
+# summing makes the moment sums order-free exact integers. Double
+# literals in scientific form per the BM25 decimal landmine.
+_ZIPF_X = "CAST(FLOOR(ln(rank * 1.0e0) * 1.0e6 + 0.5e0) AS BIGINT)"
+_ZIPF_Y = "CAST(FLOOR(ln(freq * 1.0e0) * 1.0e6 + 0.5e0) AS BIGINT)"
+
+# OLS slope/intercept of y on x from exact integer moment sums, cast
+# to double once each; ONE expression text parsed by both engines.
+# x-values are distinct ranks, so the variance denominator is never 0.
+_ZIPF_SLOPE = (
+    "CAST(FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx)"
+    " * 1.0e6 + 0.5e0) AS BIGINT)"
+)
+_ZIPF_INTERCEPT = (
+    "CAST(FLOOR((sy * sxx - sx * sxy) / (n * sxx - sx * sx)"
+    " * 1.0e0 + 0.5e0) AS BIGINT)"
+)
+
+
+@query(
+    "q_text_zipf",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents
+    ),
+    fr AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY token),
+    ranked AS (
+      SELECT freq,
+             CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS BIGINT)
+               AS rank
+      FROM fr
+    ),
+    pts AS (
+      SELECT rank, freq, {_ZIPF_X} AS x, {_ZIPF_Y} AS y
+      FROM ranked WHERE rank <= {VOCAB_SIZE}
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           {_ZIPF_SLOPE} AS slope_micro,
+           {_ZIPF_INTERCEPT} AS intercept_micro
+    FROM s
+    """,
+)
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary — the OLS slope of
+    ln(freq) on ln(rank) for the top-{VOCAB_SIZE} tokens (natural
+    corpora slope ≈ −1; a much flatter or steeper tail is the classic
+    signature of templated/synthetic or truncated text, which makes
+    this the corpus-level counterpart of q_text_repetition's per-doc
+    screen and a standard sanity gate before tokenizer training on
+    scraped data). Rank assignment is the SAME total order as
+    q_vocab_build (freq DESC, token).
+
+    Exactness: ln(rank) and ln(freq) are micro-quantized PER ROW from
+    bare integers (each a single engine-identical float op — the
+    collocations discipline), so the six moment sums are order-free
+    exact integers accumulated in 128-bit; slope and intercept are
+    each ONE shared expression on doubles cast once from those sums
+    (single division; denominator positive since ranks are distinct).
+
+    Scale shape: one (token) shuffle with map-side partial counts;
+    the rank cut is the vocab_build bounded-TopN (the top
+    {VOCAB_SIZE} rows sorted in one bounded partition — no
+    unpartitioned WindowExec over the full vocabulary); the fit is a
+    1-row aggregate over {VOCAB_SIZE} points."""
+    d = load(spark, sf_dir, "documents")
+    fr = (
+        d.select(F.explode(ws_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    ranked = (
+        fr.orderBy(F.desc("freq"), "token")
+        .limit(VOCAB_SIZE)
+        .coalesce(1)
+        .sortWithinPartitions(F.desc("freq"), "token")
+        .withColumn("rank", F.monotonically_increasing_id() + 1)
+    )
+    pts = ranked.selectExpr(f"{_ZIPF_X} AS x", f"{_ZIPF_Y} AS y")
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * F.col("x")).cast("double").alias("sxx"),
+        F.sum(yd * F.col("y")).cast("double").alias("syy"),
+        F.sum(xd * F.col("y")).cast("double").alias("sxy"),
+    )
+    return s.selectExpr(
+        "CAST(n AS BIGINT) AS n_points",
+        f"{_ZIPF_SLOPE} AS slope_micro",
+        f"{_ZIPF_INTERCEPT} AS intercept_micro",
+    )

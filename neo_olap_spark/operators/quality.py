@@ -1279,3 +1279,230 @@ def q_quality_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "END AS BIGINT)"
         ).alias("volume_ratio_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_privacy_tcloseness — t-closeness audit (privacy family, third leg)
+# ---------------------------------------------------------------------------
+
+TCLOSE_T_PCT = 35  # groups whose sensitive distribution is further than
+                   # t = 0.35 (total variation distance) from the global
+                   # distribution fail the audit
+
+
+@query(
+    "q_privacy_tcloseness",
+    oracle=f"""
+    WITH cells AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             CAST(COUNT(*) AS BIGINT) AS n_gb
+      FROM customer GROUP BY 1, 2, 3
+    ),
+    bands AS (SELECT bal_band, CAST(SUM(n_gb) AS BIGINT) AS n_b
+              FROM cells GROUP BY bal_band),
+    total AS (SELECT CAST(SUM(n_b) AS BIGINT) AS n FROM bands),
+    groups_ AS (
+      SELECT c_nationkey, c_mktsegment, CAST(SUM(n_gb) AS BIGINT) AS n_g
+      FROM cells GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(ANY_VALUE(n_g) AS BIGINT) AS n_g,
+             CAST(ANY_VALUE(n) AS BIGINT) AS n,
+             CAST(SUM(ABS(n_gb * n - n_b * n_g)) AS BIGINT) AS vd_present,
+             CAST(SUM(n_b * n_g) AS BIGINT) AS covered
+      FROM cells
+      JOIN bands USING (bal_band)
+      JOIN groups_ USING (c_nationkey, c_mktsegment)
+      CROSS JOIN total
+      GROUP BY 1, 2
+    )
+    SELECT c_nationkey, c_mktsegment, n_g,
+           CAST(vd_present + (n_g * n - covered) AS BIGINT) AS vd_x,
+           CAST((vd_present + (n_g * n - covered)) * 500000 // (n_g * n)
+                AS BIGINT) AS tvd_ppm,
+           (vd_present + (n_g * n - covered)) * 50
+             <= {TCLOSE_T_PCT} * n_g * n AS t_close
+    FROM g
+    """,
+)
+def q_privacy_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third leg of the release-gate privacy
+    trio: q_privacy_kanon bounds group SIZE, q_privacy_ldiversity
+    demands sensitive-value VARIETY, but a group can pass both while
+    its sensitive DISTRIBUTION still leaks (the skewness attack — 90%
+    of one band in a group vs 10% globally). t-closeness bounds the
+    total variation distance TVD(P_group, P_global) = ½·Σ_bands
+    |p_gb − p_b| at t = {TCLOSE_T_PCT}/100. Same QI tuple and
+    banded-sensitive column as the sibling audits.
+
+    Exactness: cross-multiplied integers throughout — per present
+    band, |n_gb·N − n_b·N_g|; bands ABSENT from a group contribute
+    Σ_absent n_b·N_g = N·N_g − Σ_present n_b·N_g exactly, so the
+    absent combinations are NEVER generated (no band-domain×QI-domain
+    expansion). The flag compares 50·vd ≤ t_pct·N_g·N (ppm output is
+    positive-only integer division). Bounds: the flag and vd_x need
+    N_g·N < 9.2e18 (any table under ~3e9 rows per QI group); the
+    tvd_ppm column is stricter — vd_x·5e5 wants N_g·N ≲ 9e12 — so at
+    extreme scale keep the flag and re-derive the ppm with
+    DECIMAL(38,0) sums.
+
+    Scale shape: ONE fact groupBy to the (QI×band)-domain-bounded
+    cell table, localCheckpointed (FOUR consumers: band totals, group
+    sizes via re-aggregation, the scalar N, the cell join); every
+    downstream aggregate and join runs on domain-bounded frames; band
+    totals broadcast. Output is one row per QI group."""
+    c = load(spark, sf_dir, "customer")
+    cells = (
+        c.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_gb"))
+        .localCheckpoint()  # domain-bounded; four consumers below
+    )
+    bands = cells.groupBy("bal_band").agg(F.sum("n_gb").cast("long").alias("n_b"))
+    total = bands.agg(F.sum("n_b").cast("long").alias("n"))
+    groups = cells.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("n_gb").cast("long").alias("n_g")
+    )
+    joined = (
+        cells.join(F.broadcast(bands), "bal_band")
+        .join(groups, ["c_nationkey", "c_mktsegment"])
+        .crossJoin(F.broadcast(total))
+    )
+    g = joined.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.first("n_g").alias("n_g"),
+        F.first("n").alias("n"),
+        F.sum(F.abs(F.col("n_gb") * F.col("n") - F.col("n_b") * F.col("n_g")))
+        .cast("long")
+        .alias("vd_present"),
+        F.sum(F.col("n_b") * F.col("n_g")).cast("long").alias("covered"),
+    )
+    return g.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n_g",
+        (F.col("vd_present") + (F.col("n_g") * F.col("n") - F.col("covered")))
+        .cast("long")
+        .alias("vd_x"),
+        F.expr(
+            "CAST((vd_present + (n_g * n - covered)) * 500000"
+            " div (n_g * n) AS BIGINT)"
+        ).alias("tvd_ppm"),
+        (
+            (F.col("vd_present") + (F.col("n_g") * F.col("n") - F.col("covered")))
+            * 50
+            <= TCLOSE_T_PCT * F.col("n_g") * F.col("n")
+        ).alias("t_close"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_quality_abtest — two-proportion chi-square A/B significance test
+# ---------------------------------------------------------------------------
+
+# Pearson chi-square (1 dof, 2x2) from exact integer cells, cast to
+# double ONCE each inside one shared expression text: chi2 =
+# n * (ad - bc)^2 / ((a+b)(c+d)(a+c)(b+d)), micro-quantized. d1 is
+# computed exactly in 128-bit first (a*d alone wraps int64 at
+# warehouse scale), then the single division happens in doubles.
+_CHI2_MICRO = (
+    "CAST(FLOOR(n * d1 * d1 / (ra * rb * ca * cb) * 1.0e6 + 0.5e0)"
+    " AS BIGINT)"
+)
+CHI2_95_MICRO = 3_841_459  # chi2_{1,0.95} = 3.841459 in micro units
+
+
+@query(
+    "q_quality_abtest",
+    oracle=f"""
+    WITH cells AS (
+      SELECT
+        CAST(COUNT(*) FILTER (WHERE o_custkey % 2 = 0
+               AND o_orderpriority = '1-URGENT') AS BIGINT) AS a,
+        CAST(COUNT(*) FILTER (WHERE o_custkey % 2 = 0
+               AND o_orderpriority <> '1-URGENT') AS BIGINT) AS b,
+        CAST(COUNT(*) FILTER (WHERE o_custkey % 2 = 1
+               AND o_orderpriority = '1-URGENT') AS BIGINT) AS c,
+        CAST(COUNT(*) FILTER (WHERE o_custkey % 2 = 1
+               AND o_orderpriority <> '1-URGENT') AS BIGINT) AS d
+      FROM orders
+    ),
+    m AS (
+      SELECT a, b, c, d,
+             CAST(a + b + c + d AS DOUBLE) AS n,
+             CAST(CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c
+                  AS DOUBLE) AS d1,
+             CAST(a + b AS DOUBLE) AS ra, CAST(c + d AS DOUBLE) AS rb,
+             CAST(a + c AS DOUBLE) AS ca, CAST(b + d AS DOUBLE) AS cb
+      FROM cells
+    )
+    SELECT a AS succ_ctl, b AS fail_ctl, c AS succ_trt, d AS fail_trt,
+           CAST((a * 1000000) // (a + b) AS BIGINT) AS rate_ctl_ppm,
+           CAST((c * 1000000) // (c + d) AS BIGINT) AS rate_trt_ppm,
+           {_CHI2_MICRO} AS chi2_micro,
+           {_CHI2_MICRO} > {CHI2_95_MICRO} AS significant_95
+    FROM m
+    """,
+)
+def q_quality_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B significance test — the experimentation
+    readout every growth warehouse runs: did the treatment arm's
+    conversion rate differ beyond chance? Pearson's chi-square on the
+    2×2 (variant × converted) table, 1 dof, tested at 95%
+    (chi² > 3.841459). The deterministic customer-parity split
+    (custkey % 2) stands in for the experiment's hash-bucket
+    assignment; conversion is the urgent-priority order flag (the
+    q_feature_woe target).
+
+    Exactness: the four cells are exact integers from ONE conditional
+    aggregate; ad−bc forms in 128-bit (it wraps int64 at warehouse
+    scale), every factor casts to double once, and the statistic is
+    ONE shared expression text micro-quantized — the significance
+    flag compares integers, so the verdict is engine-identical.
+
+    Scale shape: a single scan with four codegen-fused conditional
+    counts partial-aggregated map-side — the only thing that crosses
+    the wire is one 4-integer combine row per partition. The 100 TB
+    plan and the 60 kB plan are the same plan."""
+    o = load(spark, sf_dir, "orders")
+    ctl = F.col("o_custkey") % 2 == 0
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    cells = o.agg(
+        F.count_if(ctl & urgent).cast("long").alias("a"),
+        F.count_if(ctl & ~urgent).cast("long").alias("b"),
+        F.count_if(~ctl & urgent).cast("long").alias("c"),
+        F.count_if(~ctl & ~urgent).cast("long").alias("d"),
+    )
+    m = cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        (F.col("a") + F.col("b") + F.col("c") + F.col("d"))
+        .cast("double")
+        .alias("n"),
+        (
+            F.col("a").cast("decimal(38,0)") * F.col("d")
+            - F.col("b").cast("decimal(38,0)") * F.col("c")
+        )
+        .cast("double")
+        .alias("d1"),
+        (F.col("a") + F.col("b")).cast("double").alias("ra"),
+        (F.col("c") + F.col("d")).cast("double").alias("rb"),
+        (F.col("a") + F.col("c")).cast("double").alias("ca"),
+        (F.col("b") + F.col("d")).cast("double").alias("cb"),
+    )
+    return m.selectExpr(
+        "a AS succ_ctl",
+        "b AS fail_ctl",
+        "c AS succ_trt",
+        "d AS fail_trt",
+        "CAST((a * 1000000) div (a + b) AS BIGINT) AS rate_ctl_ppm",
+        "CAST((c * 1000000) div (c + d) AS BIGINT) AS rate_trt_ppm",
+        f"{_CHI2_MICRO} AS chi2_micro",
+        f"{_CHI2_MICRO} > {CHI2_95_MICRO} AS significant_95",
+    )

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from neo_olap_spark.registry import query
-from neo_olap_spark.tables import load
+from neo_olap_spark.tables import load, register_views
 
 
 @query(
@@ -124,3 +124,41 @@ def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("cents").cast("double") / 100.0).alias("sum_above"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_sql_lateral — correlated LATERAL subquery (top-1-per-key via lateral)
+# ---------------------------------------------------------------------------
+
+LATERAL_SQL = """
+SELECT c_custkey, c_mktsegment,
+       t.o_orderkey AS top_orderkey,
+       CAST(FLOOR(t.o_totalprice * 100 + 0.5) AS BIGINT) AS top_price_cents
+FROM customer,
+LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+) t
+"""
+
+
+@query("q_sql_lateral", oracle=LATERAL_SQL)
+def q_sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — the third canonical subquery
+    shape next to the scalar and correlated-predicate keys: a per-row
+    dependent SUBTABLE (each customer's single most expensive order,
+    the top-1-per-key idiom SQL:2016 writes as LATERAL and engines
+    without it emulate with window functions). IDENTICAL SQL text runs
+    on both engines; the ORDER BY carries the orderkey tie-break so
+    the selected row is a total order, and the price ships as exact
+    cents.
+
+    Scale shape: Catalyst DECORRELATES the lateral — the plan is a
+    rank-over-custkey window with a partial WindowGroupLimit below the
+    Exchange (only the per-key top row crosses the shuffle), then one
+    join back to customer: per-row re-execution never happens, and
+    the same rewrite is what makes the query safe at 100 TB
+    (plan-pinned in tests/test_plans.py)."""
+    register_views(spark, sf_dir, names=("customer", "orders"))
+    return spark.sql(LATERAL_SQL)

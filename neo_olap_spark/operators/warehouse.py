@@ -583,3 +583,120 @@ def q_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(quadrant(o_base, l_delta))
         .unionByName(quadrant(o_delta, l_delta))
     )
+
+
+# ---------------------------------------------------------------------------
+# q_events_funnel_time — time-to-convert distribution per signup cohort
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_events_funnel_time",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, CAST(MIN(FLOOR(epoch(ts))) AS BIGINT) AS t_signup
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id,
+             CAST(MIN(FLOOR(epoch(e.ts))) AS BIGINT) AS t_purchase,
+             CAST(ANY_VALUE(s.t_signup) AS BIGINT) AS t_signup
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND FLOOR(epoch(e.ts)) > s.t_signup
+      GROUP BY e.user_id
+    ),
+    conv AS (
+      SELECT user_id,
+             CAST(FLOOR(t_signup / 604800) AS BIGINT) AS cohort_week,
+             t_purchase - t_signup AS secs
+      FROM p
+    ),
+    r AS (
+      SELECT cohort_week, secs,
+             CAST(ROW_NUMBER() OVER (PARTITION BY cohort_week
+                    ORDER BY secs, user_id) AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY cohort_week) AS BIGINT) AS n
+      FROM conv
+    )
+    SELECT cohort_week,
+           CAST(ANY_VALUE(n) AS BIGINT) AS n_converted,
+           CAST(MIN(CASE WHEN rn = (n + 1) // 2 THEN secs END) AS BIGINT)
+             AS median_secs,
+           CAST(MIN(CASE WHEN rn = GREATEST(1, (n * 9) // 10) THEN secs END)
+                AS BIGINT) AS p90_secs,
+           CAST(MIN(secs) AS BIGINT) AS min_secs,
+           CAST(MAX(secs) AS BIGINT) AS max_secs
+    FROM r GROUP BY cohort_week
+    """,
+)
+def q_events_funnel_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution per signup cohort — the companion
+    readout to q_funnel's WHO-converted: HOW LONG conversion takes
+    (first signup → first subsequent purchase), summarized per weekly
+    signup cohort with exact rank-pick median and p90 (the
+    q_anomaly_mad discipline — never interpolated percentiles, so no
+    float crosses the engine boundary). The product question this
+    answers ("is activation getting slower for newer cohorts?") is
+    the standard growth-team weekly.
+
+    Exactness: epoch seconds are exact integers; cohort week is an
+    integer division of the signup epoch; median rank (n+1)/2 and p90
+    rank max(1, 9n/10) are integer expressions; ties on seconds break
+    on user_id — a total order.
+
+    Scale shape: every stage keys on user_id (two filtered scans with
+    the event_type filter pushed down, each aggregated map-side), the
+    convert join reuses the user partitioning, and the rank-pick
+    windows partition by cohort week — bounded per cohort, the same
+    shape as the per-series MAD windows. Output is one row per
+    cohort week."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("long")).alias("t_signup"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .where(F.col("ts").cast("long") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.col("ts").cast("long")).alias("t_purchase"),
+            F.first("t_signup").alias("t_signup"),
+        )
+    )
+    conv = p.select(
+        "user_id",
+        F.floor(F.col("t_signup") / 604800).cast("long").alias("cohort_week"),
+        (F.col("t_purchase") - F.col("t_signup")).alias("secs"),
+    )
+    wk = W.partitionBy("cohort_week")
+    r = conv.select(
+        "cohort_week",
+        "secs",
+        F.row_number().over(wk.orderBy("secs", "user_id")).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wk).cast("long").alias("n"),
+    )
+    return r.groupBy("cohort_week").agg(
+        F.first("n").alias("n_converted"),
+        F.min(
+            F.when(
+                F.col("rn") == F.expr("CAST((n + 1) div 2 AS BIGINT)"),
+                F.col("secs"),
+            )
+        )
+        .cast("long")
+        .alias("median_secs"),
+        F.min(
+            F.when(
+                F.col("rn")
+                == F.greatest(F.lit(1), F.expr("CAST((n * 9) div 10 AS BIGINT)")),
+                F.col("secs"),
+            )
+        )
+        .cast("long")
+        .alias("p90_secs"),
+        F.min("secs").cast("long").alias("min_secs"),
+        F.max("secs").cast("long").alias("max_secs"),
+    )

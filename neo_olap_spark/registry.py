@@ -71,22 +71,37 @@ DRIVER_WAVE_ROTATION: tuple[str, ...] = (
     # round-10 wave. Composition (VERDICT r9 items 2+3): the two keys
     # whose PLAN changed after their latest driver record (containment
     # fixed r9 but sampled r8; sequence_match gained the journey cap
-    # this round — values unchanged, plan re-verified anyway), the FOURTEEN
-    # r10-registered keys (first-wave records), then the r5 staleness
-    # tier (computed from CORRECTNESS_r01..r09: every key whose latest
-    # driver record is r5), machinery-heaviest first (the four
-    # explicitly deferred from r9 lead), and one r6 slot for the
+    # this round — values unchanged, plan re-verified anyway), the
+    # TWENTY-SIX r10-registered keys (first-wave records), then the r5
+    # staleness tier (computed from CORRECTNESS_r01..r09: every key
+    # whose latest driver record is r5), machinery-heaviest first (the
+    # four explicitly deferred from r9 lead), and one r6 slot for the
     # bench-drift-cluster key q_multimodal_resize. Budgeting: the
-    # twelve post-first-batch r10 keys took the slots of the TWELVE
-    # LEAST machinery-dependent r5 keys (bool, argmax, mode, tpch_q1,
-    # tpch_q6, downsample, histogram, calendar, collect_sorted,
-    # unpivot, pivot, sql_surface — single-aggregate / plain-SQL-text /
-    # oracles, code untouched since r5; the
-    # r9-endorsed first-wave-records-over-oldest-reverification
-    # trade), which move to the r11 staleness ledger in NEXT.md.
-    # After this wave, those twelve are the only keys whose latest
-    # driver record predates r6.
+    # twenty-four post-first-batch r10 keys took the slots of the
+    # TWENTY-FOUR LEAST machinery-dependent r5 keys (bool, argmax,
+    # mode, stats, cube, grouping_sets, time_rollup, profile_stats,
+    # events_json, anomaly_zscore, tpch_q1, tpch_q4, tpch_q6, tpch_q10,
+    # tpch_q14, tpch_q19, sql_params, downsample, histogram, calendar,
+    # collect_sorted, unpivot, pivot, sql_surface — single-aggregate /
+    # plain-SQL-text / reshape-and-grouping-set oracles, code untouched
+    # since r5; the r9-endorsed
+    # first-wave-records-over-oldest-reverification trade), which move
+    # to the r11 staleness ledger in NEXT.md. After this wave, those
+    # twenty-four are the only keys whose latest driver record predates
+    # r6.
     "q_text_containment",
+    "q_events_rfm",
+    "q_basket_lift",
+    "q_privacy_tcloseness",
+    "q_time_acf",
+    "q_text_zipf",
+    "q_feature_woe",
+    "q_quality_abtest",
+    "q_agg_hhi",
+    "q_sim_silhouette",
+    "q_join_dpp",
+    "q_sql_lateral",
+    "q_events_funnel_time",
     "q_text_bm25",
     "q_scalar_variant_store",
     "q_window_cume",
@@ -106,31 +121,19 @@ DRIVER_WAVE_ROTATION: tuple[str, ...] = (
     "q_agg_histogram_eqdepth",
     "q_cohort_retention",
     "q_agg_heavy_hitters",
-    "q_agg_cube",
     "q_agg_median",
     "q_agg_percentile_exact",
     "q_agg_salted",
-    "q_agg_stats",
     "q_agg_weighted_median",
-    "q_anomaly_zscore",
     "q_events_active_users",
-    "q_events_json",
     "q_events_transitions",
     "q_feature_target_enc",
-    "q_grouping_sets",
     "q_join_multiway",
     "q_join_salted",
-    "q_profile_stats",
-    "q_sql_params",
-    "q_sql_tpch_q10",
-    "q_sql_tpch_q14",
-    "q_sql_tpch_q19",
-    "q_sql_tpch_q4",
     "q_star_join",
     "q_time_ewma",
     "q_time_gap_fill",
     "q_time_interpolate",
-    "q_time_rollup",
     "q_window_distinct_running",
     "q_window_range_frame",
     "q_window_rolling_corr",

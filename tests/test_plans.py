@@ -1005,3 +1005,140 @@ def test_cusum_shared_series_partitioning(q):
     p = plan_str(df, mode="simple")
     assert p.count("Exchange hashpartitioning") == 2, p
     assert "Join" not in p, p
+
+
+def test_rfm_shared_window_exchange(q):
+    # all three NTILE windows partition on the segment, so ONE
+    # hashpartitioning Exchange serves them (three sorts, no
+    # re-shuffle), and the final cell rollup REUSES that partitioning
+    # (its keys are a superset of the window partition column); the
+    # checkpointed per-customer aggregate appears as RDD scans and the
+    # customer dimension scan is pruned to the join+segment columns
+    df = q("q_events_rfm")
+    p = plan_str(df, mode="simple")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert p.count("Window") == 3, p
+    assert "ExistingRDD" in p, p  # checkpointed per-customer triple
+    assert_read_schema_only(df, "customer", {"c_custkey", "c_mktsegment"})
+
+
+def test_basket_lift_checkpointed_and_bounded_cut(q):
+    # the capped basket table and the item-count table are both
+    # localCheckpointed (three and two consumers), so the final plan
+    # reads only RDD scans — no parquet re-scan; pair counting is the
+    # ONLY data-moving hash shuffle; and the global top-40 plans as
+    # TakeOrderedAndProject (per-partition partial take — the rank
+    # window never global-sorts the rule table)
+    df = q("q_basket_lift")
+    p = plan_str(df, mode="simple")
+    assert ".parquet" not in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "TakeOrderedAndProject(limit=40" in p, p
+
+
+def test_tcloseness_checkpointed_cells(q):
+    # the (QI x band) cell table is localCheckpointed (four
+    # consumers: band totals, group sizes, the N scalar, the join),
+    # so the final plan never re-scans customer parquet; every
+    # downstream frame is domain-bounded
+    df = q("q_privacy_tcloseness")
+    p = plan_str(df, mode="simple")
+    assert ".parquet" not in p, p
+    assert p.count("ExistingRDD") == 4, p
+
+
+def test_acf_two_exchanges_one_window(q):
+    # one fact groupBy Exchange to the daily table, ONE series-keyed
+    # Exchange serving the single Window that computes all lags (one
+    # sort), and the final (series, lag) aggregate REUSES the series
+    # partitioning (superset grouping keys — the rfm/gini rule)
+    df = q("q_time_acf")
+    p = plan_str(df, mode="simple")
+    assert p.count("Exchange hashpartitioning") == 2, p
+    assert p.count("Window") == 1, p
+    assert "Join" not in p, p
+
+
+def test_zipf_bounded_topn_no_global_sort(q):
+    # the top-N vocabulary cut must plan as TakeOrderedAndProject
+    # (bounded rows through one partition), never an unpartitioned
+    # global sort or WindowExec over the full vocabulary; one token
+    # shuffle is the only data-moving Exchange
+    df = q("q_text_zipf")
+    p = plan_str(df, mode="simple")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "TakeOrderedAndProject" in p, p
+    assert "Window" not in p, p
+
+
+def test_woe_checkpointed_cells(q):
+    # the band-domain-bounded cell table is localCheckpointed (feeds
+    # the totals scalar AND the output projection), so the final plan
+    # never re-scans customer/orders parquet
+    df = q("q_feature_woe")
+    p = plan_str(df, mode="simple")
+    assert ".parquet" not in p, p
+    assert p.count("ExistingRDD") == 2, p
+
+
+def test_abtest_single_scan_conditional_agg(q):
+    # the 2x2 table comes from ONE scan with codegen-fused conditional
+    # counts — no join, no window, only the 1-row combine crosses the
+    # wire; no decimal arithmetic may leak into the shared chi2 tail
+    df = q("q_quality_abtest")
+    p = plan_str(df, mode="simple")
+    assert "Join" not in p, p
+    assert "Window" not in p, p
+    assert p.count("Exchange hashpartitioning") == 0, p
+    assert_read_schema_only(df, "orders", {"o_custkey", "o_orderpriority"})
+
+
+def test_hhi_two_partial_aggregates(q):
+    # fact groupBy to per-(segment, customer), then the moment
+    # aggregate — both map-side combined, no window/join/sort
+    df = q("q_agg_hhi")
+    p = plan_str(df, mode="simple")
+    assert "Join" not in p, p
+    assert "Window" not in p, p
+    assert_read_schema_only(df, "orders", {"o_orderpriority", "o_custkey", "o_totalprice"})
+
+
+def test_silhouette_zero_join_one_exchange(q):
+    # assignment + second-nearest come scan-fused from the literal
+    # centroid array (the centroid_assign zero-shuffle shape); the
+    # ONLY Exchange is the K-bounded cluster rollup
+    df = q("q_sim_silhouette")
+    p = plan_str(df, mode="simple")
+    assert "Join" not in p, p
+    assert p.count("Exchange") == 1, p
+
+
+def test_dpp_dynamic_partition_filter(q):
+    # the fact scan over the partitioned sink must carry a RUNTIME
+    # partition filter (dynamicpruning expression) fed by the
+    # broadcast month dim — the scan reads only qualifying month
+    # directories, never the whole table
+    df = q("q_join_dpp")
+    p = plan_str(df, mode="simple")
+    assert "dynamicpruning" in p, p
+    assert "BroadcastExchange" in p, p
+
+
+def test_lateral_decorrelates_to_window_group_limit(q):
+    # Catalyst must decorrelate the LATERAL top-1 subquery into a
+    # rank window with a partial WindowGroupLimit below the Exchange
+    # — per-row re-execution never appears
+    df = q("q_sql_lateral")
+    p = plan_str(df, mode="simple")
+    assert "WindowGroupLimit" in p, p
+
+
+def test_funnel_time_user_keyed_stages(q):
+    # both firsts aggregate map-side on user_id and the rank-pick
+    # windows partition by cohort week — no unpartitioned window
+    df = q("q_events_funnel_time")
+    p = plan_str(df, mode="simple")
+    import re
+    for ln in p.splitlines():
+        if "Window" in ln and "windowspecdefinition" in ln:
+            assert "cohort_week" in ln, ln
