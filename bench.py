@@ -202,6 +202,8 @@ HEADLINE9 = [
     "q_join_dpp",
     "q_sql_lateral",
     "q_events_funnel_time",
+    "q_events_journeys",
+    "q_mix_temperature",
 ]
 
 

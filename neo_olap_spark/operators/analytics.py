@@ -4469,3 +4469,75 @@ def q_agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_HHI_PPM} AS hhi_ppm",
         f"{_HHI_EQ_N_MILLI} AS equiv_n_milli",
     )
+
+
+# ---------------------------------------------------------------------------
+# q_events_journeys — top user journeys (length-3 event paths)
+# ---------------------------------------------------------------------------
+
+JOURNEY_TOP_N = 20
+
+
+@query(
+    "q_events_journeys",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type AS e1,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+      SELECT e1 || ' > ' || e2 || ' > ' || e3 AS journey,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE e3 IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT journey, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, journey) AS BIGINT) AS rnk
+    FROM paths
+    QUALIFY rnk <= {JOURNEY_TOP_N}
+    """,
+)
+def q_events_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys — the most frequent length-3 event paths
+    across all users, the product-analytics "what do people actually
+    do" readout one level above q_events_transitions' first-order
+    matrix (a Markov matrix cannot distinguish signup>click>purchase
+    from click>signup>purchase; the path miner can). Each user's
+    event stream is ordered by (ts, event_id) — a total order — and
+    every consecutive triple votes for its path.
+
+    Exactness: counts are integers; path strings concatenate with a
+    fixed separator; the top-{JOURNEY_TOP_N} cut is total-ordered
+    (count DESC, journey).
+
+    Scale shape: ONE user-keyed Exchange serves the window computing
+    both leads (one sort); the path rollup is map-side combined, so
+    its Exchange moves only |event types|³-bounded partial counts;
+    the rank cut plans as TakeOrderedAndProject over that bounded
+    table (no global sort). At 100 TB the only fact-sized move is
+    the one user shuffle."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    paths = (
+        seq.where(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(" > ", "e1", "e2", "e3").alias("journey")
+        )
+        .groupBy("journey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return (
+        paths.withColumn(
+            "rnk",
+            F.row_number().over(W.orderBy(F.col("n").desc(), "journey")).cast("long"),
+        )
+        .where(F.col("rnk") <= JOURNEY_TOP_N)
+    )

@@ -783,3 +783,75 @@ def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_tokens"),
     ).orderBy("doc_id", "chunk_id")
+
+
+# ---------------------------------------------------------------------------
+# q_mix_temperature — temperature-scaled language sampling weights
+# ---------------------------------------------------------------------------
+
+MIX_EPOCH_TARGET = 100_000  # docs per training epoch to apportion
+
+# temperature-sampled weight w_i = n_i^alpha with alpha = 1/2 — the
+# sqrt is the one irrational op both engines evaluate identically on
+# an exact integer (repo rule: sqrt blessed, pow banned); quantizing
+# each weight to an integer BEFORE summing keeps every share and
+# quota an exact integer division.
+_TEMP_W = "CAST(FLOOR(sqrt(n_docs * 1.0e0) * 1.0e6 + 0.5e0) AS BIGINT)"
+
+
+@query(
+    "q_mix_temperature",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    ),
+    w AS (SELECT lang, n_docs, {_TEMP_W} AS w FROM counts),
+    tot AS (
+      SELECT CAST(SUM(w) AS BIGINT) AS total_w,
+             CAST(SUM(n_docs) AS BIGINT) AS total_n
+      FROM w
+    )
+    SELECT lang, n_docs,
+           CAST((n_docs * 1000000) // total_n AS BIGINT) AS raw_share_ppm,
+           CAST((w * 1000000) // total_w AS BIGINT) AS temp_share_ppm,
+           CAST(({MIX_EPOCH_TARGET} * w) // total_w AS BIGINT) AS epoch_quota,
+           (w * 1000000) // total_w > (n_docs * 1000000) // total_n
+             AS upsampled
+    FROM w CROSS JOIN tot
+    """,
+)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling weights per language — the
+    multilingual mixing recipe (mT5/XLM-R style): sampling languages
+    proportional to n^α with α<1 UPSAMPLES low-resource languages and
+    damps the head; here α = 1/2 (the sqrt point of the temperature
+    family). Complements q_mix_sample (which APPLIES fixed per-lang
+    keep rates): this key DERIVES the rates from the corpus itself,
+    plus each language's document quota for a {MIX_EPOCH_TARGET}-doc
+    epoch and an upsampled flag vs the raw proportion.
+
+    Exactness: per-language counts are exact; each weight √n is ONE
+    shared micro-quantized expression (sqrt blessed, pow banned — the
+    corr-micro rule), so the weight SUM is an exact integer sum and
+    every share/quota is positive-only integer division.
+
+    Scale shape: one map-side-combined groupBy to the lang-bounded
+    count table, a 1-row total broadcast back — nothing else moves.
+    Output is one row per language."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    w = counts.selectExpr("lang", "n_docs", f"{_TEMP_W} AS w").localCheckpoint()
+    tot = w.agg(
+        F.sum("w").cast("long").alias("total_w"),
+        F.sum("n_docs").cast("long").alias("total_n"),
+    )
+    return w.crossJoin(F.broadcast(tot)).selectExpr(
+        "lang",
+        "n_docs",
+        "CAST((n_docs * 1000000) div total_n AS BIGINT) AS raw_share_ppm",
+        "CAST((w * 1000000) div total_w AS BIGINT) AS temp_share_ppm",
+        f"CAST(({MIX_EPOCH_TARGET} * w) div total_w AS BIGINT) AS epoch_quota",
+        "(w * 1000000) div total_w > (n_docs * 1000000) div total_n"
+        " AS upsampled",
+    )

@@ -72,22 +72,23 @@ DRIVER_WAVE_ROTATION: tuple[str, ...] = (
     # whose PLAN changed after their latest driver record (containment
     # fixed r9 but sampled r8; sequence_match gained the journey cap
     # this round — values unchanged, plan re-verified anyway), the
-    # TWENTY-SIX r10-registered keys (first-wave records), then the r5
+    # TWENTY-EIGHT r10-registered keys (first-wave records), then the r5
     # staleness tier (computed from CORRECTNESS_r01..r09: every key
     # whose latest driver record is r5), machinery-heaviest first (the
     # four explicitly deferred from r9 lead), and one r6 slot for the
     # bench-drift-cluster key q_multimodal_resize. Budgeting: the
-    # twenty-four post-first-batch r10 keys took the slots of the
-    # TWENTY-FOUR LEAST machinery-dependent r5 keys (bool, argmax,
-    # mode, stats, cube, grouping_sets, time_rollup, profile_stats,
-    # events_json, anomaly_zscore, tpch_q1, tpch_q4, tpch_q6, tpch_q10,
-    # tpch_q14, tpch_q19, sql_params, downsample, histogram, calendar,
-    # collect_sorted, unpivot, pivot, sql_surface — single-aggregate /
-    # plain-SQL-text / reshape-and-grouping-set oracles, code untouched
+    # twenty-six post-first-batch r10 keys took the slots of the
+    # TWENTY-SIX LEAST machinery-dependent r5 keys (bool, argmax,
+    # mode, stats, cube, grouping_sets, time_rollup, time_ewma,
+    # window_range_frame, profile_stats, events_json, anomaly_zscore,
+    # tpch_q1, tpch_q4, tpch_q6, tpch_q10, tpch_q14, tpch_q19,
+    # sql_params, downsample, histogram, calendar, collect_sorted,
+    # unpivot, pivot, sql_surface — single-aggregate / plain-SQL-text /
+    # reshape-and-frame oracles, code untouched
     # since r5; the r9-endorsed
     # first-wave-records-over-oldest-reverification trade), which move
     # to the r11 staleness ledger in NEXT.md. After this wave, those
-    # twenty-four are the only keys whose latest driver record predates
+    # twenty-six are the only keys whose latest driver record predates
     # r6.
     "q_text_containment",
     "q_events_rfm",
@@ -102,6 +103,8 @@ DRIVER_WAVE_ROTATION: tuple[str, ...] = (
     "q_join_dpp",
     "q_sql_lateral",
     "q_events_funnel_time",
+    "q_events_journeys",
+    "q_mix_temperature",
     "q_text_bm25",
     "q_scalar_variant_store",
     "q_window_cume",
@@ -131,11 +134,9 @@ DRIVER_WAVE_ROTATION: tuple[str, ...] = (
     "q_join_multiway",
     "q_join_salted",
     "q_star_join",
-    "q_time_ewma",
     "q_time_gap_fill",
     "q_time_interpolate",
     "q_window_distinct_running",
-    "q_window_range_frame",
     "q_window_rolling_corr",
     "q_window_streak",
     "q_multimodal_resize",

@@ -1142,3 +1142,26 @@ def test_funnel_time_user_keyed_stages(q):
     for ln in p.splitlines():
         if "Window" in ln and "windowspecdefinition" in ln:
             assert "cohort_week" in ln, ln
+
+
+def test_journeys_one_window_bounded_cut(q):
+    # one user-keyed Exchange serves the window computing BOTH leads
+    # (one sort, one Window op); the path rollup's Exchange moves only
+    # partial counts (types^3-bounded per partition); the rank cut
+    # plans as TakeOrderedAndProject — no global sort
+    df = q("q_events_journeys")
+    p = plan_str(df, mode="simple")
+    assert p.count("Exchange hashpartitioning") == 2, p
+    assert p.count("windowspecdefinition(user_id") == 2, p  # one Window op
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_mix_temperature_lang_bounded(q):
+    # one map-side-combined groupBy to the lang-bounded count table
+    # (checkpointed: totals scalar + output), totals broadcast back —
+    # the final plan reads only RDD scans
+    df = q("q_mix_temperature")
+    p = plan_str(df, mode="simple")
+    assert ".parquet" not in p, p
+    assert p.count("ExistingRDD") == 2, p
+    assert "Window" not in p, p
