@@ -4227,17 +4227,17 @@ _ACF_CORR = _corr_micro_expr("sx", "sy", "sxx", "syy", "sxy")
     """,
 )
 def q_time_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Autocorrelation function per event series, lags 1..{ACF_MAX_LAG}
-    — the seasonality/persistence diagnostic that tells a forecaster
-    WHICH structure the series carries (a lag-7 peak = weekly cycle,
-    slow decay = trend) before q_time_seasonal commits to a period;
-    complements q_window_rolling_corr (local lag-1 in a moving window)
-    with the series-global view at every lag. ACF here is the sample
-    Pearson correlation of (x_t, x_{{t+L}}) over observed consecutive
-    observations (lag counts OBSERVATIONS, not calendar days — run
-    q_time_gap_fill first for strict calendar lags).
+    """Autocorrelation function per event series, lags 1..7
+    (ACF_MAX_LAG) — the seasonality/persistence diagnostic that tells
+    a forecaster WHICH structure the series carries (a lag-7 peak =
+    weekly cycle, slow decay = trend) before q_time_seasonal commits
+    to a period; complements q_window_rolling_corr (local lag-1 in a
+    moving window) with the series-global view at every lag. ACF here
+    is the sample Pearson correlation of (x_t, x_(t+L)) over observed
+    consecutive observations (lag counts OBSERVATIONS, not calendar
+    days — run q_time_gap_fill first for strict calendar lags).
 
-    Exactness: daily revenue is exact integer cents; all {ACF_MAX_LAG}
+    Exactness: daily revenue is exact integer cents; all ACF_MAX_LAG
     lag columns come from ONE ordered window pass; moment sums
     accumulate in 128-bit (cents² sums wrap int64 at scale — the
     corr_matrix scheme), convert to double once, and the correlation
@@ -4247,10 +4247,10 @@ def q_time_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one fact groupBy Exchange to the day-bounded daily
     table; ONE series-keyed Exchange serves the single Window that
     computes every lag (same partition+order → one sort); the stack
-    unpivot is a projection (×{ACF_MAX_LAG} fan-out of day-bounded
+    unpivot is a projection (ACF_MAX_LAG-fold fan-out of day-bounded
     rows); and the final (series, lag) aggregate REUSES the series
     partitioning (grouping keys are a superset — the rfm/gini rule).
-    Exactly two Exchanges move data; output is series×{ACF_MAX_LAG}
+    Exactly two Exchanges move data; output is series × ACF_MAX_LAG
     rows."""
     ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
     daily = (

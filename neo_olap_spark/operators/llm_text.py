@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from neo_olap_spark.functions import bigrams, bounded_sequence, ws_tokens
+from neo_olap_spark.operators.analytics import _REG_COV, _REG_VX
 from neo_olap_spark.registry import query
 from neo_olap_spark.tables import load
 
@@ -1351,14 +1352,17 @@ _ZIPF_Y = "CAST(FLOOR(ln(freq * 1.0e0) * 1.0e6 + 0.5e0) AS BIGINT)"
 
 # OLS slope/intercept of y on x from exact integer moment sums, cast
 # to double once each; ONE expression text parsed by both engines.
-# x-values are distinct ranks, so the variance denominator is never 0.
+# The variance/covariance ALGEBRA is the q_agg_regression fragments
+# (one definition — round-10 self-review); only the quantization
+# scale is zipf's own (y is already micro-nats, so the intercept
+# rounds at unit scale), and x-values are distinct ranks, so the
+# variance denominator is never 0 and no guard is needed.
 _ZIPF_SLOPE = (
-    "CAST(FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx)"
-    " * 1.0e6 + 0.5e0) AS BIGINT)"
+    f"CAST(FLOOR({_REG_COV} / {_REG_VX} * 1.0e6 + 0.5e0) AS BIGINT)"
 )
 _ZIPF_INTERCEPT = (
-    "CAST(FLOOR((sy * sxx - sx * sxy) / (n * sxx - sx * sx)"
-    " * 1.0e0 + 0.5e0) AS BIGINT)"
+    f"CAST(FLOOR((sy * {_REG_VX} - {_REG_COV} * sx) / (n * {_REG_VX})"
+    f" * 1.0e0 + 0.5e0) AS BIGINT)"
 )
 
 
@@ -1385,7 +1389,6 @@ _ZIPF_INTERCEPT = (
              CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
              CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
              CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
              CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
       FROM pts
     )
@@ -1438,7 +1441,6 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(xd).cast("double").alias("sx"),
         F.sum(yd).cast("double").alias("sy"),
         F.sum(xd * F.col("x")).cast("double").alias("sxx"),
-        F.sum(yd * F.col("y")).cast("double").alias("syy"),
         F.sum(xd * F.col("y")).cast("double").alias("sxy"),
     )
     return s.selectExpr(

@@ -1135,13 +1135,19 @@ def test_lateral_decorrelates_to_window_group_limit(q):
 
 def test_funnel_time_user_keyed_stages(q):
     # both firsts aggregate map-side on user_id and the rank-pick
-    # windows partition by cohort week — no unpartitioned window
+    # windows partition by cohort week — no unpartitioned window.
+    # The window MUST exist (unconditional count) and every window
+    # line must carry the cohort partition key.
     df = q("q_events_funnel_time")
     p = plan_str(df, mode="simple")
-    import re
-    for ln in p.splitlines():
-        if "Window" in ln and "windowspecdefinition" in ln:
-            assert "cohort_week" in ln, ln
+    win_lines = [
+        ln for ln in p.splitlines()
+        if "Window [" in ln and "windowspecdefinition" in ln
+    ]
+    # two Window ops: row_number (ordered) and the frame-less count —
+    # both MUST partition on the cohort key
+    assert len(win_lines) == 2, p
+    assert all("cohort_week" in ln for ln in win_lines), win_lines
 
 
 def test_journeys_one_window_bounded_cut(q):
@@ -1152,7 +1158,13 @@ def test_journeys_one_window_bounded_cut(q):
     df = q("q_events_journeys")
     p = plan_str(df, mode="simple")
     assert p.count("Exchange hashpartitioning") == 2, p
-    assert p.count("windowspecdefinition(user_id") == 2, p  # one Window op
+    # exactly ONE Window operator computes both leads (one sort); the
+    # only other Window op is the rank over the TakeOrdered 20 rows
+    user_win_ops = [
+        ln for ln in p.splitlines()
+        if "Window [" in ln and "windowspecdefinition(user_id" in ln
+    ]
+    assert len(user_win_ops) == 1, p
     assert "TakeOrderedAndProject" in p, p
 
 
