@@ -204,6 +204,8 @@ HEADLINE9 = [
     "q_events_funnel_time",
     "q_events_journeys",
     "q_mix_temperature",
+    "q_set_ops_all",
+    "q_agg_spearman",
 ]
 
 

@@ -4541,3 +4541,105 @@ def q_events_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rnk") <= JOURNEY_TOP_N)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_agg_spearman — Spearman rank correlation per group
+# ---------------------------------------------------------------------------
+
+# the same shared Pearson micro expression, applied to RANKS: exact
+# integer rank moments make the only float work the final expression
+_SPEARMAN_CORR = _corr_micro_expr("sx", "sy", "sxx", "syy", "sxy")
+
+# row_number needs a TOTAL order: (l_orderkey, l_linenumber) is NOT
+# unique in this corpus (repo landmine), but adding partkey+suppkey
+# is — verified against the fixtures; identical measure values then
+# rank in a fixed engine-identical sequence
+_SPEAR_TIE = "l_orderkey, l_linenumber, l_partkey, l_suppkey"
+
+
+@query(
+    "q_agg_spearman",
+    oracle=f"""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS y,
+             l_orderkey, l_linenumber, l_partkey, l_suppkey
+      FROM lineitem
+    ),
+    r AS (
+      SELECT l_returnflag,
+             CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                    ORDER BY x, {_SPEAR_TIE}) AS BIGINT) AS rx,
+             CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                    ORDER BY y, {_SPEAR_TIE}) AS BIGINT) AS ry
+      FROM m
+    ),
+    s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(rx AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ry AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(rx AS HUGEINT) * rx) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(ry AS HUGEINT) * ry) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(rx AS HUGEINT) * ry) AS DOUBLE) AS sxy
+      FROM r GROUP BY 1
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+           {_SPEARMAN_CORR} AS spearman_micro
+    FROM s
+    """,
+)
+def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and price per return
+    flag — the ROBUST companion to q_agg_corr_matrix's Pearson tier:
+    rank correlation captures any monotone relationship and shrugs
+    off the outliers that drag product-moment correlation (the reason
+    feature-screening pipelines compute both). Ties rank in a fixed
+    total order (row_number over the measure plus the verified-unique
+    line key — the deterministic competition-rank variant; classic
+    averaged ranks would need a second window for no extra
+    information here).
+
+    Exactness: ranks are exact integers from total-ordered windows;
+    the rank moment sums accumulate in 128-bit (Σrank² is n³-scaled —
+    wraps int64 near ~3e6 rows per group) and the correlation is the
+    SAME shared micro expression every correlation key parses.
+
+    Scale shape: ONE flag-keyed Exchange serves BOTH rank windows
+    (same partitionBy, two sort orders) AND the moment aggregate
+    (grouping key == partition key — the gini/rfm reuse rule). The
+    per-flag window sort is the at-scale cost, the q_agg_gini
+    precedent; output is one row per flag."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("y"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+    )
+    flag = W.partitionBy("l_returnflag")
+    tie = [F.col(c) for c in ("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")]
+    r = li.select(
+        "l_returnflag",
+        F.row_number().over(flag.orderBy(F.col("x"), *tie)).cast("long").alias("rx"),
+        F.row_number().over(flag.orderBy(F.col("y"), *tie)).cast("long").alias("ry"),
+    )
+    rxd = F.col("rx").cast("decimal(38,0)")
+    ryd = F.col("ry").cast("decimal(38,0)")
+    s = r.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(rxd).cast("double").alias("sx"),
+        F.sum(ryd).cast("double").alias("sy"),
+        F.sum(rxd * F.col("rx")).cast("double").alias("sxx"),
+        F.sum(ryd * F.col("ry")).cast("double").alias("syy"),
+        F.sum(rxd * F.col("ry")).cast("double").alias("sxy"),
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        F.expr(_SPEARMAN_CORR).alias("spearman_micro"),
+    )

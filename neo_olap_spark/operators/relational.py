@@ -1036,6 +1036,63 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionAll(only_c)
 
 
+@query(
+    "q_set_ops_all",
+    oracle="""
+    WITH l AS (SELECT o_custkey AS id FROM orders
+               WHERE o_orderpriority = '1-URGENT'),
+    r AS (SELECT o_custkey AS id FROM orders WHERE o_orderstatus = 'F'),
+    i AS (SELECT id FROM l INTERSECT ALL SELECT id FROM r),
+    e AS (SELECT id FROM l EXCEPT ALL SELECT id FROM r)
+    SELECT 'intersect_all' AS tag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT id) AS BIGINT) AS n_distinct,
+           CAST(COALESCE(SUM(id), 0) AS BIGINT) AS id_sum
+    FROM i
+    UNION ALL
+    SELECT 'except_all' AS tag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT id) AS BIGINT) AS n_distinct,
+           CAST(COALESCE(SUM(id), 0) AS BIGINT) AS id_sum
+    FROM e
+    """,
+)
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — the BAG-semantics set operators
+    (SQL:2003): multiplicities survive, so a customer with three
+    urgent orders and two F-status orders contributes min(3,2)=2 rows
+    to the intersection and 3−2=1 to the difference — semantics the
+    distinct-flavored q_set_ops cannot express and the variant ETL
+    reconciliation jobs (ledger-vs-ledger row matching) actually
+    need. Output is the bag summaries (row count, distinct count,
+    id checksum) per operator, so the result stays bounded while the
+    hash still pins every multiplicity decision.
+
+    Scale shape: Spark plans both operators as a single hash
+    re-partition on the value with per-key count bookkeeping (the
+    generate-replicate form) — one Exchange per side, no sort; the
+    summary aggregate is 1-row per tag."""
+    o = load(spark, sf_dir, "orders")
+    l = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("id")
+    )
+    r = o.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("id")
+    )
+
+    def summarize(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.lit(tag).alias("tag"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("id").cast("long").alias("n_distinct"),
+            F.coalesce(F.sum("id"), F.lit(0)).cast("long").alias("id_sum"),
+        ).select("tag", "n_rows", "n_distinct", "id_sum")
+
+    return summarize(l.intersectAll(r), "intersect_all").unionAll(
+        summarize(l.exceptAll(r), "except_all")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sampling (rows-only: nondeterministic across engines by nature)
 # ---------------------------------------------------------------------------

@@ -1177,3 +1177,25 @@ def test_mix_temperature_lang_bounded(q):
     assert ".parquet" not in p, p
     assert p.count("ExistingRDD") == 2, p
     assert "Window" not in p, p
+
+
+def test_set_ops_all_no_sort_no_join(q):
+    # INTERSECT ALL / EXCEPT ALL must plan as hash re-partitions with
+    # per-key count bookkeeping (Generate/replicate form) — never a
+    # sort-merge join or cartesian shape
+    df = q("q_set_ops_all")
+    p = plan_str(df, mode="simple")
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "Generate replicaterows" in p, p
+
+
+def test_spearman_shared_flag_exchange(q):
+    # both rank windows AND the moment aggregate key on the return
+    # flag: ONE hashpartitioning Exchange total (the gini/rfm reuse
+    # rule), two window sorts, no join
+    df = q("q_agg_spearman")
+    p = plan_str(df, mode="simple")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert p.count("Window [") == 2, p
+    assert "Join" not in p, p
