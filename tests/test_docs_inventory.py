@@ -79,3 +79,34 @@ def test_driver_wave_rotation_fronts_unsampled_oracle_keys():
         "oracle_sql() order must front the rotation's oracle-backed "
         "subsequence"
     )
+
+
+def test_bench_waves_cover_registry_keys():
+    """Every bench-wave key must resolve in the registry (a typo here
+    silently records an error row instead of a timing), no key may
+    appear in two waves (totals would double-count), and the CURRENT
+    round's wave (the last HEADLINE list) must ride the driver-wave
+    rotation front so its first driver records and its first bench
+    records land in the same round."""
+    import bench
+
+    from neo_olap_spark.registry import DRIVER_WAVE_ROTATION, queries
+
+    qs = set(queries())
+    waves = [
+        bench.HEADLINE, bench.HEADLINE2, bench.HEADLINE3, bench.HEADLINE4,
+        bench.HEADLINE5, bench.HEADLINE6, bench.HEADLINE7, bench.HEADLINE8,
+        bench.HEADLINE9, bench.TPCH,
+    ]
+    seen: set[str] = set()
+    for wave in waves:
+        unknown = [k for k in wave if k not in qs]
+        assert not unknown, f"bench wave key not in registry: {unknown}"
+        dupes = [k for k in wave if k in seen]
+        assert not dupes, f"key in two bench waves: {dupes}"
+        seen.update(wave)
+    front = set(DRIVER_WAVE_ROTATION)
+    missing = [k for k in bench.HEADLINE9 if k not in front]
+    assert not missing, (
+        f"round-10 bench keys not fronted in the driver rotation: {missing}"
+    )
