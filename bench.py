@@ -206,6 +206,7 @@ HEADLINE9 = [
     "q_mix_temperature",
     "q_set_ops_all",
     "q_agg_spearman",
+    "q_profile_entropy",
 ]
 
 

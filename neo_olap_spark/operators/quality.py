@@ -1506,3 +1506,110 @@ def q_quality_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_CHI2_MICRO} AS chi2_micro",
         f"{_CHI2_MICRO} > {CHI2_95_MICRO} AS significant_95",
     )
+
+
+# ---------------------------------------------------------------------------
+# q_profile_entropy — categorical balance profile (Shannon entropy/column)
+# ---------------------------------------------------------------------------
+
+# H = ln(N) − (Σ c·ln c)/N, carried exactly: each cell contributes the
+# INTEGER c · micro-quantized ln(c) (product ≤ ~3e16 at 1.5e9-row
+# cells — ln in micro units caps the factor at ~21e6), so S sums
+# order-free; the two divisions are positive-only integer division
+# and one shared double ln. Scientific literals per the BM25 landmine.
+_ENTROPY_MICRO = (
+    "CAST(FLOOR(ln(n * 1.0e0) * 1.0e6 + 0.5e0) AS BIGINT)"
+    " - CAST(s div n AS BIGINT)"
+)
+
+
+def _entropy_cte(table: str, col: str) -> str:
+    return f"""
+      SELECT '{col}' AS column_name,
+             CAST(SUM(c) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(c * CAST(FLOOR(ln(c * 1.0e0) * 1.0e6 + 0.5e0)
+                               AS BIGINT)) AS BIGINT) AS s
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM {table}
+            GROUP BY {col})
+    """
+
+
+@query(
+    "q_profile_entropy",
+    oracle=f"""
+    WITH cols AS (
+      {_entropy_cte("orders", "o_orderpriority")}
+      UNION ALL
+      {_entropy_cte("customer", "c_mktsegment")}
+      UNION ALL
+      {_entropy_cte("lineitem", "l_returnflag")}
+    )
+    SELECT column_name, n, n_distinct,
+           {_ENTROPY_MICRO} AS entropy_micro,
+           CAST(CASE WHEN n_distinct > 1 THEN
+             (({_ENTROPY_MICRO}) * 1000000)
+               div CAST(FLOOR(ln(n_distinct * 1.0e0) * 1.0e6 + 0.5e0)
+                        AS BIGINT)
+             ELSE 0 END AS BIGINT) AS balance_ppm
+    FROM cols
+    """.replace(" div ", " // "),
+)
+def q_profile_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical balance profile — Shannon entropy per categorical
+    column, plus the normalized balance H/ln(n_distinct) in ppm (1e6 =
+    perfectly uniform, →0 = one value dominates): the column-profiling
+    statistic a feature pipeline reads before one-hot/target encoding
+    (a near-zero-balance column carries no signal; a near-uniform
+    high-cardinality one explodes the encoding), complementing
+    q_profile_stats' numeric profile and q_agg_mutual_info's pairwise
+    dependence with the single-column distribution view.
+
+    Exactness: H = ln N − (Σ c·ln c)/N with each cell's ln c
+    micro-quantized BEFORE multiplying by the integer count (product
+    bounded, sum order-free); the divisions are positive-only integer
+    division and the only raw float op is one shared ln per output
+    row. The oracle is the SAME expression text with `div` spelled
+    `//` (positive operands — the freshness precedent).
+
+    Scale shape: one map-side-combined groupBy per column to its
+    domain-bounded cell table, a 1-row summary each, 3-row union —
+    nothing fact-sized ever crosses the wire. Adding a column adds
+    one scan (columns profile independently; a multi-column single
+    scan would couple their schedules for no shuffle savings)."""
+    def profile(table: str, col: str) -> DataFrame:
+        cells = (
+            load(spark, sf_dir, table)
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        return cells.agg(
+            F.lit(col).alias("column_name"),
+            F.sum("c").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(
+                F.col("c")
+                * F.expr(
+                    "CAST(FLOOR(ln(c * 1.0e0) * 1.0e6 + 0.5e0) AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("s"),
+        ).select("column_name", "n", "n_distinct", "s")
+
+    cols = (
+        profile("orders", "o_orderpriority")
+        .unionAll(profile("customer", "c_mktsegment"))
+        .unionAll(profile("lineitem", "l_returnflag"))
+    )
+    return cols.selectExpr(
+        "column_name",
+        "n",
+        "n_distinct",
+        f"{_ENTROPY_MICRO} AS entropy_micro",
+        f"""CAST(CASE WHEN n_distinct > 1 THEN
+             (({_ENTROPY_MICRO}) * 1000000)
+               div CAST(FLOOR(ln(n_distinct * 1.0e0) * 1.0e6 + 0.5e0)
+                        AS BIGINT)
+             ELSE 0 END AS BIGINT) AS balance_ppm""",
+    )

@@ -72,24 +72,25 @@ DRIVER_WAVE_ROTATION: tuple[str, ...] = (
     # whose PLAN changed after their latest driver record (containment
     # fixed r9 but sampled r8; sequence_match gained the journey cap
     # this round — values unchanged, plan re-verified anyway), the
-    # THIRTY r10-registered keys (first-wave records), then the r5
+    # THIRTY-ONE r10-registered keys (first-wave records), then the r5
     # staleness tier (computed from CORRECTNESS_r01..r09: every key
     # whose latest driver record is r5), machinery-heaviest first (the
     # four explicitly deferred from r9 lead), and one r6 slot for the
     # bench-drift-cluster key q_multimodal_resize. Budgeting: the
-    # twenty-eight post-first-batch r10 keys took the slots of the
-    # TWENTY-EIGHT LEAST machinery-dependent r5 keys (bool, argmax,
+    # twenty-nine post-first-batch r10 keys took the slots of the
+    # TWENTY-NINE LEAST machinery-dependent r5 keys (bool, argmax,
     # mode, stats, cube, grouping_sets, time_rollup, time_ewma,
     # window_range_frame, profile_stats, events_json, anomaly_zscore,
     # median, percentile_exact (rank machinery covered in-wave by
-    # weighted_median + histogram_eqdepth), tpch_q1, tpch_q4, tpch_q6,
+    # weighted_median + histogram_eqdepth), agg_salted (skew machinery
+    # covered in-wave by join_salted), tpch_q1, tpch_q4, tpch_q6,
     # tpch_q10, tpch_q14, tpch_q19, sql_params, downsample, histogram,
     # calendar, collect_sorted, unpivot, pivot, sql_surface —
     # single-aggregate / plain-SQL-text / reshape-and-frame oracles,
     # code untouched since r5; the r9-endorsed
     # first-wave-records-over-oldest-reverification trade), which move
     # to the r11 staleness ledger in NEXT.md. After this wave, those
-    # twenty-eight are the only keys whose latest driver record
+    # twenty-nine are the only keys whose latest driver record
     # predates r6.
     "q_text_containment",
     "q_events_rfm",
@@ -108,6 +109,7 @@ DRIVER_WAVE_ROTATION: tuple[str, ...] = (
     "q_mix_temperature",
     "q_set_ops_all",
     "q_agg_spearman",
+    "q_profile_entropy",
     "q_text_bm25",
     "q_scalar_variant_store",
     "q_window_cume",
@@ -127,7 +129,6 @@ DRIVER_WAVE_ROTATION: tuple[str, ...] = (
     "q_agg_histogram_eqdepth",
     "q_cohort_retention",
     "q_agg_heavy_hitters",
-    "q_agg_salted",
     "q_agg_weighted_median",
     "q_events_active_users",
     "q_events_transitions",

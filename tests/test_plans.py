@@ -1199,3 +1199,15 @@ def test_spearman_shared_flag_exchange(q):
     assert p.count("Exchange hashpartitioning") == 1, p
     assert p.count("Window [") == 2, p
     assert "Join" not in p, p
+
+
+def test_profile_entropy_domain_bounded(q):
+    # each column profiles via one map-side-combined groupBy to its
+    # domain-bounded cell table and a 1-row summary — no join, no
+    # window, and each scan prunes to exactly its profiled column
+    df = q("q_profile_entropy")
+    p = plan_str(df, mode="simple")
+    assert "Join" not in p, p
+    assert "Window" not in p, p
+    assert_read_schema_only(df, "customer", {"c_mktsegment"})
+    assert_read_schema_only(df, "lineitem", {"l_returnflag"})
