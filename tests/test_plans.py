@@ -1211,3 +1211,17 @@ def test_profile_entropy_domain_bounded(q):
     assert "Window" not in p, p
     assert_read_schema_only(df, "customer", {"c_mktsegment"})
     assert_read_schema_only(df, "lineitem", {"l_returnflag"})
+
+
+def test_dedup_exact_digest_keyed_shuffle(q):
+    # round-10 verdict fix: the exact-dedup aggregate must shuffle the
+    # (xxhash64(text), length(text)) digest, never the text itself —
+    # at 100 TB a text-keyed Exchange carries the unique corpus as the
+    # partitioning KEY. The text column rides back on a long-keyed
+    # equi join (no cartesian, no text partitioning anywhere).
+    df = q("q_dedup_exact")
+    p = plan_str(df)
+    assert "xxhash64" in p
+    assert "hashpartitioning(text" not in p
+    assert "hashpartitioning(cast(text" not in p
+    assert "CartesianProduct" not in p

@@ -147,3 +147,52 @@ def test_attribution_matches_pandas_reference(spark, sf_dir):
         for r in REGISTRY["q_events_attribution"].fn(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_spearman_tie_chain_is_unique_in_fixtures():
+    """q_agg_spearman's row_number windows are deterministic only if
+    the full sort tuple (measure, other measure, 4-part line key) is
+    unique within each return flag. The 4-part line key ALONE is not
+    (duplicate tuple at l_orderkey=1294 in sf0.001 — round-10 ADVICE),
+    which is exactly why both measures lead the tie chain; this pins
+    that the extended tuple never collides in any fixture the parity
+    gate runs on."""
+    import os
+
+    for sf in ("sf0.001", "sf0.01"):
+        path = f"/root/testdata/{sf}/lineitem.parquet"
+        if not os.path.exists(path):
+            continue
+        li = pq.read_table(
+            path,
+            columns=[
+                "l_returnflag",
+                "l_quantity",
+                "l_extendedprice",
+                "l_orderkey",
+                "l_linenumber",
+                "l_partkey",
+                "l_suppkey",
+            ],
+        ).to_pandas()
+        li["x"] = li["l_quantity"].astype("int64")
+        li["y"] = np.floor(li["l_extendedprice"] * 100 + 0.5).astype("int64")
+        key = li[
+            [
+                "l_returnflag",
+                "x",
+                "y",
+                "l_orderkey",
+                "l_linenumber",
+                "l_partkey",
+                "l_suppkey",
+            ]
+        ]
+        dup = key.duplicated()
+        assert not dup.any(), f"{sf}: duplicate spearman sort tuple\n{key[dup]}"
+        # and the documented landmine stays true: the 4-part line key
+        # alone DOES collide somewhere, so the measure-led chain is
+        # load-bearing, not decorative
+        four = li[["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]]
+        if sf == "sf0.001":
+            assert four.duplicated().any()
