@@ -254,6 +254,103 @@ HEADLINE10 = [
 ]
 
 
+# Round-11 COMPLETION wave: the remaining 83 never-benched keys —
+# with HEADLINE10 this takes bench coverage to 274/274, so every
+# registered operator has a recorded cold+warm number and no perf
+# regression anywhere can go unnoticed. Mostly scalars / windows /
+# single-aggregates plus the source readers, samplers and subqueries;
+# one-shot probe total 141 s cold at sf0.1 (q_time_interpolate 38 s
+# is the only heavy key). The two rows-only sampling keys are
+# included for PERF records; their correctness evidence lives in the
+# driver-green *_verdict twins (HEADLINE6). Frozen-list protocol
+# applies from here on.
+HEADLINE11 = [
+    "q_agg_argmax",
+    "q_agg_bool",
+    "q_agg_collect_sorted",
+    "q_agg_cube",
+    "q_agg_histogram",
+    "q_agg_median",
+    "q_agg_mode",
+    "q_agg_percentile_exact",
+    "q_agg_stats",
+    "q_anomaly_zscore",
+    "q_events_json",
+    "q_profile_stats",
+    "q_sql_params",
+    "q_time_calendar",
+    "q_time_downsample",
+    "q_unpivot",
+    "q_window_range_frame",
+    "q_agg_approx_quantile",
+    "q_agg_hll",
+    "q_agg_hll_union",
+    "q_agg_heavy_hitters",
+    "q_time_interpolate",
+    "q_window_streak",
+    "q_agg_countmin",
+    "q_agg_freq_approx",
+    "q_window_rolling_corr",
+    "q_agg_weighted_median",
+    "q_events_active_users",
+    "q_source_csv",
+    "q_source_json",
+    "q_source_orc",
+    "q_mix_sample",
+    "q_embed_quantize",
+    "q_embed_stats",
+    "q_text_quality",
+    "q_text_langid",
+    "q_text_fingerprint",
+    "q_text_pii",
+    "q_text_repetition",
+    "q_text_levenshtein",
+    "q_text_ngram_stats",
+    "q_text_encode",
+    "q_multimodal_meta",
+    "q_join_cardinality",
+    "q_privacy_kanon",
+    "q_privacy_erase",
+    "q_time_backfill_gaps",
+    "q_sink_roundtrip",
+    "q_project",
+    "q_filter_range",
+    "q_filter_disjunctive",
+    "q_join_anti",
+    "q_semi_join_neighbors",
+    "q_join_range",
+    "q_agg_sum",
+    "q_agg_rollup",
+    "q_window_lag",
+    "q_window_ntile",
+    "q_window_first_last",
+    "q_sort",
+    "q_union",
+    "q_set_ops",
+    "q_sample",
+    "q_sample_stratified",
+    "q_sample_hash",
+    "q_window_ratio",
+    "q_sample_exact_stratified",
+    "q_join_null_safe",
+    "q_scalar_string",
+    "q_scalar_date",
+    "q_scalar_math",
+    "q_scalar_array",
+    "q_scalar_map",
+    "q_scalar_json",
+    "q_scalar_bitwise",
+    "q_scalar_posexplode",
+    "q_scalar_struct",
+    "q_scalar_cond",
+    "q_scalar_url",
+    "q_scalar_trycast",
+    "q_subquery_scalar",
+    "q_subquery_correlated",
+    "q_incremental_agg",
+]
+
+
 # Full TPC-H 22 (schema-adapted; tpch.py + analytics.py): reported as
 # its own total — the one number warehouse engines are compared by.
 TPCH = [
@@ -350,6 +447,7 @@ def main() -> None:
     results9, warm9 = run_set(HEADLINE8)
     results10, warm10 = run_set(HEADLINE9)
     results11, warm11 = run_set(HEADLINE10)
+    results12, warm12 = run_set(HEADLINE11)
     results3, warm3 = run_set(TPCH)
 
     total, warm_total1 = set_totals(results, warm1)
@@ -362,6 +460,7 @@ def main() -> None:
     total9, warm_total9 = set_totals(results9, warm9)
     total10, warm_total10 = set_totals(results10, warm10)
     total11, warm_total11 = set_totals(results11, warm11)
+    total12, warm_total12 = set_totals(results12, warm12)
     total3, warm_total3 = set_totals(results3, warm3)
     # Key order is TRUNCATION-PROOF (VERDICT r5 item 7): the driver
     # captures the stdout TAIL, so anything early in this single line
@@ -399,19 +498,21 @@ def main() -> None:
         "headline9_warm_total": warm_total10,
         "headline10_total": total11,
         "headline10_warm_total": warm_total11,
+        "headline11_total": total12,
+        "headline11_warm_total": warm_total12,
         "tpch_total": total3,
         "tpch_warm_total": warm_total3,
         "errors": errors,
         "warm_incomplete_keys": warm_incomplete,
         # newest wave first … r1-comparable HEADLINE cold per-key LAST
         "queries_warm": {
-            **warm3, **warm11, **warm10, **warm9, **warm8, **warm7, **warm6,
-            **warm5, **warm4, **warm2, **warm1
+            **warm3, **warm12, **warm11, **warm10, **warm9, **warm8, **warm7,
+            **warm6, **warm5, **warm4, **warm2, **warm1
         },
         "queries": {
-            **results3, **results11, **results10, **results9, **results8,
-            **results7, **results6, **results5, **results4, **results2,
-            **results,
+            **results3, **results12, **results11, **results10, **results9,
+            **results8, **results7, **results6, **results5, **results4,
+            **results2, **results,
         },
     }
     here = os.path.dirname(os.path.abspath(__file__))

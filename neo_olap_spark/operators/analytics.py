@@ -1962,7 +1962,19 @@ def q_time_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed from the per-user bounds aggregate, every shuffle is
     keyed on user_id, and the two directional windows share one
     user_id Exchange with only local sorts between them; per-user
-    cost is bounded by each user's own time span at any corpus size."""
+    cost is bounded by each user's own time span at any corpus size.
+
+    Frame-direction landmine (caught by the r11 bench-coverage
+    completion — warm time equalled cold at 31 s): Spark evaluates a
+    [currentRow, unboundedFollowing] frame with
+    UnboundedFollowingWindowFunctionFrame, which RE-AGGREGATES the
+    remainder of the partition for every row — O(span²) per user,
+    ~27 s of the 31 at sf0.1. The forward-looking anchors are instead
+    computed as a RUNNING [unboundedPreceding, currentRow] frame over
+    hr_epoch DESC (last non-null walking down from the partition top
+    == first non-null at-or-after the row in ASC — identical values),
+    which streams in O(span). Post-fix: ~3 s warm, plan-pinned to one
+    Exchange + two sorts and NO UnboundedFollowing frame."""
     ev = load(spark, sf_dir, "events")
     hr = (F.floor(F.col("ts").cast("long") / 3600) * 3600).cast("long")
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
@@ -1980,16 +1992,19 @@ def q_time_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.partitionBy("user_id").orderBy("hr_epoch")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # forward anchors via a RUNNING frame over DESC order (see the
+    # frame-direction landmine in the docstring) — value-identical to
+    # first(... ignorenulls) over [currentRow, unboundedFollowing] ASC
     w_fwd = (
-        W.partitionBy("user_id").orderBy("hr_epoch")
-        .rowsBetween(W.currentRow, W.unboundedFollowing)
+        W.partitionBy("user_id").orderBy(F.col("hr_epoch").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     obs_e = F.when(F.col("v_cents").isNotNull(), F.col("hr_epoch"))
     ctx = (
         j.withColumn("prev_v", F.last("v_cents", ignorenulls=True).over(w_back))
         .withColumn("prev_e", F.last(obs_e, ignorenulls=True).over(w_back))
-        .withColumn("next_v", F.first("v_cents", ignorenulls=True).over(w_fwd))
-        .withColumn("next_e", F.first(obs_e, ignorenulls=True).over(w_fwd))
+        .withColumn("next_v", F.last("v_cents", ignorenulls=True).over(w_fwd))
+        .withColumn("next_e", F.last(obs_e, ignorenulls=True).over(w_fwd))
     )
     interp = (
         F.when(F.col("v_cents").isNotNull(), F.col("v_cents").cast("double"))

@@ -86,10 +86,17 @@ DRIVER_WAVE_ROTATION: tuple[str, ...] = (
     # phash and motion are also r10 bench-drift-cluster keys — the
     # correctness record rides along with the A/B), and four r6
     # streaming keys. Displaced to the r12 ledger: the remaining r6
-    # keys (see NEXT.md).
+    # keys (see NEXT.md). Late-round swap: q_time_interpolate joined
+    # the front after the bench-coverage completion exposed its
+    # O(span²) UnboundedFollowing window frame and the forward
+    # anchors moved to a DESC running frame (values identical, plan
+    # changed after its r10 record → re-verify); q_stream_ohlc (the
+    # least machinery-heavy r6 pick) yielded its slot and returns in
+    # r12.
     "q_dedup_exact",
     "q_agg_spearman",
     "q_events_journeys",
+    "q_time_interpolate",
     "q_agg_argmax",
     "q_agg_bool",
     "q_agg_collect_sorted",
@@ -136,7 +143,6 @@ DRIVER_WAVE_ROTATION: tuple[str, ...] = (
     "q_stream_dedup",
     "q_stream_join",
     "q_stream_late",
-    "q_stream_ohlc",
 )
 
 

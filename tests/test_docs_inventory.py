@@ -87,11 +87,17 @@ def test_bench_waves_cover_registry_keys():
     appear in two waves (totals would double-count), and the CURRENT
     round's wave must carry correctness evidence alongside its first
     bench record. Through r10 that meant the new-key wave rides the
-    rotation front; r11's HEADLINE10 is a BACKFILL wave (no new keys),
-    so the invariant becomes: every HEADLINE10 key already has a
+    rotation front; r11's HEADLINE10/11 are BACKFILL waves (no new
+    keys), so the invariant becomes: every backfill key already has a
     driver hash-match record in some committed CORRECTNESS_r*.json OR
     rides the r11 rotation front — a bench number must never be the
-    only evidence a key has."""
+    only evidence a key has. The two rows-only raw sampling keys are
+    exempt: they are never driver-sampled BY DESIGN and their
+    correctness evidence is the driver-green hash-checked *_verdict
+    twins (r8); HEADLINE11 carries them for perf records only.
+    With both waves, bench coverage is the FULL registry (274/274) —
+    also asserted here so a future key addition without a bench slot
+    fails the suite."""
     import glob
     import json
     import os
@@ -104,7 +110,7 @@ def test_bench_waves_cover_registry_keys():
     waves = [
         bench.HEADLINE, bench.HEADLINE2, bench.HEADLINE3, bench.HEADLINE4,
         bench.HEADLINE5, bench.HEADLINE6, bench.HEADLINE7, bench.HEADLINE8,
-        bench.HEADLINE9, bench.HEADLINE10, bench.TPCH,
+        bench.HEADLINE9, bench.HEADLINE10, bench.HEADLINE11, bench.TPCH,
     ]
     seen: set[str] = set()
     for wave in waves:
@@ -113,6 +119,8 @@ def test_bench_waves_cover_registry_keys():
         dupes = [k for k in wave if k in seen]
         assert not dupes, f"key in two bench waves: {dupes}"
         seen.update(wave)
+    unbenched = sorted(qs - seen)
+    assert not unbenched, f"registry keys in no bench wave: {unbenched}"
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     driver_verified: set[str] = set()
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
@@ -122,10 +130,13 @@ def test_bench_waves_cover_registry_keys():
             k for k, v in rec.items()
             if isinstance(v, dict) and v.get("rows_match")
         )
+    from neo_olap_spark.registry import REGISTRY
+
     front = set(DRIVER_WAVE_ROTATION)
+    rows_only = {k for k in REGISTRY if REGISTRY[k].oracle is None}
     unevidenced = [
-        k for k in bench.HEADLINE10
-        if k not in driver_verified and k not in front
+        k for k in bench.HEADLINE10 + bench.HEADLINE11
+        if k not in driver_verified and k not in front and k not in rows_only
     ]
     assert not unevidenced, (
         f"backfill bench keys with neither a driver record nor a "

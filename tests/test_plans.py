@@ -1225,3 +1225,15 @@ def test_dedup_exact_digest_keyed_shuffle(q):
     assert "hashpartitioning(text" not in p
     assert "hashpartitioning(cast(text" not in p
     assert "CartesianProduct" not in p
+
+
+def test_time_interpolate_no_quadratic_window_frame(q):
+    # r11 bench-coverage find: a [currentRow, unboundedFollowing]
+    # frame makes Spark re-aggregate the partition tail per row —
+    # O(span²) per user (31 s at sf0.1, warm == cold). The forward
+    # anchors must come from a RUNNING frame over DESC order instead;
+    # this pins that no UnboundedFollowing frame ever returns.
+    df = q("q_time_interpolate")
+    p = plan_str(df, mode="simple")
+    assert "unboundedfollowing$()" not in p.lower().replace(" ", ""), p
+    assert "Window" in p
