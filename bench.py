@@ -22,6 +22,64 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from neo_olap_spark.registry import queries
 from neo_olap_spark.session import get_spark
 
+# Single per-round constant (ADVICE r11 #2): the reps filename derives
+# from it so a new round can't silently append into the previous
+# round's rep series. Bump this (only this) at round open.
+ROUND = 12
+
+
+def host_load_probe(spin_iters: int = 2_000_000) -> dict:
+    """Sample host contention so bench reps carry a load verdict.
+
+    The r11 drift adjudication (SCALING.md) showed this host is
+    bimodal: same-code headline reps spanned 59.9–100.5 s while a JVM
+    control held flat, and the one rep taken minutes after a manual
+    /proc/stat steal probe showed the host quiet landed at 1.007x
+    baseline. VERDICT r11 item 4: codify that probe so every rep is
+    TAGGED (not refused — the driver runs unattended) and the next
+    judge reads labeled reps instead of re-deriving the band.
+
+    Returns steal%% and busy%% over a short /proc/stat window, the
+    1-minute loadavg, a fixed single-core Python spin time (an
+    absolute same-host yardstick across reps), and a coarse verdict:
+    "quiet" when steal < 2%% and busy < 55%% (32 cores leave headroom
+    for Spark's own local[32] work), else "loaded"; "unknown" when
+    /proc/stat is unreadable (non-Linux).
+    """
+    def _stat():
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+        steal = vals[7] if len(vals) > 7 else 0
+        return sum(vals), idle, steal
+
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(spin_iters):
+        acc += i
+    spin_sec = time.perf_counter() - t0
+    probe = {"spin_sec": round(spin_sec, 4)}
+    try:
+        tot0, idle0, st0 = _stat()
+        time.sleep(0.5)
+        tot1, idle1, st1 = _stat()
+        dtot = max(tot1 - tot0, 1)
+        steal_pct = 100.0 * (st1 - st0) / dtot
+        busy_pct = 100.0 * (dtot - (idle1 - idle0)) / dtot
+        with open("/proc/loadavg") as f:
+            load1 = float(f.read().split()[0])
+        probe.update(
+            steal_pct=round(steal_pct, 2),
+            busy_pct=round(busy_pct, 2),
+            loadavg_1m=load1,
+            verdict="quiet" if (steal_pct < 2.0 and busy_pct < 55.0)
+            else "loaded",
+        )
+    except (OSError, ValueError, IndexError):
+        probe["verdict"] = "unknown"
+    return probe
+
 HEADLINE = [
     "q_scan_lineitem",
     "q_agg_groupby",
@@ -437,6 +495,7 @@ def main() -> None:
             round(sum(warm[k] for k in common), 3),
         )
 
+    probe_start = host_load_probe()
     results, warm1 = run_set(HEADLINE)
     results2, warm2 = run_set(HEADLINE2)
     results4, warm4 = run_set(HEADLINE3)
@@ -449,6 +508,7 @@ def main() -> None:
     results11, warm11 = run_set(HEADLINE10)
     results12, warm12 = run_set(HEADLINE11)
     results3, warm3 = run_set(TPCH)
+    probe_end = host_load_probe()
 
     total, warm_total1 = set_totals(results, warm1)
     total2, warm_total2 = set_totals(results2, warm2)
@@ -504,6 +564,12 @@ def main() -> None:
         "tpch_warm_total": warm_total3,
         "errors": errors,
         "warm_incomplete_keys": warm_incomplete,
+        # Host contention tags (VERDICT r11 item 4): probe at run
+        # start and end — a rep is only trustworthy as a baseline
+        # comparison when BOTH say "quiet" (the host can degrade
+        # mid-run; r11's round-close rep did exactly that).
+        "host_probe_start": probe_start,
+        "host_probe_end": probe_end,
         # newest wave first … r1-comparable HEADLINE cold per-key LAST
         "queries_warm": {
             **warm3, **warm12, **warm11, **warm10, **warm9, **warm8, **warm7,
@@ -524,7 +590,10 @@ def main() -> None:
     # shows the whole same-code rep band (the drift-adjudication
     # input), while the sidecar stays the single round-close record.
     reps_file = os.path.join(
-        here, os.environ.get("SPARK_GRAFT_BENCH_REPS", "BENCH_reps_r11.jsonl")
+        here,
+        os.environ.get(
+            "SPARK_GRAFT_BENCH_REPS", f"BENCH_reps_r{ROUND:02d}.jsonl"
+        ),
     )
     try:
         with open(reps_file, "a") as f:

@@ -67,18 +67,23 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep_id, so text bytes cross the wire at most once, keyed by a
     cheap long, and only for group REPRESENTATIVES once Spark's
     runtime bloom filter (or AQE broadcast of the narrow group
-    frame) prunes the fact side. length(text) rides along as a free
-    collision discriminator on top of the 64-bit hash; the DuckDB
-    oracle still groups by the text itself, so the hash match proves
-    the digest grouping is collision-free on the corpus."""
+    frame) prunes the fact side. The digest is (xxhash64, crc32,
+    length) — two INDEPENDENT hash algorithms plus the length
+    (ADVICE r11 #1): a silent group-merge now needs a simultaneous
+    collision in both a 64-bit avalanche hash and a 32-bit CRC on
+    equal-length texts, pushing the silent-failure probability from
+    ~n²/2⁶⁴ (marginal at 100 TB doc counts) to ~n²/2⁹⁶ (never).
+    The DuckDB oracle still groups by the text itself, so the hash
+    match proves the digest grouping collision-free on the corpus."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     groups = (
         d.select(
             F.xxhash64("text").alias("h"),
+            F.crc32(F.encode("text", "utf-8")).alias("h2"),
             F.length("text").alias("ln"),
             "doc_id",
         )
-        .groupBy("h", "ln")
+        .groupBy("h", "h2", "ln")
         .agg(
             F.min("doc_id").alias("keep_id"),
             F.count(F.lit(1)).cast("long").alias("n_copies"),

@@ -68,81 +68,73 @@ DRIVER_WAVE_SIZE = 50  # the driver's observed per-round sample size
 ROWS_ONLY_WAVE_KEYS: frozenset[str] = frozenset()
 
 DRIVER_WAVE_ROTATION: tuple[str, ...] = (
-    # round-11 wave. Composition (VERDICT r10 item 1): FRONT = the
-    # three keys whose code/oracle changed this round and therefore
-    # need a fresh driver record regardless of staleness —
-    # q_dedup_exact (digest-keyed shuffle rewrite, the round's
-    # weak->done conversion), q_agg_spearman (tie chain extended to
-    # measure-led total order, oracle text changed) and
-    # q_events_journeys (NULL-propagating concat + tri-null guard,
-    # oracle text changed). Then the ENTIRE r5 staleness tier (all 29
-    # keys whose latest driver record is r5, mechanically from
-    # tools/staleness_ledger.py — burning that tier to zero is the
-    # round's mandate; after this wave no key's latest record
-    # predates r6). The remaining 18 slots take the r6 tier in
-    # VERDICT r10's machinery-heaviest-first order: dedup
-    # near-clusters/simhash, embed_pca, five graph-loop keys,
-    # pipeline_pretrain, the five r6 multimodal kernels (embed_pca,
-    # phash and motion are also r10 bench-drift-cluster keys — the
-    # correctness record rides along with the A/B), and four r6
-    # streaming keys. Displaced to the r12 ledger: the remaining r6
-    # keys (see NEXT.md). Late-round swap: q_time_interpolate joined
-    # the front after the bench-coverage completion exposed its
-    # O(span²) UnboundedFollowing window frame and the forward
-    # anchors moved to a DESC running frame (values identical, plan
-    # changed after its r10 record → re-verify); q_stream_ohlc (the
-    # least machinery-heavy r6 pick) yielded its slot and returns in
-    # r12.
-    "q_dedup_exact",
-    "q_agg_spearman",
-    "q_events_journeys",
-    "q_time_interpolate",
-    "q_agg_argmax",
-    "q_agg_bool",
-    "q_agg_collect_sorted",
-    "q_agg_cube",
-    "q_agg_histogram",
-    "q_agg_median",
-    "q_agg_mode",
-    "q_agg_percentile_exact",
-    "q_agg_salted",
-    "q_agg_stats",
-    "q_anomaly_zscore",
-    "q_events_json",
-    "q_grouping_sets",
-    "q_pivot",
-    "q_profile_stats",
-    "q_sql_params",
-    "q_sql_surface",
-    "q_sql_tpch_q1",
-    "q_sql_tpch_q10",
-    "q_sql_tpch_q14",
-    "q_sql_tpch_q19",
-    "q_sql_tpch_q4",
-    "q_sql_tpch_q6",
-    "q_time_calendar",
-    "q_time_downsample",
-    "q_time_ewma",
-    "q_time_rollup",
-    "q_unpivot",
-    "q_window_range_frame",
-    "q_dedup_near_clusters",
-    "q_dedup_simhash",
-    "q_embed_pca",
-    "q_graph_lpa",
-    "q_graph_sssp",
+    # round-12 wave. Composition (VERDICT r11 items 1+2): FRONT = the
+    # three keys whose PLAN changed this round and therefore need a
+    # fresh driver record regardless of staleness — q_graph_closeness
+    # and q_graph_sssp (per-source early-exit + shrinking-state merge,
+    # VERDICT r11 item 2; values unchanged, plan changed) and
+    # q_dedup_exact (second independent hash — crc32 — joined the
+    # digest key, ADVICE r11 #1). Then the ENTIRE r6 staleness tier
+    # (all 30 keys whose latest driver record is r6, mechanically from
+    # tools/staleness_ledger.py after CORRECTNESS_r11 — burning that
+    # tier to zero is the round's mandate; q_stream_ohlc returns here
+    # after yielding its r11 slot to the interpolate plan fix). The
+    # remaining 17 slots start on the 48-key r7 tier,
+    # machinery-heaviest first: the five graph-loop keys, the
+    # join-shaped traversal keys, multimodal_decode, scd2_join, the
+    # rolling-median window, and the five heaviest multiway-join
+    # TPC-H mids. Displaced to the r13 ledger: the remaining 31 r7
+    # keys (see NEXT.md).
     "q_graph_closeness",
-    "q_graph_modularity",
-    "q_graph_jaccard",
-    "q_pipeline_pretrain",
-    "q_multimodal_audio",
-    "q_multimodal_audio_resample",
-    "q_multimodal_frames",
-    "q_multimodal_motion",
-    "q_multimodal_phash",
-    "q_stream_dedup",
-    "q_stream_join",
-    "q_stream_late",
+    "q_graph_sssp",
+    "q_dedup_exact",
+    "q_dq_audit",
+    "q_embed_stats",
+    "q_funnel",
+    "q_graph_degree_hist",
+    "q_incremental_agg",
+    "q_incremental_join_view",
+    "q_privacy_erase",
+    "q_privacy_kanon",
+    "q_privacy_mask",
+    "q_random_walk_counts",
+    "q_scd2_asof",
+    "q_scd2_build",
+    "q_schema_evolution",
+    "q_sim_ann_ivf",
+    "q_sim_ann_lsh",
+    "q_sink_partitioned",
+    "q_snapshot_diff",
+    "q_stream_ohlc",
+    "q_stream_quality",
+    "q_stream_stateful",
+    "q_text_bigram_lm",
+    "q_text_encode",
+    "q_text_entropy",
+    "q_text_keywords",
+    "q_text_pii",
+    "q_time_ohlc",
+    "q_udf_grouped_ols",
+    "q_udf_udtf",
+    "q_vocab_build",
+    "q_zorder_layout",
+    "q_betweenness_sample",
+    "q_connected_components",
+    "q_pagerank",
+    "q_graph_kcore",
+    "q_two_hop",
+    "q_degree",
+    "q_semi_join_neighbors",
+    "q_multimodal_decode",
+    "q_scd2_join",
+    "q_window_rolling_median",
+    "q_pipeline_dataset_card",
+    "q_sql_tpch_q2",
+    "q_sql_tpch_q7",
+    "q_sql_tpch_q8",
+    "q_sql_tpch_q9",
+    "q_sql_tpch_q11",
+    "q_sql_tpch_q13",
 )
 
 

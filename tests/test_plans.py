@@ -1222,6 +1222,9 @@ def test_dedup_exact_digest_keyed_shuffle(q):
     df = q("q_dedup_exact")
     p = plan_str(df)
     assert "xxhash64" in p
+    # ADVICE r11 #1: a second independent hash (crc32) rides in the
+    # digest so a 64-bit collision can't silently merge groups
+    assert "crc32" in p
     assert "hashpartitioning(text" not in p
     assert "hashpartitioning(cast(text" not in p
     assert "CartesianProduct" not in p

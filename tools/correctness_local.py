@@ -41,6 +41,11 @@ from neo_olap_spark.testing import (
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_path = sys.argv[2] if len(sys.argv) > 2 else "CORRECTNESS_local_full.json"
+    if not os.path.isdir(sf_dir):
+        # a stray flag (e.g. --help) would otherwise run the full
+        # sweep against a nonexistent path and OVERWRITE the committed
+        # ledger with 274 path-error rows (r12 near-miss)
+        sys.exit(f"correctness_local.py: sf_dir {sf_dir!r} is not a directory")
     spark = get_spark("neo-olap-correctness", cpus=8)
     queries()
 
