@@ -366,6 +366,40 @@ def test_sssp_merge_strategies_agree(spark, sf_dir):
     assert a == b
 
 
+def test_sssp_per_source_early_exit(spark):
+    """r12: sources with different depths must each exit at their own
+    depth (the frozen state drops out of the live loop), and the
+    multi-source answer must be row-identical to running each source
+    alone — the independence claim the early exit rests on. Source 0
+    sits on a deep chain; source 100 is a 1-hop star that converges
+    rounds earlier."""
+    from neo_olap_spark.operators.graph_algos import sssp
+
+    chain = [(i, i + 1, 1) for i in range(8)]          # depth-8 from 0
+    star = [(100, 101, 1), (100, 102, 1)]              # depth-1 from 100
+    edges = spark.createDataFrame(
+        chain + star, "src long, dst long, w long"
+    )
+    sym = edges.unionAll(edges.selectExpr("dst as src", "src as dst", "w"))
+    stats: dict = {}
+    multi = {
+        (r.source, r.node): r.dist
+        for r in sssp(
+            sym, [0, 100], max_rounds=20, hops_per_round=1, stats=stats
+        ).collect()
+    }
+    exits = stats["source_exit_rounds"]
+    assert set(exits) == {0, 100}
+    assert exits[100] < exits[0], exits  # star exits before the chain
+    singles: dict = {}
+    for s in (0, 100):
+        singles.update({
+            (r.source, r.node): r.dist
+            for r in sssp(sym, [s], max_rounds=20).collect()
+        })
+    assert multi == singles
+
+
 def test_sssp_hops_per_round_agree(spark, sf_dir):
     """hops_per_round changes only the convergence-check cadence (how
     many lazily-checkpointed relaxations share one count job), never
