@@ -2159,7 +2159,14 @@ def sssp(
     shrinking state, not k × |nodes| for the slowest source's full
     depth. At 100 TB with batched source groups this is the
     difference between every batch paying its slowest member's tail
-    and each source paying its own depth.
+    and each source paying its own depth. Memory accounting: each
+    frozen frame is a lazy filter over the round's checkpointed
+    state, so the checkpoint RDD at each exit event stays referenced
+    until the caller's final action — bounded by (number of DISTINCT
+    exit rounds) × state size, ≤ k extra cached states worst case;
+    batch sizing to executor memory must leave that slack (at the
+    test SFs it is noise — exit events cluster in the tail where
+    state has already shrunk).
 
     ``union_merge`` picks the per-round merge strategy (None = gate on
     len(sources) × n_edges vs SSSP_UNION_MERGE_MAX_UNITS); both
