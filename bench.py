@@ -25,7 +25,7 @@ from neo_olap_spark.session import get_spark
 # Single per-round constant (ADVICE r11 #2): the reps filename derives
 # from it so a new round can't silently append into the previous
 # round's rep series. Bump this (only this) at round open.
-ROUND = 12
+ROUND = 13
 
 # Quiet-host spin ceiling for host_load_probe's verdict. Calibrated on
 # this benchmarking host: the observed quiet floor is ~0.072-0.087 s
@@ -62,7 +62,11 @@ def host_load_probe(spin_iters: int = 2_000_000) -> dict:
     def _stat():
         with open("/proc/stat") as f:
             parts = f.readline().split()[1:]
-        vals = [int(x) for x in parts]
+        # fields: user nice system idle iowait irq softirq steal
+        # guest guest_nice — guest/guest_nice are ALREADY included in
+        # user/nice (ADVICE r12 #1), so summing all ten double-counts
+        # VM time and deflates busy_pct/steal_pct; cap at 8 fields.
+        vals = [int(x) for x in parts][:8]
         idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
         steal = vals[7] if len(vals) > 7 else 0
         return sum(vals), idle, steal
@@ -600,7 +604,13 @@ def main() -> None:
         },
     }
     here = os.path.dirname(os.path.abspath(__file__))
-    sidecar = os.path.join(here, "BENCH_local_full.json")
+    # Sidecar name is overridable so off-default-SF runs (e.g. the
+    # r13 sf0.2 graduation sweep) record their own artifact instead
+    # of clobbering the committed sf0.1 round-close record.
+    sidecar = os.path.join(
+        here,
+        os.environ.get("SPARK_GRAFT_BENCH_SIDECAR", "BENCH_local_full.json"),
+    )
     # Rep series (VERDICT r10 "what's wrong" #2): BENCH_local_full.json
     # is last-writer-wins, so the r10 history committed the slowest
     # outlier rep as "the" record. Every run now ALSO appends one line

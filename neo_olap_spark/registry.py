@@ -68,73 +68,74 @@ DRIVER_WAVE_SIZE = 50  # the driver's observed per-round sample size
 ROWS_ONLY_WAVE_KEYS: frozenset[str] = frozenset()
 
 DRIVER_WAVE_ROTATION: tuple[str, ...] = (
-    # round-12 wave. Composition (VERDICT r11 items 1+2): FRONT = the
-    # three keys whose PLAN changed this round and therefore need a
-    # fresh driver record regardless of staleness — q_graph_closeness
-    # and q_graph_sssp (per-source early-exit + shrinking-state merge,
-    # VERDICT r11 item 2; values unchanged, plan changed) and
-    # q_dedup_exact (second independent hash — crc32 — joined the
-    # digest key, ADVICE r11 #1). Then the ENTIRE r6 staleness tier
-    # (all 30 keys whose latest driver record is r6, mechanically from
-    # tools/staleness_ledger.py after CORRECTNESS_r11 — burning that
-    # tier to zero is the round's mandate; q_stream_ohlc returns here
-    # after yielding its r11 slot to the interpolate plan fix). The
-    # remaining 17 slots start on the 48-key r7 tier,
-    # machinery-heaviest first: the five graph-loop keys, the
-    # join-shaped traversal keys, multimodal_decode, scd2_join, the
-    # rolling-median window, and the five heaviest multiway-join
-    # TPC-H mids. Displaced to the r13 ledger: the remaining 31 r7
-    # keys (see NEXT.md).
-    "q_graph_closeness",
-    "q_graph_sssp",
-    "q_dedup_exact",
-    "q_dq_audit",
-    "q_embed_stats",
-    "q_funnel",
-    "q_graph_degree_hist",
-    "q_incremental_agg",
-    "q_incremental_join_view",
-    "q_privacy_erase",
-    "q_privacy_kanon",
-    "q_privacy_mask",
-    "q_random_walk_counts",
-    "q_scd2_asof",
-    "q_scd2_build",
-    "q_schema_evolution",
-    "q_sim_ann_ivf",
-    "q_sim_ann_lsh",
-    "q_sink_partitioned",
-    "q_snapshot_diff",
-    "q_stream_ohlc",
-    "q_stream_quality",
-    "q_stream_stateful",
-    "q_text_bigram_lm",
-    "q_text_encode",
-    "q_text_entropy",
-    "q_text_keywords",
-    "q_text_pii",
-    "q_time_ohlc",
-    "q_udf_grouped_ols",
-    "q_udf_udtf",
-    "q_vocab_build",
-    "q_zorder_layout",
-    "q_betweenness_sample",
-    "q_connected_components",
-    "q_pagerank",
-    "q_graph_kcore",
-    "q_two_hop",
-    "q_degree",
-    "q_semi_join_neighbors",
-    "q_multimodal_decode",
-    "q_scd2_join",
-    "q_window_rolling_median",
-    "q_pipeline_dataset_card",
-    "q_sql_tpch_q2",
-    "q_sql_tpch_q7",
-    "q_sql_tpch_q8",
-    "q_sql_tpch_q9",
-    "q_sql_tpch_q11",
-    "q_sql_tpch_q13",
+    # round-13 wave. Composition (VERDICT r12 item 1): no key's plan
+    # changed since its latest driver record (the r13 sssp frozen-
+    # frame coalescing only engages above its cap, which k=4 driver
+    # runs never reach — executed plan byte-identical at every tested
+    # SF, pinned by test), so the wave is purely staleness-driven.
+    # FRONT = the ENTIRE 31-key r7 staleness tier — the only keys
+    # whose newest driver record predates r8 (mechanically from
+    # tools/staleness_ledger.py after CORRECTNESS_r12: the q_scalar_*
+    # block, window basics, set ops, agg basics, samplers, TPC-H
+    # q12/q15/q16) — machinery-heaviest first (multiway TPC-H mids,
+    # windows, winsorize's percentile machinery, then the
+    # single-shuffle scalars). The remaining 19 slots start on the
+    # 49-key r8 tier, machinery-heaviest first: the two graph-loop
+    # keys (pagerank_personalized doubles as a warm>cold adjudication
+    # target, VERDICT r12 item 3), the seven Structured-Streaming
+    # replay keys, the multimodal/dedup/postings machinery, and the
+    # two heaviest r8 TPC-H keys. Displaced to the r14 ledger: the
+    # remaining 30 r8 keys (see NEXT.md).
+    "q_sql_tpch_q12",
+    "q_sql_tpch_q15",
+    "q_sql_tpch_q16",
+    "q_agg_winsorize",
+    "q_window_rank",
+    "q_window_running_sum",
+    "q_window_lag",
+    "q_window_ntile",
+    "q_window_ratio",
+    "q_window_first_last",
+    "q_topn",
+    "q_sort",
+    "q_union",
+    "q_set_ops",
+    "q_agg_groupby",
+    "q_agg_rollup",
+    "q_agg_distinct",
+    "q_agg_sum",
+    "q_sample_bernoulli",
+    "q_scalar_array",
+    "q_scalar_bitwise",
+    "q_scalar_cond",
+    "q_scalar_date",
+    "q_scalar_json",
+    "q_scalar_map",
+    "q_scalar_math",
+    "q_scalar_posexplode",
+    "q_scalar_string",
+    "q_scalar_struct",
+    "q_scalar_trycast",
+    "q_scalar_url",
+    "q_graph_hits",
+    "q_pagerank_personalized",
+    "q_stream_join_outer",
+    "q_stream_transform_state",
+    "q_stream_cdc_apply",
+    "q_stream_session",
+    "q_stream_sliding",
+    "q_stream_tumbling",
+    "q_stream_enrich",
+    "q_multimodal_scenes",
+    "q_multimodal_dedup",
+    "q_dedup_near",
+    "q_dedup_incremental",
+    "q_embed_knn_graph",
+    "q_text_postings",
+    "q_merge_upsert",
+    "q_join_asof_nearest",
+    "q_sql_tpch_q21",
+    "q_sql_tpch_q17",
 )
 
 
