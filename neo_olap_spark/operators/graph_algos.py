@@ -2132,6 +2132,19 @@ def weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # size-gated-strategy pattern as the k-core broadcast gate.
 SSSP_UNION_MERGE_MAX_UNITS = 16_000_000
 
+# Per-source early exit appends one lazily-filtered frozen frame (and
+# pins that round's checkpointed state) per DISTINCT exit round. At
+# the current k=4 closeness batch that is ≤ 4 frames and noise, but a
+# large batched source group with spread-out exit rounds would grow a
+# deep chained unionByName plan plus up-to-k retained checkpoints
+# (ADVICE r12 #2). At this cap the frozen frames are UNIONED and
+# EAGERLY re-checkpointed into one frame: plan depth and retained
+# per-round checkpoints stay ≤ cap, at the cost of one extra
+# materialization job over already-final (shrunken) state per cap
+# crossings — O(k/cap) extra jobs worst case, each touching only
+# frozen rows.
+SSSP_FROZEN_COALESCE_CAP = 8
+
 
 def sssp(
     wsym: DataFrame,
@@ -2163,10 +2176,12 @@ def sssp(
     frozen frame is a lazy filter over the round's checkpointed
     state, so the checkpoint RDD at each exit event stays referenced
     until the caller's final action — bounded by (number of DISTINCT
-    exit rounds) × state size, ≤ k extra cached states worst case;
-    batch sizing to executor memory must leave that slack (at the
-    test SFs it is noise — exit events cluster in the tail where
-    state has already shrunk).
+    exit rounds) × state size; once that count reaches
+    SSSP_FROZEN_COALESCE_CAP the frames are unioned and eagerly
+    re-checkpointed (ADVICE r12 #2), so retained checkpoints and
+    final-union plan depth stay ≤ cap regardless of batch size (at
+    the test SFs coalescing never triggers — exit events cluster in
+    the tail where state has already shrunk).
 
     ``union_merge`` picks the per-round merge strategy (None = gate on
     len(sources) × n_edges vs SSSP_UNION_MERGE_MAX_UNITS); both
@@ -2319,6 +2334,23 @@ def sssp(
                 )
                 merged = merged.where(~done_col)
                 active -= done
+                if len(frozen) >= SSSP_FROZEN_COALESCE_CAP:
+                    # Bound plan depth + retained checkpoints (ADVICE
+                    # r12 #2): collapse the chained frozen frames into
+                    # one EAGER checkpoint so the per-round states they
+                    # pinned become collectable and the final union
+                    # stays shallow. Eager is load-bearing — a lazy
+                    # checkpoint would keep every upstream frame
+                    # referenced until the caller's action, defeating
+                    # the bound.
+                    combined = frozen[0]
+                    for fz in frozen[1:]:
+                        combined = combined.unionByName(fz)
+                    frozen = [combined.localCheckpoint()]
+                    if stats is not None:
+                        stats["frozen_coalesces"] = (
+                            stats.get("frozen_coalesces", 0) + 1
+                        )
             frontier = merged.where(improved).select("source", "node", "dist")
             dist = merged.select("source", "node", "dist")
             if not active:

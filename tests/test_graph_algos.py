@@ -400,6 +400,41 @@ def test_sssp_per_source_early_exit(spark):
     assert multi == singles
 
 
+def test_sssp_frozen_coalesce_bounds_plan_depth(spark, monkeypatch):
+    """r13 (ADVICE r12 #2): a source batch with many DISTINCT exit
+    rounds must coalesce its frozen frames once the cap is crossed —
+    values identical to the uncoalesced run, and the coalesce path
+    actually exercised (stats counter). Chains of staggered depths
+    force one exit event per depth; cap=2 forces repeated coalescing
+    at toy scale."""
+    import neo_olap_spark.operators.graph_algos as ga
+
+    # six chains of depths 1..6 rooted at 100, 200, ..., 600: source
+    # s exits at its own depth, giving six distinct exit rounds
+    edges = []
+    roots = [100 * (d + 1) for d in range(6)]
+    for d, root in enumerate(roots, start=1):
+        edges += [(root + i, root + i + 1, 1) for i in range(d)]
+    sym_edges = spark.createDataFrame(edges, "src long, dst long, w long")
+    sym = sym_edges.unionAll(
+        sym_edges.selectExpr("dst as src", "src as dst", "w")
+    )
+    baseline = {
+        (r.source, r.node): r.dist
+        for r in ga.sssp(sym, roots, max_rounds=20, hops_per_round=1).collect()
+    }
+    monkeypatch.setattr(ga, "SSSP_FROZEN_COALESCE_CAP", 2)
+    stats: dict = {}
+    coalesced = {
+        (r.source, r.node): r.dist
+        for r in ga.sssp(
+            sym, roots, max_rounds=20, hops_per_round=1, stats=stats
+        ).collect()
+    }
+    assert stats.get("frozen_coalesces", 0) >= 2, stats
+    assert coalesced == baseline
+
+
 def test_sssp_hops_per_round_agree(spark, sf_dir):
     """hops_per_round changes only the convergence-check cadence (how
     many lazily-checkpointed relaxations share one count job), never
