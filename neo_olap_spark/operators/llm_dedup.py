@@ -140,6 +140,30 @@ def _shingled_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _explode_no_refilter(df: DataFrame, arr: str, alias: str) -> DataFrame:
+    """explode() an EXPENSIVE computed array without the optimizer's
+    inferred pre-filter re-running the array expression at the scan.
+
+    A non-outer Generate makes Catalyst infer ``size(arr) > 0 AND
+    isnotnull(arr)`` (InferFiltersFromGenerate) and push it through
+    every projection AND the tokenize Exchange down to the parquet
+    scan — where ``arr`` is shingles-of-split, the pushed filter
+    re-inlines split() at every element_at, so the whole shingle
+    transform re-runs per row in the SINGLE-task scan stage of the
+    one-file fixture (guide §4.4's duplicated-evaluation trap, with a
+    built-in lambda instead of a UDF). Measured at sf0.1: the postings
+    build drops 8.6 s → 1.4 s warm with identical rows.
+
+    explode_outer + isNotNull on the OUTPUT column is row-identical
+    (empty and null arrays yield no surviving rows; array elements
+    here are concat_ws/xxhash64 results, never null) and the filter
+    references the generator output, so it cannot be pushed below the
+    Generate."""
+    return df.select(
+        "doc_id", F.explode_outer(arr).alias(alias)
+    ).where(F.col(alias).isNotNull())
+
+
 def capped_postings(
     ex: DataFrame, max_df: int = MAX_SHINGLE_DF, ckpt: bool = True
 ) -> DataFrame:
@@ -201,7 +225,7 @@ def exact_jaccard_pairs(
     explode would be the whole job). NOTE this makes the call EAGER
     (work runs now, blocks held until RDD GC) — see capped_postings;
     plan-only callers pass ckpt=False."""
-    ex = sh_df.select("doc_id", F.explode("sh").alias("s"))
+    ex = _explode_no_refilter(sh_df, "sh", "s")
     kept = capped_postings(ex, max_df, ckpt=ckpt)
     a = kept.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "s")
     b = kept.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "s")
@@ -274,7 +298,7 @@ def q_text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (localCheckpointed before the self-join — Catalyst does not reuse
     the derived frame across the two join sides, so the dominant
     explode+window chain would otherwise execute twice)."""
-    ex = _shingled(spark, sf_dir).select("doc_id", F.explode("sh").alias("s"))
+    ex = _explode_no_refilter(_shingled(spark, sf_dir), "sh", "s")
     kept = capped_postings(ex, MAX_SHINGLE_DF)
     a = kept.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "s")
     b = kept.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "s")
@@ -503,10 +527,16 @@ def minhash_lsh_pairs(
         "transform(slice(docs, {cap} + 1, greatest(size(docs) - {cap}, 0)), "
         "y -> struct(docs[1] AS doc_a, y AS doc_b))"
     ).format(cap=MAX_BUCKET_DOCS)
+    # explode_outer + isNotNull, not explode: the inferred size()>0
+    # pre-filter would evaluate the whole head+tail pair expansion a
+    # second time per bucket (see _explode_no_refilter)
     cand = (
         buckets.select(
-            F.explode(F.expr(f"concat({head_pairs}, {tail_pairs})")).alias("p")
+            F.explode_outer(
+                F.expr(f"concat({head_pairs}, {tail_pairs})")
+            ).alias("p")
         )
+        .where(F.col("p").isNotNull())
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
@@ -754,9 +784,25 @@ def simhash_signatures(spark: SparkSession, sf_dir: str, seed: int = 42) -> Data
     """64-bit SimHash per document: per token, xxhash64 gives 64 bits;
     each bit votes ±1; the signature is the sign vector packed into a
     bigint. One explode + one groupBy with 64 conditional sums — all
-    built-in expressions."""
+    built-in expressions.
+
+    The tokenize + explode + 64-sum partial aggregate previously ran
+    entirely inside the SCAN stage — one task for the single-file
+    fixture, ~7 s of the key's 8.4 s warm at sf0.1 on one core. The
+    scan is spread across cores BEFORE any per-token work when the
+    source yields fewer splits than the session has cores (a fixture
+    artifact: one small parquet file = one split; a 100 TB documents
+    table scans wide on its own and the repartition never fires, so no
+    extra text shuffle at scale). explode_outer + isNotNull instead of
+    explode: see _explode_no_refilter — the inferred size(split())>0
+    pre-filter would re-tokenize every row at the scan."""
     d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("tok"))
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par * 2)
+    toks = d.select(
+        "doc_id", F.explode_outer(ws_tokens(F.col("text"))).alias("tok")
+    ).where(F.col("tok").isNotNull())
     h = F.xxhash64(F.col("tok"), F.lit(seed))
     votes = toks.groupBy("doc_id").agg(
         *[
@@ -793,7 +839,17 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals this operator's output because the chunk blocking is
     lossless (pigeonhole) and the bucket cap cannot bind at oracle
     scale (cap 1024 >= total docs)."""
-    sigs = simhash_signatures(spark, sf_dir)
+    # localCheckpoint is load-bearing: `sigs` is a 64-term packed
+    # expression over 64 aggregate columns; left lazy, CollapseProject
+    # inlines it into EVERY chunk struct (×9) plus the explode's
+    # inferred pre-filter — an expression tree big enough to fall out
+    # of whole-stage codegen (measured: the chunk/bucket stage ran
+    # 4.5 s on 5 000 rows in one task). Materialized, the frame is one
+    # (doc_id, simhash) long pair per doc — O(docs) narrow rows, the
+    # same footprint every signature store pays — and the chunk stage
+    # evaluates 9 cheap shift/mask structs over a materialized long
+    # (measured 7.5 s → 2.5 s warm on the full key).
+    sigs = simhash_signatures(spark, sf_dir).localCheckpoint()
     chunk_cols = []
     for c in range(SIMHASH_N_CHUNKS):
         lo, hi = _CHUNK_BOUNDS[c], _CHUNK_BOUNDS[c + 1]
@@ -826,6 +882,17 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("docs")
         )
         .where(F.size("docs") > 1)
+        # spread the pair expansion: the bucket table is tiny in BYTES
+        # (AQE coalesces it to one partition) but each multi-doc
+        # bucket expands O(|docs|²) candidate structs — CPU per row
+        # that byte-based coalescing can't see (measured: the fused
+        # bucket+expansion stage ran 4 s on a single task at sf0.1).
+        # ROUND-ROBIN, not keyed: a repartition keyed (chunk, val)
+        # matches the groupBy's existing hashpartitioning, so the
+        # optimizer removes it and AQE coalesces the read anyway;
+        # round-robin survives and also spreads regardless of bucket-
+        # key skew. The exchange moves only the bucket digest rows.
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     head_pairs = (
         "flatten(transform(slice(docs, 1, {cap}), (x, i) -> "
@@ -838,10 +905,15 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y -> struct(docs[1].doc_id AS doc_a, y.doc_id AS doc_b, "
         "docs[1].simhash AS sig_a, y.simhash AS sig_b))"
     ).format(cap=MAX_BUCKET_DOCS)
+    # explode_outer + isNotNull: see _explode_no_refilter — the
+    # inferred pre-filter would run the pair expansion twice per bucket
     cand = (
         buckets.select(
-            F.explode(F.expr(f"concat({head_pairs}, {tail_pairs})")).alias("p")
+            F.explode_outer(
+                F.expr(f"concat({head_pairs}, {tail_pairs})")
+            ).alias("p")
         )
+        .where(F.col("p").isNotNull())
         .select("p.doc_a", "p.doc_b", "p.sig_a", "p.sig_b")
         .distinct()
     )

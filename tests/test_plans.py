@@ -1240,3 +1240,46 @@ def test_time_interpolate_no_quadratic_window_frame(q):
     p = plan_str(df, mode="simple")
     assert "unboundedfollowing$()" not in p.lower().replace(" ", ""), p
     assert "Window" in p
+
+
+def test_dedup_postings_no_inferred_refilter_at_scan(spark, sf_dir):
+    # r13 optimization find: explode() on the computed shingle array
+    # makes InferFiltersFromGenerate plant a size(sh) > 0 pre-filter
+    # that PushDownPredicates drives through the tokenize Exchange to
+    # the parquet scan, re-inlining split() at every element_at — the
+    # whole shingle transform re-runs per row in the (single-task)
+    # scan stage: 8.6 s -> 1.4 s warm at sf0.1 once removed. The
+    # postings chain must evaluate the shingle lambda exactly ONCE
+    # (its projection); any second occurrence means the inferred
+    # filter is back.
+    from pyspark.sql import functions as F
+
+    from neo_olap_spark.operators.llm_dedup import (
+        MAX_SHINGLE_DF,
+        _explode_no_refilter,
+        _shingled,
+        capped_postings,
+    )
+
+    ex = _explode_no_refilter(_shingled(spark, sf_dir), "sh", "s")
+    kept = capped_postings(ex, MAX_SHINGLE_DF, ckpt=False)
+    p = plan_str(kept, mode="simple")
+    assert p.count("array_distinct(transform(") == 1, p
+    # the scan must carry no data filter over the text column at all
+    scan_lines = [ln for ln in p.splitlines() if "FileScan" in ln]
+    assert scan_lines and "DataFilters: [(size(" not in scan_lines[0], p
+
+
+def test_simhash_expansion_spread_and_signature_materialized(q):
+    # r13 optimization: (a) the packed 64-term signature must come
+    # from a materialized frame (Scan ExistingRDD), not be re-inlined
+    # into all 9 chunk structs by CollapseProject (fell out of
+    # whole-stage codegen: 4.5 s for 5 000 rows); (b) the O(|docs|^2)
+    # bucket pair expansion must sit above a round-robin exchange so
+    # byte-based AQE coalescing cannot fuse it onto one task.
+    df = q("q_dedup_simhash")
+    p = plan_str(df, mode="simple")
+    assert "Scan ExistingRDD" in p, p
+    assert "RoundRobinPartitioning" in p, p
+    # explode_outer (outer generate) — no inferred size()>0 refilter
+    assert "Generate explode" in p and ", true, [p#" in p, p

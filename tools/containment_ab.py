@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from neo_olap_spark.operators.llm_dedup import (
     CONTAINMENT_THRESHOLD,
     MAX_SHINGLE_DF,
+    _explode_no_refilter,
     _shingled,
     capped_postings,
 )
@@ -43,7 +44,7 @@ def containment_pairs(spark, sf_dir: str, ckpt: bool):
     # the postings builder is IMPORTED from llm_dedup (round-9 ADVICE:
     # an inline copy would silently measure a stale shape if the
     # operator changed); no_ckpt reproduces the pre-r9 plan exactly
-    ex = _shingled(spark, sf_dir).select("doc_id", F.explode("sh").alias("s"))
+    ex = _explode_no_refilter(_shingled(spark, sf_dir), "sh", "s")
     kept = capped_postings(ex, MAX_SHINGLE_DF, ckpt=ckpt)
     a = kept.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "s")
     b = kept.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "s")
