@@ -82,6 +82,35 @@ def bigrams(tokens: Column) -> Column:
     )
 
 
+def local_rows_frame(spark, rows, schema):
+    """JVM LocalRelation from a SMALL driver-side row list, via Arrow.
+
+    ``spark.createDataFrame(list, schema)`` builds a Python-RDD-backed
+    scan; a job that file-writes such a frame (every bench key ends in
+    a sink write) re-pays Python-worker setup on EVERY write — worker
+    reuse covers collect-type jobs but not the write path (measured on
+    this host: a 2-row frame's parquet/noop write costs ~4.5 s, every
+    time, vs 0.2 s through Arrow). Routing the rows through a pandas
+    frame makes createDataFrame emit an Arrow-backed LocalRelation
+    evaluated entirely in the JVM — no Python worker in any consumer.
+
+    ``dtype=object`` keeps None cells as None (a float column would
+    coerce them to NaN); Arrow then casts per the EXPLICIT schema, so
+    values and nullability match the plain-createDataFrame path
+    exactly. Only for driver-small row lists (scalars, sentinels,
+    dimension snapshots) — the same bound the old call sites already
+    guaranteed."""
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    st = schema if isinstance(schema, StructType) else StructType.fromDDL(schema)
+    names = [f.name for f in st.fields]
+    pdf = pd.DataFrame(
+        [tuple(r) for r in rows] or None, columns=names, dtype=object
+    )
+    return spark.createDataFrame(pdf, st)
+
+
 def numbered_sample(df, n: int, order_col: str, idx_name: str):
     """The n lowest-``order_col`` rows of ``df``, numbered 0..n-1 as
     IntegerType (int, not long: seeded trajectories hash the id with
@@ -132,7 +161,7 @@ def distributed_row_number(df, order_cols: list[str], n_parts: int, idx_name: st
     for pid in sorted(counts):
         offsets.append((pid, acc))
         acc += counts[pid]
-    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    off_df = local_rows_frame(spark, offsets, "_pid int, _off long")
     w = W.partitionBy("_pid").orderBy(*order_cols)
     return (
         parts.join(F.broadcast(off_df), "_pid")

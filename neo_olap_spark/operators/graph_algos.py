@@ -21,6 +21,7 @@ from pyspark.sql.window import Window as W
 
 from contextlib import contextmanager
 
+from neo_olap_spark.functions import local_rows_frame
 from neo_olap_spark.functions import numbered_sample as _numbered_sample
 from neo_olap_spark.graph import edges, symmetrize
 from neo_olap_spark.registry import query
@@ -248,7 +249,7 @@ def dense_index(df: DataFrame, col_name: str, n_parts: int = 32) -> DataFrame:
     for pid in sorted(counts):
         offsets.append((pid, acc))
         acc += counts[pid]
-    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    off_df = local_rows_frame(spark, offsets, "_pid int, _off long")
     w = W.partitionBy("_pid").orderBy(col_name)
     return (
         parts.join(F.broadcast(off_df), "_pid")
@@ -1525,7 +1526,9 @@ def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def oriented_edge_intersections(pairs: DataFrame) -> DataFrame:
+def oriented_edge_intersections(
+    pairs: DataFrame, with_degrees: bool = False
+) -> DataFrame:
     """Per-oriented-edge triangle closures ``(src, dst, tcs)`` of an
     undirected graph given as canonical ``(u, v)`` pairs with u < v,
     one row per edge: ``tcs`` is the ARRAY of third vertices closing a
@@ -1546,7 +1549,15 @@ def oriented_edge_intersections(pairs: DataFrame) -> DataFrame:
     edges produce ~20M wedges but only 1.9M triangles). The adjacency
     table is one row per node; when it fits a broadcast (≤2M nodes)
     the two adjacency joins don't shuffle the edge list at all, else
-    they run as ordinary hash joins — both shapes scale."""
+    they run as ordinary hash joins — both shapes scale.
+
+    ``with_degrees=True`` (r13 optimization) returns
+    ``(src, dst, sdeg, ddeg, tcs)`` over ALL oriented edges via a
+    LEFT join of the closure arrays (``tcs`` empty/null when no
+    triangle closes) — the endpoint degrees are already joined on for
+    the orientation key, so callers that need them (per-edge Jaccard)
+    stop re-aggregating degrees from the pair set and re-attaching
+    them with two more pair-sized shuffles."""
     deg = (
         pairs.select(F.col("u").alias("node"))
         .unionAll(pairs.select(F.col("v").alias("node")))
@@ -1567,9 +1578,19 @@ def oriented_edge_intersections(pairs: DataFrame) -> DataFrame:
             F.struct(F.col("dv.deg"), F.col("dv.node")).alias("kv"),
         )
     )
+    fwd = F.col("ku") < F.col("kv")
+    deg_cols = (
+        [
+            F.when(fwd, F.col("ku.deg")).otherwise(F.col("kv.deg")).alias("sdeg"),
+            F.when(fwd, F.col("kv.deg")).otherwise(F.col("ku.deg")).alias("ddeg"),
+        ]
+        if with_degrees
+        else []
+    )
     oriented = keyed.select(
-        F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        *deg_cols,
     ).localCheckpoint()  # eager: consumed by the adjacency agg AND the join
     deg.unpersist()
     adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
@@ -1577,11 +1598,23 @@ def oriented_edge_intersections(pairs: DataFrame) -> DataFrame:
     a2 = adj.select(F.col("src").alias("a2"), F.col("nbrs").alias("nv"))
     if n_nodes <= 2_000_000:
         a1, a2 = F.broadcast(a1), F.broadcast(a2)
+    if not with_degrees:
+        return (
+            oriented.join(a1, oriented.src == F.col("a1"))
+            # inner join: a dst with no out-neighbors closes no triangle
+            .join(a2, oriented.dst == F.col("a2"))
+            .select("src", "dst", F.array_intersect("nu", "nv").alias("tcs"))
+        )
+    # degree-carrying variant: LEFT joins so every oriented edge
+    # survives (tcs null when either endpoint lacks out-neighbors —
+    # semantically an empty closure set)
     return (
-        oriented.join(a1, oriented.src == F.col("a1"))
-        # inner join: a dst with no out-neighbors closes no triangle
-        .join(a2, oriented.dst == F.col("a2"))
-        .select("src", "dst", F.array_intersect("nu", "nv").alias("tcs"))
+        oriented.join(a1, oriented.src == F.col("a1"), "left")
+        .join(a2, oriented.dst == F.col("a2"), "left")
+        .select(
+            "src", "dst", "sdeg", "ddeg",
+            F.array_intersect("nu", "nv").alias("tcs"),
+        )
     )
 
 
@@ -1649,8 +1682,8 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     family (Runner.java:40-56 edge-list model).
     """
     edge_cnt, tri_cnt = oriented_triangle_count(_copurchase_pairs(spark, sf_dir))
-    return spark.createDataFrame(
-        [(edge_cnt, tri_cnt)], "n_edges long, n_triangles long"
+    return local_rows_frame(
+        spark, [(edge_cnt, tri_cnt)], "n_edges long, n_triangles long"
     )
 
 
@@ -2041,37 +2074,59 @@ def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus floor-shift makes the score bit-identical cross-engine
     (q_udf_grouped_ols rule)."""
     pairs = _copurchase_pairs(spark, sf_dir).localCheckpoint()
-    per_edge = (
-        oriented_edge_intersections(pairs)
-        .where(F.size("tcs") > 0)
-        .localCheckpoint()  # consumed by the own-edge and wedge branches
-    )
+    # r13 optimization: the closure join already attaches both endpoint
+    # degrees for the orientation key, so carry them through
+    # (with_degrees=True, LEFT closure joins keep every edge) instead
+    # of re-aggregating deg from the pair set and re-attaching it with
+    # two more pair-sized shuffles — the old shape shuffled the full
+    # pair set by u, then by v, then by (u, v); this one exchanges it
+    # once for the single left join against tri_e (whose groupBy
+    # partitioning the join reuses). Plan diff: 2 pair-set shuffles
+    # and one full-pair aggregation pass removed.
+    per_edge_all = oriented_edge_intersections(
+        pairs, with_degrees=True
+    ).localCheckpoint()  # consumed by tri_e AND the output join
+    per_edge = per_edge_all.where(F.size("tcs") > 0)
     canon = lambda a, b: [F.least(a, b).alias("u"), F.greatest(a, b).alias("v")]
-    own = per_edge.select(
-        *canon(F.col("src"), F.col("dst")), F.size("tcs").cast("long").alias("c")
+    # ONE scan of the closure checkpoint emits every credit row (own
+    # edge + both wedge edges, in-array) — the old own/wedge_a/wedge_b
+    # union read the checkpoint three times (3 × ~150 MB cache scans
+    # in the profile). explode_outer + isNotNull per the
+    # _explode_no_refilter rule: a plain explode's inferred size()>0
+    # pre-filter would evaluate the concat+transforms twice per row.
+    def credit(a, b, c):
+        return F.struct(
+            F.least(a, b).alias("u"), F.greatest(a, b).alias("v"), c.alias("c")
+        )
+
+    one = F.lit(1).cast("long")
+    credit_rows = F.concat(
+        F.array(
+            credit(F.col("src"), F.col("dst"), F.size("tcs").cast("long"))
+        ),
+        F.transform("tcs", lambda w: credit(F.col("src"), w, one)),
+        F.transform("tcs", lambda w: credit(F.col("dst"), w, one)),
     )
-    wedges = per_edge.select("src", "dst", F.explode("tcs").alias("w"))
-    wedge_a = wedges.select(*canon(F.col("src"), F.col("w")), F.lit(1).cast("long").alias("c"))
-    wedge_b = wedges.select(*canon(F.col("dst"), F.col("w")), F.lit(1).cast("long").alias("c"))
     tri_e = (
-        own.unionAll(wedge_a)
-        .unionAll(wedge_b)
-        .groupBy("u", "v")
-        .agg(F.sum("c").alias("common"))
+        per_edge.select(F.explode_outer(credit_rows).alias("cr"))
+        .where(F.col("cr").isNotNull())
+        .groupBy(F.col("cr.u").alias("u"), F.col("cr.v").alias("v"))
+        .agg(F.sum("cr.c").alias("common"))
     )
-    deg = (
-        pairs.select(F.col("u").alias("node"))
-        .unionAll(pairs.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").cast("long").alias("deg"))
+    all_edges = per_edge_all.select(
+        *canon(F.col("src"), F.col("dst")),
+        F.when(F.col("src") < F.col("dst"), F.col("sdeg"))
+        .otherwise(F.col("ddeg"))
+        .cast("long")
+        .alias("du"),
+        F.when(F.col("src") < F.col("dst"), F.col("ddeg"))
+        .otherwise(F.col("sdeg"))
+        .cast("long")
+        .alias("dv"),
     )
-    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
     common = F.coalesce(F.col("common"), F.lit(0)).cast("long")
     return (
-        pairs.join(du, "u")
-        .join(dv, "v")
-        .join(tri_e, ["u", "v"], "left")
+        all_edges.join(tri_e, ["u", "v"], "left")
         .select(
             "u",
             "v",
@@ -2222,8 +2277,8 @@ def sssp(
                 len(sources) * n_edges <= SSSP_UNION_MERGE_MAX_UNITS
             )
         edges_p = wsym.repartition("src").persist()
-        dist = spark.createDataFrame(
-            [(s, s, 0) for s in sources], "source long, node long, dist long"
+        dist = local_rows_frame(
+            spark, [(s, s, 0) for s in sources], "source long, node long, dist long"
         ).localCheckpoint()
         frontier = dist
         converged = False

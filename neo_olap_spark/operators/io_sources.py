@@ -19,6 +19,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from neo_olap_spark.functions import local_rows_frame
 from neo_olap_spark.registry import query
 from neo_olap_spark.sources import read_csv, read_json, write_csv, write_json
 from neo_olap_spark.tables import load
@@ -35,7 +36,7 @@ def _materialize_and_clean(df: DataFrame, tmp_root: str) -> DataFrame:
     OOM at scale."""
     spark = df.sparkSession
     try:
-        return spark.createDataFrame(df.collect(), df.schema)
+        return local_rows_frame(spark, df.collect(), df.schema)
     finally:
         shutil.rmtree(tmp_root, ignore_errors=True)
 

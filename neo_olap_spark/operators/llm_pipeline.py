@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from neo_olap_spark.functions import shingles, ws_tokens
+from neo_olap_spark.functions import local_rows_frame, shingles, ws_tokens
 from neo_olap_spark.registry import query
 from neo_olap_spark.tables import load
 
@@ -701,7 +701,8 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         resid_emp >= -1e-9 * max(1.0, trace_f64)
         and abs(resid_emp - resid_fit) <= 1e-6 * max(1.0, trace_f64)
     )
-    return spark.createDataFrame(
+    return local_rows_frame(
+        spark,
         [
             (
                 n_total,

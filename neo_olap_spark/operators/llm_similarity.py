@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from neo_olap_spark.functions import trunc_div_sql
+from neo_olap_spark.functions import local_rows_frame, trunc_div_sql
 from neo_olap_spark.registry import query
 from neo_olap_spark.tables import load
 
@@ -274,7 +274,8 @@ def ivf_topk(
         "vec_id", "embedding", norm(F.col("embedding")).alias("vn")
     )
     if centroids == "kmeans":
-        cents = spark.createDataFrame(
+        cents = local_rows_frame(
+            spark,
             _kmeans_centroids(corpus_n, n_cells, seed),
             "cell int, cent array<double>, cent_n double",
         )

@@ -13,7 +13,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from neo_olap_spark.functions import bigrams, bounded_sequence, ws_tokens
+from neo_olap_spark.functions import (
+    bigrams,
+    bounded_sequence,
+    local_rows_frame,
+    ws_tokens,
+)
 from neo_olap_spark.operators.analytics import _REG_COV, _REG_VX
 from neo_olap_spark.registry import query
 from neo_olap_spark.tables import load
@@ -1185,7 +1190,7 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB this is exactly Lucene's norms-file + posting-list
     architecture expressed relationally."""
     d = load(spark, sf_dir, "documents")
-    qt = spark.createDataFrame(list(BM25_QUERIES), "query_id string, term string")
+    qt = local_rows_frame(spark, list(BM25_QUERIES), "query_id string, term string")
     dl = d.select(
         "doc_id", F.size(ws_tokens(F.col("text"))).cast("long").alias("dl")
     ).localCheckpoint()

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from neo_olap_spark.graph import ORACLE_SYM_EDGES, ORDER_OFFSET, degrees, edges
-from neo_olap_spark.functions import money_sum
+from neo_olap_spark.functions import local_rows_frame, money_sum
 from neo_olap_spark.registry import query
 from neo_olap_spark.tables import load
 
@@ -83,7 +83,7 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum("l_extendedprice").alias("sum_price"),
         )
         # one-row result: materialize so the temp dir can go now
-        return spark.createDataFrame(agg.collect(), agg.schema)
+        return local_rows_frame(spark, agg.collect(), agg.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -552,7 +552,7 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         # materialize before the backing tables/files are dropped
-        return spark.createDataFrame(res.collect(), res.schema)
+        return local_rows_frame(spark, res.collect(), res.schema)
     finally:
         spark.conf.set(bcast_key, prev)
         for t in tables:

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-from neo_olap_spark.functions import money_sum
+from neo_olap_spark.functions import local_rows_frame, money_sum
 from neo_olap_spark.registry import query
 from neo_olap_spark.tables import load
 
@@ -549,7 +549,7 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (id0, t, -1, "click", 0.0, None),
                 (id0 - 1, t, -2, "purchase", 0.0, None),
             ]
-            return spark.createDataFrame(rows, ev.schema)
+            return local_rows_frame(spark, rows, ev.schema)
 
         now = time.time()
         _stage_replay_file(replay_dir, files_dir, 0, ev, now - 300)
@@ -631,7 +631,7 @@ def finalize_generational_sink(
 
     promote()
     if not glob.glob(f"{sink_dir}/batch_id=*/part-*"):
-        return spark.createDataFrame([], empty_schema)
+        return local_rows_frame(spark, [], empty_schema)
     return spark.read.parquet(sink_dir)
 
 
@@ -898,8 +898,8 @@ def q_stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         promote()
         if not glob.glob(f"{sink_dir}/batch_id=*/part-*"):
-            return spark.createDataFrame(
-                [], "user_id long, event_type string, n_events long"
+            return local_rows_frame(
+                spark, [], "user_id long, event_type string, n_events long"
             )
         mem = spark.read.parquet(sink_dir)
         w = W.partitionBy("user_id", "event_type").orderBy(F.col("n_events").desc())
@@ -979,7 +979,7 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             output_mode="complete",
         )
     final = spark.table(name)
-    return spark.createDataFrame(final.collect(), final.schema)
+    return local_rows_frame(spark, final.collect(), final.schema)
 
 
 @query(
@@ -1192,7 +1192,7 @@ def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         with _replay_state_partitions(spark, files_dir):
             run_stream_once(out, name, output_mode="append")
         final = spark.table(name)
-        return spark.createDataFrame(final.collect(), final.schema)
+        return local_rows_frame(spark, final.collect(), final.schema)
     finally:
         shutil.rmtree(events_dir, ignore_errors=True)
 
@@ -1304,7 +1304,7 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             output_mode="complete",
         )
     final = spark.table(name)
-    return spark.createDataFrame(final.collect(), final.schema)
+    return local_rows_frame(spark, final.collect(), final.schema)
 
 
 @query(
