@@ -4589,6 +4589,15 @@ _SPEARMAN_CORR = _corr_micro_expr("sx", "sy", "sxx", "syy", "sxy")
 # asserts that full tuple is unique per flag in every fixture.
 _SPEAR_TIE = "l_orderkey, l_linenumber, l_partkey, l_suppkey"
 
+# Volume gate for the rank computation: at or below this many lineitem
+# rows the per-flag window sorts win (one exchange, each task sorts a
+# bounded ~n/3-row set); above it the distributed two-pass rank path
+# takes over so no single task ever sorts an unbounded flag block
+# (sf0.1→sf0.2 measured exponent 1.9 on the window path). Both paths
+# produce bit-identical ranks (same total order) — pinned in
+# tests/test_quality_stats.py.
+SPEARMAN_WINDOW_MAX_ROWS = 2_000_000
+
 
 @query(
     "q_agg_spearman",
@@ -4642,11 +4651,15 @@ def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     wraps int64 near ~3e6 rows per group) and the correlation is the
     SAME shared micro expression every correlation key parses.
 
-    Scale shape: ONE flag-keyed Exchange serves BOTH rank windows
-    (same partitionBy, two sort orders) AND the moment aggregate
-    (grouping key == partition key — the gini/rfm reuse rule). The
-    per-flag window sort is the at-scale cost, the q_agg_gini
-    precedent; output is one row per flag."""
+    Scale shape (r13): two distributed rank passes (range partition +
+    per-partition offsets), each O(rows/partition · log) per task with
+    partition count ∝ cluster width — replaces the per-flag window
+    sorts that funneled each flag's whole row set through one task
+    (the q_agg_gini shape; measured sf0.1→sf0.2 exponent 1.9 on this
+    key). The flag leads both sort orders, so per-flag ranks fall out
+    of the global rank by a 3-entry offset map; the moment aggregate
+    shuffles one row per (flag-partition) after map-side partials;
+    output is one row per flag."""
     li = load(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.col("l_quantity").cast("long").alias("x"),
@@ -4656,19 +4669,68 @@ def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         "l_suppkey",
     )
-    flag = W.partitionBy("l_returnflag")
-    tie = [F.col(c) for c in ("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")]
-    r = li.select(
-        "l_returnflag",
-        F.row_number()
-        .over(flag.orderBy(F.col("x"), F.col("y"), *tie))
-        .cast("long")
-        .alias("rx"),
-        F.row_number()
-        .over(flag.orderBy(F.col("y"), F.col("x"), *tie))
-        .cast("long")
-        .alias("ry"),
-    )
+    # r13 optimization (sf0.1→sf0.2 exponent 1.9): the per-flag window
+    # sorts funnel each flag's FULL row set through one task (3 flags
+    # = 3 tasks regardless of data volume — the superlinear wall the
+    # scale sweep flagged). Above SPEARMAN_WINDOW_MAX_ROWS the ranks
+    # come from two DISTRIBUTED rank passes instead
+    # (functions.distributed_row_number: range-partition +
+    # per-partition offsets, the eqdepth/zorder precedent) with the
+    # flag LEADING the sort, so a flag's ranks occupy a contiguous
+    # block of the global 0-based rank and the per-flag rank is
+    # global − (rows of smaller flags) + 1 — the identical total
+    # order, bit-identical ranks, no single-task sort. The second
+    # pass carries the first pass's rank column, so rx/ry pair with
+    # no re-join. Below the threshold the windows stay (fewer passes,
+    # each task sorts a bounded row set) — the union_merge-style
+    # volume gate, both paths pinned value-identical in
+    # tests/test_quality_stats.py. The gate reads the parquet
+    # metadata row count (no data read).
+    n_rows = load(spark, sf_dir, "lineitem").count()
+    if n_rows <= SPEARMAN_WINDOW_MAX_ROWS:
+        flag = W.partitionBy("l_returnflag")
+        tie = [
+            F.col(c)
+            for c in ("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        ]
+        r = li.select(
+            "l_returnflag",
+            F.row_number()
+            .over(flag.orderBy(F.col("x"), F.col("y"), *tie))
+            .cast("long")
+            .alias("rx"),
+            F.row_number()
+            .over(flag.orderBy(F.col("y"), F.col("x"), *tie))
+            .cast("long")
+            .alias("ry"),
+        )
+    else:
+        from neo_olap_spark.functions import distributed_row_number
+
+        tie_names = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+        r1 = distributed_row_number(
+            li, ["l_returnflag", "x", "y", *tie_names], 32, "gx"
+        ).drop("_total")
+        r2 = distributed_row_number(
+            r1, ["l_returnflag", "y", "x", *tie_names], 32, "gy"
+        ).drop("_total")
+        # one row per flag (bounded enum) — the sanctioned scalar fetch
+        counts = {
+            row[0]: row[1]
+            for row in r2.groupBy("l_returnflag").count().collect()
+        }
+        off_col = F.lit(0).cast("long")
+        acc = 0
+        for fval in sorted(counts):
+            off_col = F.when(
+                F.col("l_returnflag") == fval, F.lit(acc)
+            ).otherwise(off_col)
+            acc += counts[fval]
+        r = r2.select(
+            "l_returnflag",
+            (F.col("gx") - off_col + 1).cast("long").alias("rx"),
+            (F.col("gy") - off_col + 1).cast("long").alias("ry"),
+        )
     rxd = F.col("rx").cast("decimal(38,0)")
     ryd = F.col("ry").cast("decimal(38,0)")
     s = r.groupBy("l_returnflag").agg(

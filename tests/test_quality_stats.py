@@ -196,3 +196,25 @@ def test_spearman_tie_chain_is_unique_in_fixtures():
         four = li[["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]]
         if sf == "sf0.001":
             assert four.duplicated().any()
+
+
+def test_spearman_distributed_rank_path_matches_window_path(spark, sf_dir):
+    """r13 volume gate: above SPEARMAN_WINDOW_MAX_ROWS the ranks come
+    from two distributed rank passes instead of per-flag window sorts
+    (whose single-task-per-flag sort is superlinear at scale). Both
+    paths realize the SAME total order, so every output row must be
+    bit-identical — forced here by dropping the gate to 0."""
+    from neo_olap_spark.operators import analytics
+
+    window_out = sorted(
+        map(tuple, analytics.q_agg_spearman(spark, sf_dir).collect())
+    )
+    saved = analytics.SPEARMAN_WINDOW_MAX_ROWS
+    analytics.SPEARMAN_WINDOW_MAX_ROWS = 0
+    try:
+        dist_out = sorted(
+            map(tuple, analytics.q_agg_spearman(spark, sf_dir).collect())
+        )
+    finally:
+        analytics.SPEARMAN_WINDOW_MAX_ROWS = saved
+    assert window_out == dist_out
