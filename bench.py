@@ -102,6 +102,23 @@ def host_load_probe(spin_iters: int = 2_000_000) -> dict:
         probe["verdict"] = "unknown"
     return probe
 
+def _warm_python_workers(spark, cpus: int) -> None:
+    """One Arrow-UDF pass across ``cpus`` partitions so every python
+    worker (and its pandas import) exists before the first timed key.
+    See the warmup comment in main()."""
+    from pyspark.sql import functions as F
+
+    from neo_olap_spark.operators.udfs import logistic_score_udf
+
+    f = logistic_score_udf()
+    d = F.col("id").cast("double")
+    (
+        spark.range(cpus * 1000, numPartitions=cpus)
+        .select(F.sum(f(d, d)))
+        .collect()
+    )
+
+
 HEADLINE = [
     "q_scan_lineitem",
     "q_agg_groupby",
@@ -454,6 +471,19 @@ def main() -> None:
 
     # warmup: touch the JVM, codegen, and parquet footer caches
     spark.range(1000).selectExpr("sum(id)").collect()
+    # r13: also warm the PYTHON WORKER POOL (one Arrow-UDF pass across
+    # all cores). Without it, whichever key first evaluates a
+    # pandas/Arrow UDF — or a Python-stateful streaming operator —
+    # absorbs N_cores concurrent python-worker spawns + pandas imports
+    # inside ITS timed run (measured: 32 cold workers ≈ 6 s quiet,
+    # 20-30 s when the page cache is cold/contended — the r12/r13
+    # "cold spike" artifacts on q_stream_transform_state /
+    # q_text_entropy class keys). Workers are reused across jobs, so
+    # one pass here makes every per-key number reflect the operator,
+    # not pool-spawn luck. Methodology per key is UNCHANGED (same
+    # queries, same noop sink, same timing points); this extends the
+    # existing session warmup only.
+    _warm_python_workers(spark, cpus)
 
     errors: dict[str, str] = {}
     warm_incomplete: list[str] = []
