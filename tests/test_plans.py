@@ -1264,10 +1264,16 @@ def test_dedup_postings_no_inferred_refilter_at_scan(spark, sf_dir):
     ex = _explode_no_refilter(_shingled(spark, sf_dir), "sh", "s")
     kept = capped_postings(ex, MAX_SHINGLE_DF, ckpt=False)
     p = plan_str(kept, mode="simple")
-    assert p.count("array_distinct(transform(") == 1, p
-    # the scan must carry no data filter over the text column at all
+    # no Filter NODE may evaluate the shingle transform (the inferred
+    # pre-filter shape is `Filter (size(array_distinct(...)) > 0 ...)`;
+    # the transform may legitimately appear inside Project/Generate —
+    # that's its single evaluation, wherever CollapseProject puts it)
+    assert "Filter (size(array_distinct" not in p, p
+    assert "Filter ((size(array_distinct" not in p, p
+    # the scan must carry no data filter at all — pre-fix the pushed
+    # refilter re-tokenized every row in the single-task scan stage
     scan_lines = [ln for ln in p.splitlines() if "FileScan" in ln]
-    assert scan_lines and "DataFilters: [(size(" not in scan_lines[0], p
+    assert scan_lines and "DataFilters: []" in scan_lines[0], p
 
 
 def test_simhash_expansion_spread_and_signature_materialized(q):
