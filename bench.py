@@ -25,7 +25,7 @@ from neo_olap_spark.session import get_spark
 # Single per-round constant (ADVICE r11 #2): the reps filename derives
 # from it so a new round can't silently append into the previous
 # round's rep series. Bump this (only this) at round open.
-ROUND = 13
+ROUND = 14
 
 # Quiet-host spin ceiling for host_load_probe's verdict. Calibrated on
 # this benchmarking host: the observed quiet floor is ~0.072-0.087 s
@@ -33,6 +33,92 @@ ROUND = 13
 # ran the same code 21%/31% slower. Host-specific by construction —
 # recalibrate if the fleet moves.
 SPIN_QUIET_SEC = 0.095
+
+
+def _read_proc_stat() -> tuple[int, int, int]:
+    """(total, idle, steal) jiffies from the aggregate /proc/stat line.
+
+    fields: user nice system idle iowait irq softirq steal
+    guest guest_nice — guest/guest_nice are ALREADY included in
+    user/nice (ADVICE r12 #1), so summing all ten double-counts
+    VM time and deflates busy_pct/steal_pct; cap at 8 fields."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(x) for x in parts][:8]
+    idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+    steal = vals[7] if len(vals) > 7 else 0
+    return sum(vals), idle, steal
+
+
+def _tree_cpu_ticks(root_pid: int) -> int:
+    """utime+stime jiffies of ``root_pid`` and every live descendant
+    (driver python + JVM + python workers — ~40 processes under a
+    local[32] session, one small /proc read each), plus each process's
+    cutime/cstime so already-reaped children (e.g. a worker that died
+    mid-key) still count. Used to split host busy time into "ours" vs
+    "someone else's" while the bench itself is running — the start/end
+    host_load_probe can't see a mid-run noisy neighbor (VERDICT r13
+    item 1) and busy%% alone is useless mid-run because WE are busy."""
+    total = 0
+    stack = [root_pid]
+    seen: set[int] = set()
+    while stack:
+        p = stack.pop()
+        if p in seen:
+            continue
+        seen.add(p)
+        try:
+            with open(f"/proc/{p}/stat", "rb") as f:
+                rest = f.read().rsplit(b") ", 1)[1].split()
+            # rest[0] is field 3 (state); utime/stime are fields 14/15
+            # → indices 11/12; cutime/cstime (reaped children) 13/14
+            total += int(rest[11]) + int(rest[12])
+            total += int(rest[13]) + int(rest[14])
+        except (OSError, IndexError, ValueError):
+            continue
+        try:
+            for tid in os.listdir(f"/proc/{p}/task"):
+                with open(f"/proc/{p}/task/{tid}/children") as f:
+                    stack.extend(int(c) for c in f.read().split())
+        except (OSError, ValueError):
+            pass
+    return total
+
+
+def key_contention_probe_start() -> tuple | None:
+    """Cheap (~2 ms) sample taken around each timed key: /proc/stat
+    counters + our process tree's CPU ticks. No spin loop — this runs
+    inside the timed region's bracket, so it must be near-free."""
+    try:
+        tot, idle, steal = _read_proc_stat()
+        return tot, idle, steal, _tree_cpu_ticks(os.getpid())
+    except OSError:
+        return None
+
+
+def key_contention_probe_end(start: tuple | None) -> dict | None:
+    """Close a per-key bracket: over the key's cold+warm window, how
+    much of the host's busy CPU was steal or OTHER processes (host
+    busy minus our own process tree). other_busy_pct ≈ 0 on a quiet
+    host no matter how hard the bench itself works; a mid-run noisy
+    neighbor shows up here and nowhere else."""
+    if start is None:
+        return None
+    try:
+        tot1, idle1, steal1 = _read_proc_stat()
+        ours1 = _tree_cpu_ticks(os.getpid())
+    except OSError:
+        return None
+    tot0, idle0, steal0, ours0 = start
+    dtot = max(tot1 - tot0, 1)
+    busy = dtot - (idle1 - idle0)
+    steal_pct = 100.0 * (steal1 - steal0) / dtot
+    other_pct = 100.0 * max(busy - (ours1 - ours0), 0) / dtot
+    return {
+        "steal_pct": round(steal_pct, 2),
+        "other_busy_pct": round(other_pct, 2),
+        "contended": bool(steal_pct >= 2.0 or other_pct >= 10.0),
+    }
 
 
 def host_load_probe(spin_iters: int = 2_000_000) -> dict:
@@ -59,17 +145,7 @@ def host_load_probe(spin_iters: int = 2_000_000) -> dict:
     busy-loop; "loaded" when steal/busy themselves trip; "unknown"
     when /proc/stat is unreadable (non-Linux).
     """
-    def _stat():
-        with open("/proc/stat") as f:
-            parts = f.readline().split()[1:]
-        # fields: user nice system idle iowait irq softirq steal
-        # guest guest_nice — guest/guest_nice are ALREADY included in
-        # user/nice (ADVICE r12 #1), so summing all ten double-counts
-        # VM time and deflates busy_pct/steal_pct; cap at 8 fields.
-        vals = [int(x) for x in parts][:8]
-        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
-        steal = vals[7] if len(vals) > 7 else 0
-        return sum(vals), idle, steal
+    _stat = _read_proc_stat
 
     t0 = time.perf_counter()
     acc = 0
@@ -487,6 +563,7 @@ def main() -> None:
 
     errors: dict[str, str] = {}
     warm_incomplete: list[str] = []
+    key_probes: dict[str, dict] = {}
 
     def run_once(key: str, phase: str) -> float | None:
         """One timed end-to-end run; a failing key records its error
@@ -521,11 +598,22 @@ def main() -> None:
         for key in keys:
             if key not in qs:
                 continue
+            # Per-key contention bracket (VERDICT r13 item 1): the
+            # start/end host probes can't see a mid-run noisy
+            # neighbor, so each key's cold+warm window records how
+            # much host CPU went to steal / processes OUTSIDE this
+            # bench's tree. Additions-only: timing points unchanged,
+            # ~2 ms of /proc reads per bracket end.
+            kp = key_contention_probe_start()
             c = run_once(key, "cold")
             if c is None:
+                key_contention_probe_end(kp)
                 continue  # error recorded; skip the warm run too
             cold[key] = c
             w = run_once(key, "warm")
+            probe = key_contention_probe_end(kp)
+            if probe is not None:
+                key_probes[key] = probe
             if w is not None:
                 warm[key] = w
             else:
@@ -622,7 +710,20 @@ def main() -> None:
         # mid-run; r11's round-close rep did exactly that).
         "host_probe_start": probe_start,
         "host_probe_end": probe_end,
+        # Methodology flag (ADVICE r13 #4): the r13+ session warmup
+        # includes a python-worker-pool pass — per-key numbers for
+        # Python-boundary keys are not directly comparable with
+        # pre-r13 artifacts, and this flag marks the boundary.
+        "py_worker_warmup": True,
+        # Per-key contention summary (VERDICT r13 item 1): keys whose
+        # cold+warm window saw steal ≥ 2% or ≥ 10% of host CPU going
+        # to processes outside this bench. Empty list = the whole rep
+        # ran uncontended, even if a neighbor spiked BETWEEN probes.
+        "contended_keys": sorted(
+            k for k, p in key_probes.items() if p.get("contended")
+        ),
         # newest wave first … r1-comparable HEADLINE cold per-key LAST
+        "queries_probe": key_probes,
         "queries_warm": {
             **warm3, **warm12, **warm11, **warm10, **warm9, **warm8, **warm7,
             **warm6, **warm5, **warm4, **warm2, **warm1
@@ -660,7 +761,9 @@ def main() -> None:
                     "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
                 ),
                 **{k: v for k, v in record.items()
-                   if k not in ("queries", "queries_warm")},
+                   if k not in ("queries", "queries_warm",
+                                "queries_probe")},
+                "queries_probe": record["queries_probe"],
                 "queries": record["queries"],
                 "queries_warm": record["queries_warm"],
             }
@@ -686,7 +789,7 @@ def main() -> None:
     # in the committed sidecar.
     totals_only = {
         k: v for k, v in record.items()
-        if k not in ("queries", "queries_warm")
+        if k not in ("queries", "queries_warm", "queries_probe")
     }
     totals_only["per_key_in"] = "BENCH_local_full.json"
     print(json.dumps(totals_only))
