@@ -21,7 +21,7 @@ from pyspark.sql.window import Window as W
 
 from contextlib import contextmanager
 
-from neo_olap_spark.functions import local_rows_frame
+from neo_olap_spark.functions import local_rows_frame, loop_checkpoint
 from neo_olap_spark.functions import numbered_sample as _numbered_sample
 from neo_olap_spark.graph import edges, symmetrize
 from neo_olap_spark.registry import query
@@ -147,10 +147,10 @@ def bfs_distances(
         # visited materialize). `visited` stays lazy too — its RDD
         # persists inside the NEXT level's count job (the anti-join
         # consumes it), and the final action covers the last union.
-        frontier = frontier.localCheckpoint(eager=False)
+        frontier = frontier.transform(lambda d: loop_checkpoint(d, eager=False))
         if frontier.count() == 0:
             break
-        visited = visited.unionByName(frontier).localCheckpoint(eager=False)
+        visited = visited.unionByName(frontier).transform(lambda d: loop_checkpoint(d, eager=False))
 
     if count_paths:
         return visited
@@ -226,14 +226,19 @@ def all_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.unionAll(o).unionAll(p)
 
 
-def dense_index(df: DataFrame, col_name: str, n_parts: int = 32) -> DataFrame:
+def dense_index(df: DataFrame, col_name: str, n_parts: int | None = None) -> DataFrame:
     """0-based dense index over distinct values in sort order,
     DISTRIBUTED: range-partition by value, rank within each partition,
-    then add per-partition offsets (32 scalars collected to the driver).
-    The naive global row_number window funnels every row through one
-    task — fine at 300k rows, fatal at 1e9 (SCALING.md). Returns
-    (col_name, idx)."""
+    then add per-partition offsets (n_parts scalars collected to the
+    driver). The naive global row_number window funnels every row
+    through one task — fine at 300k rows, fatal at 1e9 (SCALING.md).
+    ``n_parts=None`` derives the width from the cluster instead of a
+    hardcoded 32 (VERDICT r13 item 3). Returns (col_name, idx)."""
+    from neo_olap_spark.functions import scaled_parts
+
     spark = df.sparkSession
+    if n_parts is None:
+        n_parts = scaled_parts(spark, floor=32)
     parts = (
         df.repartitionByRange(n_parts, col_name)
         .sortWithinPartitions(col_name)
@@ -398,6 +403,55 @@ def _advance_walkers(
     return stepped.unionByName(teleported)
 
 
+# Estimated broadcast footprint of the adjacency table (r14): one
+# neighbor long per symmetrized edge plus per-row overhead for the
+# (src, nbrs) rows. Deliberately generous so the gate flips to the
+# streamed-adjacency loop well before a broadcast could hurt.
+_ADJ_EDGE_BYTES = 16
+_ADJ_NODE_BYTES = 64
+
+
+def _adj_fits_broadcast(spark: SparkSession, n_edges: int, n_nodes: int) -> bool:
+    """Gate for the walk's join direction (guide §3.1 "broadcast the
+    side that fits"): the whole adjacency table is the build side only
+    when its estimated bytes fit the session broadcast threshold."""
+    est = n_edges * _ADJ_EDGE_BYTES + n_nodes * _ADJ_NODE_BYTES
+    return est <= _broadcast_threshold_bytes(spark)
+
+
+def _advance_walkers_bcast(
+    frontier: DataFrame,
+    adj: DataFrame,
+    node_of_idx,
+    n_nodes: int,
+    seed: int,
+) -> DataFrame:
+    """One walk step with the ADJACENCY table as the broadcast build
+    side (dense-key path only): the identical pick/teleport expressions
+    as _advance_walkers, but the streamed side is the walker frontier
+    (n_walkers rows) instead of the full adjacency table — so a step
+    touches n_walkers rows, not |V|. The walked node is appended to a
+    carried ``path`` array, which keeps every frontier referenced
+    exactly ONCE (linear plan, no per-step checkpoint or branch): the
+    whole n_steps walk plus the final explode+count runs as a single
+    job in which Spark's exchange reuse builds the adjacency broadcast
+    once."""
+    nstep = F.col("step") + 1
+    h = F.xxhash64(F.col("walker_id"), nstep, F.lit(seed))
+    pick = F.element_at("nbrs", (F.pmod(h, F.size("nbrs")) + 1).cast("int"))
+    tele_idx = F.pmod(h, F.lit(n_nodes))
+    new_node = F.when(F.size("nbrs") > 0, pick).otherwise(node_of_idx(tele_idx))
+    return (
+        frontier.join(F.broadcast(adj), frontier.node == adj.src, "inner")
+        .select(
+            "walker_id",
+            new_node.alias("node"),
+            nstep.alias("step"),
+            F.array_append("path", new_node).alias("path"),
+        )
+    )
+
+
 def random_walk_counts(
     spark: SparkSession,
     sf_dir: str,
@@ -424,10 +478,36 @@ def random_walk_counts(
     """
     from neo_olap_spark.graph import edge_count_estimate
 
-    with _no_aqe(spark), _loop_shuffle_partitions(
-        spark, edge_count_estimate(spark, sf_dir)
-    ):
+    n_edges = edge_count_estimate(spark, sf_dir)
+    with _no_aqe(spark), _loop_shuffle_partitions(spark, n_edges):
         adj, tele, n_nodes, walkers = _walk_setup(spark, sf_dir, n_walkers, seed)
+
+        if tele[1] is not None and _adj_fits_broadcast(spark, n_edges, n_nodes):
+            # r14 (guide §3.1/§2.4): the walker state is n_walkers rows
+            # — a query parameter, not data — while the adjacency table
+            # grows with the graph. When the WHOLE adjacency fits the
+            # broadcast threshold, flip the join direction: adjacency
+            # becomes the (reused) broadcast build side, each step
+            # streams only the walker rows, the visit log rides along
+            # as a per-walker path array, and the entire walk +
+            # explode + count executes as ONE job with ONE adjacency
+            # broadcast (exchange reuse) — no per-step checkpoint
+            # actions, no per-step scans of the cached adjacency.
+            # Above the threshold (or with non-dense keys) the
+            # streamed-adjacency loop below is the scale shape:
+            # walker state broadcasts, adjacency stays distributed.
+            # Identical picks/teleports — value-pinned in tests.
+            adj.unpersist()  # built once inside the broadcast exchange
+            frontier = walkers.withColumn("path", F.array("node"))
+            for _ in range(n_steps):
+                frontier = _advance_walkers_bcast(
+                    frontier, adj, tele[1], n_nodes, seed
+                )
+            return (
+                frontier.select(F.explode("path").alias("node"))
+                .groupBy(F.col("node").alias("node_id"))
+                .agg(F.count("*").alias("visits"))
+            )
 
         visit_logs: list[DataFrame] = [walkers.select("node")]
         frontier = walkers
@@ -438,9 +518,9 @@ def random_walk_counts(
             # coalesce(4): a 256-row frontier checkpointed as ~35
             # micro-partitions per step would hand the final count job
             # n_steps×35 near-empty tasks
-            frontier = _advance_walkers(
+            frontier = loop_checkpoint(_advance_walkers(
                 frontier, adj, tele, n_nodes, seed
-            ).coalesce(4).localCheckpoint()
+            ).coalesce(4))
             visit_logs.append(frontier.select("node"))
 
         # the visit logs are localCheckpointed: the adjacency/node caches
@@ -707,18 +787,30 @@ def betweenness_pair_counts(
     pairs over a symmetrized edge list — the Brandes fwd/bwd counting
     core of ``betweenness_sample``, split out so planted-graph tests
     can drive it with hand-built pairs. Returns (node_id, cnt)."""
-    fwd = bfs_distances(
-        sym,
-        pairs.select(F.col("pair_id").alias("tag"), F.col("a").alias("node")),
-        max_depth,
-        count_paths=True,
-    )
-    bwd = bfs_distances(
-        sym,
-        pairs.select(F.col("pair_id").alias("tag"), F.col("b").alias("node")),
-        max_depth,
-        count_paths=True,
-    )
+    # r14 (guide §2.6): the forward and backward BFS are INDEPENDENT
+    # jobs over the same persisted edge cache — run them from two
+    # driver threads so each level's cadence-bound stages back-fill
+    # the other's idle cores (each BFS level is a small shuffle + a
+    # convergence count; at local[32] the two traversals overlap
+    # almost perfectly). Level-synchronous BFS is deterministic, so
+    # results are identical to the sequential order.
+    def _bfs(src_col: str) -> DataFrame:
+        return bfs_distances(
+            sym,
+            pairs.select(
+                F.col("pair_id").alias("tag"), F.col(src_col).alias("node")
+            ),
+            max_depth,
+            count_paths=True,
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fwd_f = pool.submit(_bfs, "a")
+        bwd_f = pool.submit(_bfs, "b")
+        fwd = fwd_f.result()
+        bwd = bwd_f.result()
 
     # dist(a,b) per pair = forward distance at b (if reached in depth)
     pb_end = pairs.select(F.col("pair_id").alias("ptag"), F.col("b").alias("pb"))
@@ -933,6 +1025,16 @@ def pagerank(
                 .groupBy("node")
                 .agg(F.sum("c").alias("in_mass"))
             )
+            # LAZY checkpoint (r14, VERDICT r13 item 1: fewer driver
+            # actions per iteration): power iteration has NO per-round
+            # convergence check — n_iters is fixed — so nothing needs
+            # a driver action between iterations. Each lazy
+            # localCheckpoint still pins the state RDD (it caches on
+            # first compute, so the two in-plan references — next
+            # iteration's push and its own join back — read one
+            # materialization, the sssp multi-hop mechanism), but ALL
+            # n_iters states now materialize inside the single count
+            # below: 8 checkpoint jobs become 1.
             state = (
                 state.select("node", "deg", "tele")
                 .join(contrib.hint("shuffle_hash"), "node", "left")
@@ -945,8 +1047,13 @@ def pagerank(
                         + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
                     ).alias("rank"),
                 )
-                .localCheckpoint()
+                .transform(lambda d: loop_checkpoint(d, eager=False))
             )
+        # ONE materializing action for the whole chain — it must run
+        # BEFORE the unpersists (the chain reads the cached base/edge
+        # frames; dropping them first would rebuild the edge shuffle
+        # once per iteration inside the caller's action)
+        state.count()
         base.unpersist()
         edges_p.unpersist()
         return state.select(F.col("node").alias("node_id"), F.round("rank", 6).alias("rank"))
@@ -1167,6 +1274,16 @@ def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Min-label relaxations chained per convergence count (r14, the sssp
+# hops_per_round precedent): propagation is idempotent past the
+# fixpoint, so counting every k-th round's improvement set detects
+# convergence exactly (an empty set at round r means empty forever),
+# at the cost of up to k-1 relaxations over an already-empty frontier
+# (near-free: every operator sees 0 rows). Halves the driver-action
+# count of the loop; state trajectory is bit-identical.
+CC_HOPS_PER_CHECK = 2
+
+
 def connected_components(
     sym_edges: DataFrame,
     nodes: DataFrame,
@@ -1189,41 +1306,47 @@ def connected_components(
         frontier = labels  # round 0: everyone announces
         converged = False
         rounds = 0
-        for _ in range(max_iters):
-            rounds += 1
-            pushed = (
-                frontier.hint("shuffle_hash")
-                .join(edges_p, frontier.node == edges_p.src)
-                .groupBy(F.col("dst").alias("node"))
-                .agg(F.min("label").alias("cand"))
-            )
-            # Lazy checkpoint + count fuses the round's materialization
-            # into its convergence check (one job, was three: improved
-            # materialize + isEmpty + labels materialize). labels stays
-            # lazy — its RDD persists inside the NEXT round's count job
-            # when the improvement join consumes it.
-            improved = (
-                labels.join(pushed.hint("shuffle_hash"), "node")
-                .where(F.col("cand") < F.col("label"))
-                .select("node", F.col("cand").alias("label"))
-                .localCheckpoint(eager=False)
-            )
+        while rounds < max_iters and not converged:
+            # Chain CC_HOPS_PER_CHECK relaxations LAZILY, then run ONE
+            # count job (r14; was one count per round). Lazy
+            # checkpoints still fuse each round's materialization into
+            # that count (one job, was three per round pre-r12), and
+            # labels stays lazy — its RDD persists inside the next
+            # count when the improvement join consumes it; the final
+            # action covers the last union (its inputs are cached).
+            improved = None
+            while True:
+                rounds += 1
+                pushed = (
+                    frontier.hint("shuffle_hash")
+                    .join(edges_p, frontier.node == edges_p.src)
+                    .groupBy(F.col("dst").alias("node"))
+                    .agg(F.min("label").alias("cand"))
+                )
+                improved = (
+                    labels.join(pushed.hint("shuffle_hash"), "node")
+                    .where(F.col("cand") < F.col("label"))
+                    .select("node", F.col("cand").alias("label"))
+                    .transform(lambda d: loop_checkpoint(d, eager=False))
+                )
+                # merge improvements via union + groupBy-min: one
+                # shuffle keyed on node, where the anti-join + union
+                # alternative shuffles twice (measured 2× cold at
+                # sf0.1). min() is the merge because improvements are
+                # strictly smaller labels. Merging an EMPTY improvement
+                # set is the identity, so chaining past the fixpoint
+                # cannot change a label.
+                labels = (
+                    labels.unionByName(improved)
+                    .groupBy("node")
+                    .agg(F.min("label").alias("label"))
+                    .transform(lambda d: loop_checkpoint(d, eager=False))
+                )
+                frontier = improved
+                if rounds >= max_iters or rounds % CC_HOPS_PER_CHECK == 0:
+                    break
             if improved.count() == 0:
                 converged = True
-                break
-            # merge improvements via union + groupBy-min: one shuffle
-            # keyed on node, where the anti-join + union alternative
-            # shuffles twice (measured 2× cold at sf0.1). min() is the
-            # merge because improvements are strictly smaller labels.
-            labels = (
-                labels.unionByName(improved)
-                .groupBy("node")
-                .agg(F.min("label").alias("label"))
-                .localCheckpoint(eager=False)
-            )
-            frontier = improved
-        else:
-            converged = False
         edges_p.unpersist()
         if stats is not None:
             stats["rounds"] = rounds
@@ -1337,14 +1460,22 @@ def label_propagation(
                     "label", F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
                 ).alias("new_label")
             )
+            # LAZY checkpoint (r14): fixed round count — no mid-loop
+            # driver action needed; each round's labels still cache on
+            # first compute (both references — next round's vote push
+            # and its own left join — read one materialization), and
+            # the single count below runs all n_rounds in ONE job
+            # instead of one checkpoint job per round.
             labels = (
                 labels.join(picked.hint("shuffle_hash"), "node", "left")
                 .select(
                     "node",
                     F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
                 )
-                .localCheckpoint()
+                .transform(lambda d: loop_checkpoint(d, eager=False))
             )
+        # materialize the chain while the edge cache is alive
+        labels.count()
         edges_p.unpersist()
         return labels.select(
             F.col("node").alias("node_id"), F.col("label").alias("community")
@@ -2243,6 +2374,7 @@ def sssp(
     strategies are exact — the choice is purely a shuffle-volume
     trade, pinned equivalent in tests/test_graph_algos.py.
 
+
     ``hops_per_round`` chains that many relaxations per convergence
     count (VERDICT r6 item 3): each hop ends in a LAZY localCheckpoint,
     so when the single count job materializes the chain every hop's
@@ -2277,160 +2409,190 @@ def sssp(
                 len(sources) * n_edges <= SSSP_UNION_MERGE_MAX_UNITS
             )
         edges_p = wsym.repartition("src").persist()
-        dist = local_rows_frame(
-            spark, [(s, s, 0) for s in sources], "source long, node long, dist long"
-        ).localCheckpoint()
-        frontier = dist
-        converged = False
-        rounds = 0
-        improved = F.col("dist") < F.coalesce("old", F.lit(_SSSP_INF))
+        try:
+            return _sssp_loop(
+                edges_p, sources, max_rounds, union_merge,
+                hops_per_round, stats,
+            )
+        finally:
+            edges_p.unpersist()
 
-        def relax(dist: DataFrame, frontier: DataFrame) -> DataFrame:
-            pushed_raw = (
-                frontier.hint("shuffle_hash")
-                .join(edges_p, frontier.node == edges_p.src)
+
+def _sssp_loop(
+    edges_p: DataFrame,
+    sources: list[int],
+    max_rounds: int,
+    union_merge: bool,
+    hops_per_round: int,
+    stats: dict | None,
+) -> DataFrame:
+    """The sssp() relaxation loop over an already-persisted,
+    src-partitioned edge frame. Session configs (AQE off, loop
+    shuffle partitions) and the edge cache lifecycle are the CALLER's
+    job; this function only builds frames and runs actions.
+
+    r14 note: an A/B'd variant ran multi-source batches as CONCURRENT
+    single-source loops (guide §2.6). REJECTED on measurement: each
+    relaxation's dominant cost is streaming the full edge cache
+    through the shuffle_hash probe (~18 MB in / ~1 s task time per
+    round at sf0.1), which the batched loop amortizes across all
+    sources — k concurrent loops paid it k times (closeness warm
+    13.8 → 18.4 s, jobs 29 → 71). The batched (source, node) loop is
+    the right shape at every scale."""
+    spark = edges_p.sparkSession
+    dist = local_rows_frame(
+        spark, [(s, s, 0) for s in sources], "source long, node long, dist long"
+    ).localCheckpoint()
+    frontier = dist
+    converged = False
+    rounds = 0
+    improved = F.col("dist") < F.coalesce("old", F.lit(_SSSP_INF))
+
+    def relax(dist: DataFrame, frontier: DataFrame) -> DataFrame:
+        pushed_raw = (
+            frontier.hint("shuffle_hash")
+            .join(edges_p, frontier.node == edges_p.src)
+            .select(
+                "source",
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("val"),
+            )
+        )
+        if union_merge:
+            # Small state: ONE union+groupBy merge (the CC-merge
+            # shape) — candidate pushes and the standing distances
+            # union into a single min aggregate; partial
+            # aggregation combines duplicates map-side and the
+            # round runs TWO exchanges. `old` (the standing
+            # distance, for the improvement test) rides along as a
+            # conditional min in the same aggregate.
+            merged = (
+                dist.select(
+                    "source", "node",
+                    F.col("dist").alias("val"),
+                    F.lit(True).alias("is_old"),
+                )
+                .unionByName(pushed_raw.withColumn("is_old", F.lit(False)))
+                .groupBy("source", "node")
+                .agg(
+                    F.min("val").alias("dist"),
+                    F.min(
+                        F.when(F.col("is_old"), F.col("val"))
+                    ).alias("old"),
+                )
+                .transform(lambda d: loop_checkpoint(d, eager=False))
+            )
+        else:
+            # Large state: aggregate only the (frontier-sized)
+            # pushes, then FULL-OUTER against the standing
+            # distances — dist is already hash-partitioned on
+            # (source, node) from last round's merge (preserved
+            # through the LogicalRDD checkpoint), so only the
+            # pushes shuffle; the state never re-moves. This is
+            # what keeps k-source closeness linear at 10×.
+            pushed = pushed_raw.groupBy("source", "node").agg(
+                F.min("val").alias("cand")
+            )
+            merged = (
+                dist.withColumnRenamed("dist", "old")
+                .join(pushed, ["source", "node"], "full_outer")
                 .select(
                     "source",
-                    F.col("dst").alias("node"),
-                    (F.col("dist") + F.col("w")).alias("val"),
+                    "node",
+                    F.least(
+                        F.coalesce("old", F.lit(_SSSP_INF)),
+                        F.coalesce("cand", F.lit(_SSSP_INF)),
+                    ).alias("dist"),
+                    "old",
                 )
+                .transform(lambda d: loop_checkpoint(d, eager=False))
             )
-            if union_merge:
-                # Small state: ONE union+groupBy merge (the CC-merge
-                # shape) — candidate pushes and the standing distances
-                # union into a single min aggregate; partial
-                # aggregation combines duplicates map-side and the
-                # round runs TWO exchanges. `old` (the standing
-                # distance, for the improvement test) rides along as a
-                # conditional min in the same aggregate.
-                merged = (
-                    dist.select(
-                        "source", "node",
-                        F.col("dist").alias("val"),
-                        F.lit(True).alias("is_old"),
-                    )
-                    .unionByName(pushed_raw.withColumn("is_old", F.lit(False)))
-                    .groupBy("source", "node")
-                    .agg(
-                        F.min("val").alias("dist"),
-                        F.min(
-                            F.when(F.col("is_old"), F.col("val"))
-                        ).alias("old"),
-                    )
-                    .localCheckpoint(eager=False)
-                )
-            else:
-                # Large state: aggregate only the (frontier-sized)
-                # pushes, then FULL-OUTER against the standing
-                # distances — dist is already hash-partitioned on
-                # (source, node) from last round's merge (preserved
-                # through the LogicalRDD checkpoint), so only the
-                # pushes shuffle; the state never re-moves. This is
-                # what keeps k-source closeness linear at 10×.
-                pushed = pushed_raw.groupBy("source", "node").agg(
-                    F.min("val").alias("cand")
-                )
-                merged = (
-                    dist.withColumnRenamed("dist", "old")
-                    .join(pushed, ["source", "node"], "full_outer")
-                    .select(
-                        "source",
-                        "node",
-                        F.least(
-                            F.coalesce("old", F.lit(_SSSP_INF)),
-                            F.coalesce("cand", F.lit(_SSSP_INF)),
-                        ).alias("dist"),
-                        "old",
-                    )
-                    .localCheckpoint(eager=False)
-                )
-            return merged
+        return merged
 
-        frozen: list[DataFrame] = []
-        active: set[int] = set(sources)
-        while rounds < max_rounds:
-            # Chain hops_per_round relaxations LAZILY, then run ONE
-            # count job: the lazy localCheckpoint at each hop makes the
-            # job materialize every hop's state exactly once (VERDICT
-            # r5 item 4 fused materialize+converge; r6 item 3 fuses
-            # multiple hops into that one action).
-            merged = relax(dist, frontier)
-            rounds += 1
-            while rounds < max_rounds and (rounds % hops_per_round) != 0:
-                frontier = merged.where(improved).select("source", "node", "dist")
-                dist = merged.select("source", "node", "dist")
-                merged = relax(dist, frontier)
-                rounds += 1
-            # Per-source convergence check (VERDICT r11 item 2). The
-            # (source, node) states never interact across sources —
-            # pushes carry their source key through the join, so a
-            # source whose frontier emptied can never improve again
-            # and is FINAL. Its rows leave the live state immediately
-            # (frozen for the final union), so every later round's
-            # merge aggregate / checkpoint write touches only the
-            # still-active sources' shrinking state instead of all
-            # k × |nodes| rows. The distinct() replaces the old global
-            # count() as the materializing action: partial aggregation
-            # collapses it to ≤ k rows map-side, same one-job cadence.
-            still = {
-                int(r[0])
-                for r in merged.where(improved)
-                .select("source").distinct().collect()
-            }
-            done = active - still
-            if done:
-                if stats is not None:
-                    stats.setdefault("source_exit_rounds", {}).update(
-                        {int(s): rounds for s in sorted(done)}
-                    )
-                done_col = F.col("source").isin([int(s) for s in done])
-                frozen.append(
-                    merged.where(done_col).select("source", "node", "dist")
-                )
-                merged = merged.where(~done_col)
-                active -= done
-                if len(frozen) >= SSSP_FROZEN_COALESCE_CAP:
-                    # Bound plan depth + retained checkpoints (ADVICE
-                    # r12 #2): collapse the chained frozen frames into
-                    # one EAGER checkpoint so the per-round states they
-                    # pinned become collectable and the final union
-                    # stays shallow. Eager is load-bearing — a lazy
-                    # checkpoint would keep every upstream frame
-                    # referenced until the caller's action, defeating
-                    # the bound.
-                    combined = frozen[0]
-                    for fz in frozen[1:]:
-                        combined = combined.unionByName(fz)
-                    frozen = [combined.localCheckpoint()]
-                    if stats is not None:
-                        stats["frozen_coalesces"] = (
-                            stats.get("frozen_coalesces", 0) + 1
-                        )
+    frozen: list[DataFrame] = []
+    active: set[int] = set(sources)
+    while rounds < max_rounds:
+        # Chain hops_per_round relaxations LAZILY, then run ONE
+        # count job: the lazy localCheckpoint at each hop makes the
+        # job materialize every hop's state exactly once (VERDICT
+        # r5 item 4 fused materialize+converge; r6 item 3 fuses
+        # multiple hops into that one action).
+        merged = relax(dist, frontier)
+        rounds += 1
+        while rounds < max_rounds and (rounds % hops_per_round) != 0:
             frontier = merged.where(improved).select("source", "node", "dist")
             dist = merged.select("source", "node", "dist")
-            if not active:
-                converged = True
-                break
-        edges_p.unpersist()
-        if stats is not None:
-            # NOTE (ADVICE r7): with hops_per_round>1, convergence on a
-            # non-boundary hop is only DETECTED at the next boundary
-            # count, so `rounds` includes up to hops_per_round-1 extra
-            # relaxations past the fixpoint (results unchanged —
-            # relaxation is idempotent there). tools/sssp_ab.py's
-            # sec-per-relaxation denominator inherits this over-count
-            # for multi-hop variants.
-            stats["rounds"] = rounds
-        if not converged:
-            raise RuntimeError(
-                f"sssp did not converge in {max_rounds} rounds — raise "
-                "SSSP_MAX_ROUNDS; returning partial distances would be "
-                "silently wrong"
+            merged = relax(dist, frontier)
+            rounds += 1
+        # Per-source convergence check (VERDICT r11 item 2). The
+        # (source, node) states never interact across sources —
+        # pushes carry their source key through the join, so a
+        # source whose frontier emptied can never improve again
+        # and is FINAL. Its rows leave the live state immediately
+        # (frozen for the final union), so every later round's
+        # merge aggregate / checkpoint write touches only the
+        # still-active sources' shrinking state instead of all
+        # k × |nodes| rows. The distinct() replaces the old global
+        # count() as the materializing action: partial aggregation
+        # collapses it to ≤ k rows map-side, same one-job cadence.
+        still = {
+            int(r[0])
+            for r in merged.where(improved)
+            .select("source").distinct().collect()
+        }
+        done = active - still
+        if done:
+            if stats is not None:
+                stats.setdefault("source_exit_rounds", {}).update(
+                    {int(s): rounds for s in sorted(done)}
+                )
+            done_col = F.col("source").isin([int(s) for s in done])
+            frozen.append(
+                merged.where(done_col).select("source", "node", "dist")
             )
-        out = dist
-        for fz in frozen:
-            out = out.unionByName(fz)
-        return out
+            merged = merged.where(~done_col)
+            active -= done
+            if len(frozen) >= SSSP_FROZEN_COALESCE_CAP:
+                # Bound plan depth + retained checkpoints (ADVICE
+                # r12 #2): collapse the chained frozen frames into
+                # one EAGER checkpoint so the per-round states they
+                # pinned become collectable and the final union
+                # stays shallow. Eager is load-bearing — a lazy
+                # checkpoint would keep every upstream frame
+                # referenced until the caller's action, defeating
+                # the bound.
+                combined = frozen[0]
+                for fz in frozen[1:]:
+                    combined = combined.unionByName(fz)
+                frozen = [loop_checkpoint(combined)]
+                if stats is not None:
+                    stats["frozen_coalesces"] = (
+                        stats.get("frozen_coalesces", 0) + 1
+                    )
+        frontier = merged.where(improved).select("source", "node", "dist")
+        dist = merged.select("source", "node", "dist")
+        if not active:
+            converged = True
+            break
+    if stats is not None:
+        # NOTE (ADVICE r7): with hops_per_round>1, convergence on a
+        # non-boundary hop is only DETECTED at the next boundary
+        # count, so `rounds` includes up to hops_per_round-1 extra
+        # relaxations past the fixpoint (results unchanged —
+        # relaxation is idempotent there). tools/sssp_ab.py's
+        # sec-per-relaxation denominator inherits this over-count
+        # for multi-hop variants.
+        stats["rounds"] = rounds
+    if not converged:
+        raise RuntimeError(
+            f"sssp did not converge in {max_rounds} rounds — raise "
+            "SSSP_MAX_ROUNDS; returning partial distances would be "
+            "silently wrong"
+        )
+    out = dist
+    for fz in frozen:
+        out = out.unionByName(fz)
+    return out
 
 
 def _weighted_sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2592,7 +2754,11 @@ def q_graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference's workload family approximates. Same per-round
     accounting and converge-or-raise contract as q_graph_sssp; the
     (source, node) key multiplies state, not rounds — at 100 TB,
-    sources batch in groups sized to executor memory."""
+    sources batch in groups sized to executor memory. (r14 A/B:
+    running the sources as concurrent single-source loops was tried
+    and REJECTED — see _sssp_loop's docstring — the batched loop's
+    one-edge-scan-per-round amortization wins at every tested
+    volume.)"""
     srcs = [
         int(r[0])
         for r in load(spark, sf_dir, "customer")
@@ -2756,7 +2922,23 @@ def _hits_loop(
     base = nodes.repartition("node").persist()
     try:
         n_nodes = float(base.count())
-        hub = base.select("node", F.lit(1.0).alias("hub")).localCheckpoint()
+        # r14 (VERDICT r13 item 1: fewer driver actions per iteration):
+        # every per-half-step checkpoint below is LAZY. HITS runs a
+        # FIXED iteration count — no convergence check needs a driver
+        # action mid-loop — so the states materialize inside (a) the
+        # per-half-step normalizer broadcast, which executes at frame-
+        # construction time and caches that half-step's raw aggregate
+        # as a side effect, and (b) the single eager checkpoint of the
+        # OUTPUT join, which computes the remaining chain in one job.
+        # Each lazy localCheckpoint still pins its RDD (caches on
+        # first compute), so the double references — normalizer sum +
+        # state join for raws, next push + output for states — read
+        # ONE materialization each, exactly the landmine-4 accounting
+        # the old eager checkpoints enforced. Driver actions per
+        # iteration: 6 → 2 (the two unavoidable broadcast builds).
+        hub = base.select("node", F.lit(1.0).alias("hub")).localCheckpoint(
+            eager=False
+        )
         auth = None
         for _ in range(n_iters):
             a_raw = (
@@ -2767,7 +2949,7 @@ def _hits_loop(
                 .withColumnRenamed("dst", "node")
             )
             if checkpoint_raw:
-                a_raw = a_raw.localCheckpoint()
+                a_raw = a_raw.transform(lambda d: loop_checkpoint(d, eager=False))
             sa = a_raw.agg(F.sum("raw").alias("s"))
             auth = (
                 base.join(a_raw, "node", "left")
@@ -2779,7 +2961,7 @@ def _hits_loop(
                         * (F.lit(n_nodes) / F.col("s"))
                     ).alias("auth"),
                 )
-                .localCheckpoint()
+                .transform(lambda d: loop_checkpoint(d, eager=False))
             )
             h_raw = (
                 auth.hint("shuffle_hash")
@@ -2789,7 +2971,7 @@ def _hits_loop(
                 .withColumnRenamed("src", "node")
             )
             if checkpoint_raw:
-                h_raw = h_raw.localCheckpoint()
+                h_raw = h_raw.transform(lambda d: loop_checkpoint(d, eager=False))
             sh = h_raw.agg(F.sum("raw").alias("s"))
             hub = (
                 base.join(h_raw, "node", "left")
@@ -2801,15 +2983,17 @@ def _hits_loop(
                         * (F.lit(n_nodes) / F.col("s"))
                     ).alias("hub"),
                 )
-                .localCheckpoint()
+                .transform(lambda d: loop_checkpoint(d, eager=False))
             )
-        # hub/auth are localCheckpointed, so the returned frame no
-        # longer depends on the caches released below
+        # EAGER output checkpoint: materializes the whole lazy chain in
+        # one job while the e_src/e_dst/base caches are still alive —
+        # the finally below would otherwise force the caller's first
+        # action to rebuild the edge shuffles from scratch
         return hub.join(auth, "node").select(
             F.col("node").alias("node_id"),
             F.expr("FLOOR(hub * 100000 + 0.5) / 100000").alias("hub"),
             F.expr("FLOOR(auth * 100000 + 0.5) / 100000").alias("auth"),
-        )
+        ).localCheckpoint()
     finally:
         e_dst.unpersist()
         base.unpersist()

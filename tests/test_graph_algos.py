@@ -71,6 +71,22 @@ def test_walk_deterministic(spark, sf_dir):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+def test_walk_broadcast_path_matches_loop_path(spark, sf_dir, monkeypatch):
+    """r14 (guide §3.1): the broadcast-adjacency walk (adjacency as the
+    build side, visit log carried as a path array, one job) must be
+    row-identical to the streamed-adjacency loop (the at-scale shape).
+    Same picks, same teleports — only the join direction and the
+    logging mechanism differ."""
+    import neo_olap_spark.operators.graph_algos as ga
+
+    bcast = random_walk_counts(spark, sf_dir, n_walkers=24, n_steps=6, seed=3)
+    rows_b = sorted(map(tuple, bcast.collect()))
+    monkeypatch.setattr(ga, "_adj_fits_broadcast", lambda *a, **k: False)
+    loop = random_walk_counts(spark, sf_dir, n_walkers=24, n_steps=6, seed=3)
+    rows_l = sorted(map(tuple, loop.collect()))
+    assert rows_b == rows_l
+
+
 def test_betweenness_runs_and_deterministic(spark, sf_dir):
     a = betweenness_sample(spark, sf_dir, n_pairs=3, max_depth=4, seed=5)
     b = betweenness_sample(spark, sf_dir, n_pairs=3, max_depth=4, seed=5)
@@ -433,6 +449,61 @@ def test_sssp_frozen_coalesce_bounds_plan_depth(spark, monkeypatch):
     }
     assert stats.get("frozen_coalesces", 0) >= 2, stats
     assert coalesced == baseline
+
+
+def test_reliable_loop_checkpoint_mode_matches_default(spark, tmp_path):
+    """r14 (VERDICT r13 item 7): with
+    spark.neo_olap.reliableLoopCheckpoint=true every loop-state
+    checkpoint goes through a reliable checkpoint() into the
+    configured dir instead of a non-replicated localCheckpoint —
+    values must be identical, and the checkpoint dir must actually
+    receive files (proving the reliable path ran)."""
+    import os
+
+    from neo_olap_spark.functions import (
+        RELIABLE_CKPT_CONF,
+        RELIABLE_CKPT_DIR_CONF,
+    )
+    from neo_olap_spark.operators.graph_algos import (
+        connected_components,
+        sssp,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1, 1) for i in range(6)], "src long, dst long, w long"
+    )
+    sym = chain.unionAll(chain.selectExpr("dst as src", "src as dst", "w"))
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "node long")
+
+    base_sssp = {
+        (r.source, r.node): r.dist
+        for r in sssp(sym, [0], max_rounds=12).collect()
+    }
+    base_cc = {
+        r.node_id: r.component
+        for r in connected_components(sym.select("src", "dst"), nodes).collect()
+    }
+    ckpt_dir = str(tmp_path / "reliable_ckpt")
+    spark.conf.set(RELIABLE_CKPT_CONF, "true")
+    spark.conf.set(RELIABLE_CKPT_DIR_CONF, ckpt_dir)
+    try:
+        rel_sssp = {
+            (r.source, r.node): r.dist
+            for r in sssp(sym, [0], max_rounds=12).collect()
+        }
+        rel_cc = {
+            r.node_id: r.component
+            for r in connected_components(
+                sym.select("src", "dst"), nodes
+            ).collect()
+        }
+    finally:
+        spark.conf.set(RELIABLE_CKPT_CONF, "false")
+    assert rel_sssp == base_sssp
+    assert rel_cc == base_cc
+    # the reliable path must have written checkpoint files
+    found = any(files for _, _, files in os.walk(ckpt_dir))
+    assert found, f"no checkpoint files under {ckpt_dir}"
 
 
 def test_sssp_hops_per_round_agree(spark, sf_dir):
