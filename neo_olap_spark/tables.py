@@ -8,6 +8,8 @@ the reference's light-record pre-projection before full materialization
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -98,6 +100,29 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLES}
+
+
+def parquet_row_count(sf_dir: str, name: str) -> int:
+    """Row count of one table straight from parquet FOOTER metadata —
+    a driver-side file read (~1 ms), no Spark job. Volume gates
+    (q_agg_spearman-class) read this instead of launching a count()
+    aggregate inside the timed query (ADVICE r13 #2: the old gate's
+    load(...).count() was a real per-invocation job, and the comment
+    claiming otherwise was wrong). Handles both a single .parquet file
+    and a directory of part files; the count is re-read per call — no
+    cross-run memoization."""
+    import pyarrow.parquet as pq
+
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 def register_views(

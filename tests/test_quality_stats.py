@@ -12,6 +12,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow.parquet as pq
+import pytest
 
 from neo_olap_spark.registry import REGISTRY, queries
 
@@ -217,4 +218,29 @@ def test_spearman_distributed_rank_path_matches_window_path(spark, sf_dir):
         )
     finally:
         analytics.SPEARMAN_WINDOW_MAX_ROWS = saved
+    assert window_out == dist_out
+
+
+@pytest.mark.parametrize(
+    "key", ["q_agg_gini", "q_agg_weighted_median", "q_agg_pareto"]
+)
+def test_partitioned_window_family_distributed_path_matches(
+    spark, sf_dir, key
+):
+    """r14 (VERDICT r13 item 2): the spearman volume gate generalized
+    to the per-group window family. Above PARTITIONED_WINDOW_MAX_ROWS
+    the rank (gini) / running sum (weighted_median, pareto) comes from
+    the distributed two-pass form; integer/decimal arithmetic over the
+    same total order makes every output row bit-identical — forced
+    here by dropping the gate to 0."""
+    from neo_olap_spark.operators import analytics
+
+    fn = getattr(analytics, key)
+    window_out = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    saved = analytics.PARTITIONED_WINDOW_MAX_ROWS
+    analytics.PARTITIONED_WINDOW_MAX_ROWS = 0
+    try:
+        dist_out = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    finally:
+        analytics.PARTITIONED_WINDOW_MAX_ROWS = saved
     assert window_out == dist_out
