@@ -113,12 +113,24 @@ def key_contention_probe_end(start: tuple | None) -> dict | None:
     dtot = max(tot1 - tot0, 1)
     busy = dtot - (idle1 - idle0)
     steal_pct = 100.0 * (steal1 - steal0) / dtot
-    other_pct = 100.0 * max(busy - (ours1 - ours0), 0) / dtot
-    return {
+    d_ours = ours1 - ours0
+    # A NEGATIVE own-tree delta means a subtree died and was reaped
+    # outside the bracket (e.g. a key that restarts a helper process):
+    # its accumulated ticks vanish from the live sum, which would
+    # inflate other_busy past 100%. Flag it and don't let a bookkeeping
+    # artifact read as contention.
+    tree_changed = d_ours < 0
+    other_pct = 100.0 * min(max(busy - max(d_ours, 0), 0), dtot) / dtot
+    out = {
         "steal_pct": round(steal_pct, 2),
         "other_busy_pct": round(other_pct, 2),
-        "contended": bool(steal_pct >= 2.0 or other_pct >= 10.0),
+        "contended": bool(
+            steal_pct >= 2.0 or (other_pct >= 10.0 and not tree_changed)
+        ),
     }
+    if tree_changed:
+        out["tree_changed"] = True
+    return out
 
 
 def host_load_probe(spin_iters: int = 2_000_000) -> dict:

@@ -32,6 +32,13 @@ def get_spark(app_name: str = "neo-olap-spark", cpus: int | None = None) -> Spar
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # ADVICE r13 #1: the Arrow createDataFrame path silently
+        # truncates mismatched cells (1.7 into a long column becomes
+        # 1) where the plain-list path raised PySparkTypeError; safe
+        # conversion restores the raise so a schema drift in a
+        # local_rows_frame call site (or a sloppy pandas-UDF return)
+        # fails loudly instead of corrupting values
+        .config("spark.sql.execution.pandas.convertToArrowArraySafely", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # events.ts is parquet TIMESTAMP(NANOS); read as long, converted in tables.load
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
